@@ -1,0 +1,1 @@
+"""Ray-Data-native full-text engine (Lucene.Net-capability rebuild)."""

@@ -1,0 +1,241 @@
+"""StandardAnalyzer-equivalent analysis chain as pure, batch-friendly functions.
+
+Replicates the reference chain StandardTokenizer -> StandardFilter ->
+LowerCaseFilter -> StopFilter:
+  /root/reference/src/Lucene.Net.Core/Analysis/Standard/StandardAnalyzer.cs:107-117
+  grammar: /root/reference/src/Lucene.Net.Core/Analysis/Standard/StandardTokenizerImpl.jflex:97-155
+  /root/reference/src/Lucene.Net.Core/Analysis/Standard/StandardFilter.cs:51-80
+  /root/reference/src/Lucene.Net.Core/Analysis/StopFilter.cs:128-146
+  /root/reference/src/Lucene.Net.Core/Analysis/StopAnalyzer.cs:134 (33 stopwords)
+  maxTokenLength 255: StandardAnalyzer.cs:124; overlong tokens are skipped and
+  accumulate position increments: StandardTokenizer.cs:159-204
+  ACRONYM_DEP -> HOST with trailing '.' removed: StandardTokenizer.cs:182-193
+
+Tokenization is maximal munch over the rule set with rule-order tie-break
+(JFlex semantics). Notable consequences encoded in the conformance tests:
+  - ``foo_bar`` splits into ``foo``, ``bar`` ('_' is not a letter, and NUM
+    requires a digit segment), but ``x86_64`` is ONE NUM token.
+  - ``System.IO.TextReader`` is one HOST token.
+  - ``U.S.A.`` is an ACRONYM whose dots are stripped -> ``usa``.
+  - ``O'Reilly's`` keeps the inner apostrophe, loses the possessive -> ``o'reilly``.
+
+The per-cluster lexer result is memoized (head identifiers repeat massively in
+source code), so the hot path in ``map_batches`` stages is dictionary lookups.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+__all__ = [
+    "ENGLISH_STOP_WORDS",
+    "DEFAULT_MAX_TOKEN_LENGTH",
+    "tokenize_raw",
+    "analyze",
+    "analyze_with_positions",
+    "Analyzer",
+]
+
+# The 33-word default English stop set (StopAnalyzer.cs:134).
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+DEFAULT_MAX_TOKEN_LENGTH = 255
+
+# --- character classes ------------------------------------------------------
+# CJ: Chinese/Japanese ranges; LETTER = unicode letter minus CJ; THAI block.
+_CJ = (
+    "\u3100-\u312f\u3040-\u309F\u30A0-\u30FF\u31F0-\u31FF"
+    "\u3300-\u337f\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff\uff65-\uff9f"
+)
+_L = rf"(?:(?![{_CJ}])[^\W\d_])"          # {LETTER}
+_AN_CH = rf"(?:[฀-๙]|(?![{_CJ}])[^\W_])"  # LETTER|THAI|digit
+_AN = rf"{_AN_CH}+"                         # {ALPHANUM}
+_ALPHA = rf"{_L}+"                          # {ALPHA}
+_HD = rf"(?:{_L}|\d)*\d(?:{_L}|\d)*"        # {HAS_DIGIT}
+_P = r"[_\-/.,]"                            # {P}
+
+_RULES: list[tuple[str, str]] = [
+    # (type, pattern) in JFlex rule order (= tie-break priority order).
+    ("<ALPHANUM>", _AN),
+    ("<APOSTROPHE>", rf"{_ALPHA}(?:'{_ALPHA})+"),
+    ("<ACRONYM>", rf"{_L}\.(?:{_L}\.)+"),
+    ("<COMPANY>", rf"{_ALPHA}[&@]{_ALPHA}"),
+    ("<EMAIL>", rf"{_AN}(?:[._-]{_AN})*@{_AN}(?:[.-]{_AN})+"),
+    ("<HOST>", rf"{_AN}(?:\.{_AN})+"),
+    # NUM's six branches are evaluated separately: maximal munch must take the
+    # longest across branches, which a single first-match alternation misses.
+    ("<NUM>", rf"{_AN}{_P}{_HD}(?:{_P}{_AN}{_P}{_HD})+"),
+    ("<NUM>", rf"{_HD}{_P}{_AN}(?:{_P}{_HD}{_P}{_AN})+"),
+    ("<NUM>", rf"{_AN}(?:{_P}{_HD}{_P}{_AN})+"),
+    ("<NUM>", rf"{_HD}(?:{_P}{_AN}{_P}{_HD})+"),
+    ("<NUM>", rf"{_AN}{_P}{_HD}"),
+    ("<NUM>", rf"{_HD}{_P}{_AN}"),
+    ("<ACRONYM_DEP>", rf"{_AN}\.(?:{_AN}\.)+"),
+]
+_COMPILED = [(t, re.compile(p)) for t, p in _RULES]
+
+# Tie-break priority by jflex listing order (lower = wins on equal length).
+_PRIORITY = {
+    "<ALPHANUM>": 0,
+    "<APOSTROPHE>": 1,
+    "<ACRONYM>": 2,
+    "<COMPANY>": 3,
+    "<EMAIL>": 4,
+    "<HOST>": 5,
+    "<NUM>": 6,
+    "<ACRONYM_DEP>": 8,
+}
+
+# A "cluster" is a maximal run of characters that can participate in any
+# non-CJ rule; tokens never span cluster boundaries, so we lex cluster-wise
+# and memoize. CJ chars are single-char tokens of their own.
+_CLUSTER_RE = re.compile(rf"(?:{_AN_CH}|['&@_\-/.,])+|[{_CJ}]")
+_CJ_RE = re.compile(rf"[{_CJ}]")
+_SIMPLE_RE = re.compile(rf"{_AN}\Z")
+
+
+def _lex_cluster_uncached(s: str) -> tuple[tuple[str, str], ...]:
+    """Maximal-munch lex of one cluster -> ((text, type), ...)."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(s)
+    while i < n:
+        best_len = 0
+        best_pri = 99
+        best_type = ""
+        for typ, rx in _COMPILED:
+            m = rx.match(s, i)
+            if m:
+                length = m.end() - i
+                pri = _PRIORITY[typ]
+                if length > best_len or (length == best_len and pri < best_pri):
+                    best_len = length
+                    best_pri = pri
+                    best_type = typ
+        if best_len:
+            out.append((s[i : i + best_len], best_type))
+            i += best_len
+        else:
+            i += 1  # ignore (punctuation with no rule)
+    return tuple(out)
+
+
+@lru_cache(maxsize=1_000_000)
+def _lex_cluster(s: str) -> tuple[tuple[str, str], ...]:
+    if _SIMPLE_RE.match(s):  # fast path: plain ALPHANUM run
+        return ((s, "<ALPHANUM>"),)
+    return _lex_cluster_uncached(s)
+
+
+def tokenize_raw(text: str) -> list[tuple[str, str]]:
+    """StandardTokenizer output: [(token_text, token_type), ...].
+
+    ACRONYM_DEP is reported as HOST with the trailing '.' removed
+    (replaceInvalidAcronym semantics, StandardTokenizer.cs:182-188).
+    maxTokenLength filtering happens in analyze(), which needs skip counts.
+    """
+    out: list[tuple[str, str]] = []
+    for m in _CLUSTER_RE.finditer(text):
+        chunk = m.group()
+        if len(chunk) == 1 and _CJ_RE.match(chunk):
+            out.append((chunk, "<CJ>"))
+            continue
+        for tok, typ in _lex_cluster(chunk):
+            if typ == "<ACRONYM_DEP>":
+                out.append((tok[:-1], "<HOST>"))
+            else:
+                out.append((tok, typ))
+    return out
+
+
+def _standard_filter(tok: str, typ: str) -> str:
+    """StandardFilter: strip possessive 's from APOSTROPHE, dots from ACRONYM."""
+    if typ == "<APOSTROPHE>" and len(tok) >= 2 and tok[-2] == "'" and tok[-1] in "sS":
+        return tok[:-2]
+    if typ == "<ACRONYM>":
+        return tok.replace(".", "")
+    return tok
+
+
+def analyze_with_positions(
+    text: str,
+    stop_words: frozenset[str] = ENGLISH_STOP_WORDS,
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+) -> tuple[list[str], list[int]]:
+    """Full chain -> (tokens, position_increments).
+
+    Overlong tokens (tokenizer) and stop words (StopFilter) are dropped, with
+    their position increments accumulated onto the next kept token.
+    """
+    tokens: list[str] = []
+    incrs: list[int] = []
+    pending = 1
+    for tok, typ in tokenize_raw(text):
+        if len(tok) > max_token_length:
+            pending += 1  # StandardTokenizer.cs:202-203
+            continue
+        term = _standard_filter(tok, typ).lower()
+        if term in stop_words:
+            pending += 1  # StopFilter.cs:142
+            continue
+        tokens.append(term)
+        incrs.append(pending)
+        pending = 1
+    return tokens, incrs
+
+
+def analyze(
+    text: str,
+    stop_words: frozenset[str] = ENGLISH_STOP_WORDS,
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+) -> list[str]:
+    """Final index terms of a document field; len(result) is the field length
+    used for norm encoding (post-stop-filter kept-token count)."""
+    tokens: list[str] = []
+    for tok, typ in tokenize_raw(text):
+        if len(tok) > max_token_length:
+            continue
+        term = _standard_filter(tok, typ).lower()
+        if term not in stop_words:
+            tokens.append(term)
+    return tokens
+
+
+class Analyzer:
+    """Configurable analyzer (tokenizer chain as a picklable callable).
+
+    kind: 'standard' (default), 'whitespace', 'simple' (letter runs,
+    lowercased), or 'keyword' (whole input, unchanged).
+    """
+
+    def __init__(
+        self,
+        kind: str = "standard",
+        stop_words: frozenset[str] | None = ENGLISH_STOP_WORDS,
+        max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+    ):
+        if kind not in ("standard", "whitespace", "simple", "keyword"):
+            raise ValueError(f"unknown analyzer kind: {kind}")
+        self.kind = kind
+        self.stop_words = stop_words if stop_words is not None else frozenset()
+        self.max_token_length = max_token_length
+        self._simple_re = re.compile(rf"{_L}+")
+
+    def __call__(self, text: str) -> list[str]:
+        if self.kind == "standard":
+            return analyze(text, self.stop_words, self.max_token_length)
+        if self.kind == "whitespace":
+            return text.split()
+        if self.kind == "simple":
+            return [m.group().lower() for m in self._simple_re.finditer(text)]
+        return [text]  # keyword
+
+    def config(self) -> dict:
+        return {
+            "kind": self.kind,
+            "stop_words": sorted(self.stop_words),
+            "max_token_length": self.max_token_length,
+        }

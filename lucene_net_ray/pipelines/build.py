@@ -1,0 +1,135 @@
+"""Index build pipeline: Parquet corpus -> inverted segments, via Ray Data.
+
+Reference lifecycle being re-expressed (SURVEY.md §3.1): documents ->
+thread-private DWPT builders -> flush -> commit. Here: deterministic shards
+(`sources.sharding`) -> Dataset of shard descriptors -> ``map_batches`` of
+stateless segment-build tasks -> per-segment committed directories -> one
+atomic index manifest. Ray's streaming executor provides the backpressure
+that DocumentsWriterStallControl hand-rolls
+(/root/reference/src/Lucene.Net.Core/Index/DocumentsWriterStallControl.cs:58-75).
+
+Resume: a shard whose segment directory already has a committed ``meta.json``
+is skipped (its meta is returned from the checkpoint instead of rebuilding) —
+the analog of `segments_N` generations + IndexFileDeleter ref-counting
+(/root/reference/src/Lucene.Net.Core/Index/IndexWriter.cs:3532-3777).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.analysis import Analyzer
+from ..sources.sharding import plan_shards, read_shard
+from ..state.index import IndexMeta, write_index_manifest
+from ..state.segment import build_segment
+
+
+class BuildSegmentTask:
+    """map_batches callable: each input row describes one shard.
+
+    Stateless per call (partition-private builder state only), but expressed
+    as a class so the Analyzer (compiled regexes + cluster memo cache) is
+    constructed once per actor, not once per batch.
+    """
+
+    def __init__(self, out_dir: str, analyzer_kind: str, content_column: str, stored_columns: tuple[str, ...]):
+        self.out_dir = out_dir
+        self.analyzer = Analyzer(kind=analyzer_kind)
+        self.content_column = content_column
+        self.stored_columns = stored_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = []
+        for row in batch.to_pylist():
+            columns = None  # prune to needed columns only
+            needed = {self.content_column, *self.stored_columns}
+            columns = [c for c in needed]
+            tbl = read_shard(row, columns=columns)
+            meta = build_segment(
+                tbl,
+                seg_id=row["shard_id"],
+                doc_base=row["doc_base"],
+                out_dir=os.path.join(self.out_dir, "segments"),
+                analyzer=self.analyzer,
+                content_column=self.content_column,
+                stored_columns=self.stored_columns,
+                lineage={
+                    "path": row["path"],
+                    "row_groups": list(row["row_groups"]),
+                    "num_rows": row["num_rows"],
+                },
+            )
+            metas.append(
+                {
+                    "seg_id": meta["seg_id"],
+                    "doc_count": meta["doc_count"],
+                    "sum_ttf": meta["sum_ttf"],
+                    "term_count": meta["term_count"],
+                    "postings": meta["postings"],
+                    "postings_bytes": meta["postings_bytes"],
+                    "build_sec": meta["metrics"]["build_sec"],
+                }
+            )
+        return pa.Table.from_pylist(metas)
+
+
+def build_index(
+    input_path: str | list[str],
+    out_dir: str,
+    *,
+    content_column: str = "content",
+    stored_columns: tuple[str, ...] = (),
+    analyzer_kind: str = "standard",
+    target_rows_per_segment: int = 100_000,
+    concurrency: int | None = None,
+) -> IndexMeta:
+    """Build (or resume) an index from a Parquet corpus. Returns IndexMeta."""
+    t0 = time.perf_counter()
+    os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
+    shards = plan_shards(input_path, target_rows=target_rows_per_segment)
+    if not shards:
+        raise ValueError(f"no parquet input under {input_path}")
+
+    ds = ray.data.from_items([s.to_row() for s in shards])
+    seg_rows = ds.map_batches(
+        BuildSegmentTask,
+        fn_constructor_kwargs={
+            "out_dir": out_dir,
+            "analyzer_kind": analyzer_kind,
+            "content_column": content_column,
+            "stored_columns": tuple(stored_columns),
+        },
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency or min(len(shards), 32),
+        num_cpus=1,
+    ).take_all()
+
+    seg_rows.sort(key=lambda r: r["seg_id"])
+    manifest = {
+        "version": 1,
+        "analyzer": Analyzer(kind=analyzer_kind).config(),
+        "content_column": content_column,
+        "segments": seg_rows,
+        "max_doc": int(sum(r["doc_count"] for r in seg_rows)),
+        "sum_ttf": int(sum(r["sum_ttf"] for r in seg_rows)),
+        "build_sec": round(time.perf_counter() - t0, 4),
+    }
+    write_index_manifest(out_dir, manifest)
+    return IndexMeta(out_dir)
+
+
+def build_index_from_table(table: pa.Table, out_dir: str, **kwargs) -> IndexMeta:
+    """Convenience for tests: write the table to parquet, then build."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(out_dir, "_corpus")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(table, os.path.join(src, "corpus.parquet"))
+    return build_index(src, out_dir, **kwargs)

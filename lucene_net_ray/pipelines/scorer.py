@@ -1,0 +1,285 @@
+"""Per-segment query evaluation: vectorized BM25 scoring over decoded postings.
+
+Replicates the reference's scorer algebra (SURVEY.md §2.6) with numpy set ops
+instead of doc-at-a-time iterators:
+  ConjunctionScorer   float32 sum in cost-ascending clause order
+                      (/root/reference/src/Lucene.Net.Core/Search/ConjunctionScorer.cs:134-141)
+  DisjunctionSumScorer double accumulator cast to float32
+                      (/root/reference/src/Lucene.Net.Core/Search/DisjunctionSumScorer.cs:80-83)
+  ReqOptSumScorer     req float32 + opt float32
+  ReqExclScorer       exclusion filter, req score passthrough
+  MinShouldMatchSumScorer count>=n variant
+  MultiTermQuery      expansion against the segment term dict (rewrite modes:
+                      constant-score for prefix/wildcard/range, top-terms
+                      scoring with distance boosts for fuzzy)
+
+Scores are float32 at exactly the reference's rounding points (similarity.py),
+so per-doc scores are identical to a doc-at-a-time evaluation.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from ..functions import similarity as sim
+from ..query import (
+    BooleanClause,
+    BooleanQuery,
+    ConstantScoreQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from ..state.segment import SegmentReader
+
+
+def query_terms(q: Query) -> set[str]:
+    """All literal terms referenced by a query tree (for the global stats pass)."""
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= query_terms(c.query)
+        return out
+    if isinstance(q, ConstantScoreQuery):
+        return query_terms(q.query)
+    return set()
+
+
+def expand_multiterm(reader: SegmentReader, q: Query) -> list[tuple[str, float]]:
+    """Matching (term, boost) pairs from this segment's term dict.
+
+    PrefixQuery/TermRangeQuery scan the sorted dict with binary search;
+    WildcardQuery scans the prefix range of its literal head; FuzzyQuery uses
+    banded edit distance over a bounded candidate range (all terms for v1 —
+    fine per segment; the automaton optimization is a future round).
+    """
+    terms = reader.terms
+    if isinstance(q, PrefixQuery):
+        lo = np.searchsorted(terms, q.prefix)
+        hi = np.searchsorted(terms, q.prefix + "\U0010FFFF")
+        return [(t, 1.0) for t in terms[lo:hi]]
+    if isinstance(q, TermRangeQuery):
+        lo = 0 if q.lower is None else np.searchsorted(terms, q.lower, side="left" if q.include_lower else "right")
+        hi = len(terms) if q.upper is None else np.searchsorted(terms, q.upper, side="right" if q.include_upper else "left")
+        return [(t, 1.0) for t in terms[lo:hi]]
+    if isinstance(q, WildcardQuery):
+        head = re.match(r"^[^*?]*", q.pattern).group()
+        lo = np.searchsorted(terms, head)
+        hi = np.searchsorted(terms, head + "\U0010FFFF") if head else len(terms)
+        rx = re.compile(re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".") + r"\Z")
+        return [(t, 1.0) for t in terms[lo:hi] if rx.match(t)]
+    if isinstance(q, FuzzyQuery):
+        out = []
+        base = q.term
+        pref = base[: q.prefix_length]
+        lo = np.searchsorted(terms, pref)
+        hi = np.searchsorted(terms, pref + "\U0010FFFF") if pref else len(terms)
+        for t in terms[lo:hi]:
+            if abs(len(t) - len(base)) > q.max_edits:
+                continue
+            d = _edit_distance_capped(base, t, q.max_edits)
+            if d <= q.max_edits:
+                if d == 0:
+                    boost = 1.0
+                else:
+                    # FuzzyTermsEnum boost: 1 - d / min(|term|,|text|)
+                    boost = 1.0 - d / min(len(t), len(base))
+                out.append((str(t), boost))
+        out.sort(key=lambda tb: (-tb[1], tb[0]))  # TopTermsRewrite: best first
+        return out[: q.max_expansions]
+    raise TypeError(f"not a multi-term query: {q!r}")
+
+
+def _edit_distance_capped(a: str, b: str, cap: int) -> int:
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = cap + 1
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+            lo = min(lo, cur[j])
+        if lo > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
+class SegmentScorer:
+    """Evaluates a query tree against one segment with index-global stats."""
+
+    def __init__(
+        self,
+        reader: SegmentReader,
+        global_stats: dict,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ):
+        """global_stats: {"max_doc": N, "sum_ttf": S, "df": {term: global df}}."""
+        self.reader = reader
+        self.stats = global_stats
+        self.k1 = np.float32(k1)
+        self.b = np.float32(b)
+        avgdl = sim.avg_field_length(global_stats["sum_ttf"], global_stats["max_doc"])
+        self.avgdl = avgdl
+        self.cache = sim.norm_cache(avgdl, self.k1, self.b)
+
+    # -- term-level ---------------------------------------------------------
+    def _term_weight(self, term: str, boost: float) -> np.float32:
+        df = self.stats["df"].get(term, 0)
+        if df <= 0:
+            return np.float32(0.0)
+        return sim.term_weight_value(sim.idf(df, self.stats["max_doc"]), boost, self.k1)
+
+    def score_term(self, q: TermQuery) -> tuple[np.ndarray, np.ndarray]:
+        """(local docids sorted, float32 scores) for one term clause."""
+        docids, tfs = self.reader.postings(q.term)
+        if docids.size == 0:
+            return docids, np.empty(0, dtype=np.float32)
+        w = self._term_weight(q.term, q.boost)
+        scores = sim.score_tf(tfs, self.reader.norms[docids], w, self.cache)
+        return docids, scores
+
+    # -- tree evaluation ----------------------------------------------------
+    def evaluate(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
+        """(local docids sorted asc, float32 scores)."""
+        if isinstance(q, TermQuery):
+            return self.score_term(q)
+        if isinstance(q, MatchAllDocsQuery):
+            n = self.reader.doc_count
+            return np.arange(n, dtype=np.int64), np.full(n, np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, ConstantScoreQuery):
+            docids, _ = self.evaluate(q.query)
+            return docids, np.full(docids.size, np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery)):
+            # ConstantScoreAutoRewrite semantics: matching docs score = boost
+            expansions = expand_multiterm(self.reader, q)
+            if not expansions:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            docs = [self.reader.postings(t)[0] for t, _ in expansions]
+            union = np.unique(np.concatenate(docs))
+            return union, np.full(union.size, np.float32(q.boost), dtype=np.float32)
+        if isinstance(q, FuzzyQuery):
+            expansions = expand_multiterm(self.reader, q)
+            if not expansions:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            sub = BooleanQuery(
+                boost=q.boost,
+                clauses=tuple(
+                    BooleanClause(TermQuery(field=q.field, term=t, boost=bst), "SHOULD")
+                    for t, bst in expansions
+                ),
+            )
+            return self.evaluate(sub)
+        if isinstance(q, BooleanQuery):
+            return self._evaluate_boolean(q)
+        raise TypeError(f"unsupported query: {q!r}")
+
+    def _evaluate_boolean(self, q: BooleanQuery) -> tuple[np.ndarray, np.ndarray]:
+        musts = [c.query for c in q.clauses if c.occur == "MUST"]
+        shoulds = [c.query for c in q.clauses if c.occur == "SHOULD"]
+        nots = [c.query for c in q.clauses if c.occur == "MUST_NOT"]
+        msm = q.min_should_match
+
+        must_evals = [self.evaluate(m) for m in musts]
+        should_evals = [self.evaluate(s) for s in shoulds]
+
+        # --- required side: leapfrog intersection, cost-ascending f32 sum ---
+        # cost = GLOBAL df (not per-segment postings size) so the float32
+        # summation order is identical across segments and in the oracle;
+        # the reference uses per-leaf docFreq (ConjunctionScorer.cs:47-51) —
+        # same order in the single-segment case, last-ulp-equivalent otherwise.
+        req_docs = req_scores = None
+        if must_evals:
+            order = sorted(range(len(must_evals)), key=lambda i: (self._cost(musts[i]), i))
+            req_docs = must_evals[order[0]][0]
+            for i in order[1:]:
+                req_docs = np.intersect1d(req_docs, must_evals[i][0], assume_unique=True)
+            req_scores = np.zeros(req_docs.size, dtype=np.float32)
+            for i in order:  # sequential float32 adds in cost order
+                d, s = must_evals[i]
+                idx = np.searchsorted(d, req_docs)
+                req_scores = (req_scores + s[idx]).astype(np.float32)
+
+        # --- optional side: union, double-accumulated sum, match counts ----
+        opt_docs = opt_scores = opt_counts = None
+        if should_evals:
+            all_docs = np.concatenate([d for d, _ in should_evals]) if should_evals else np.empty(0, dtype=np.int64)
+            opt_docs = np.unique(all_docs)
+            acc = np.zeros(opt_docs.size, dtype=np.float64)
+            cnt = np.zeros(opt_docs.size, dtype=np.int32)
+            for d, s in should_evals:
+                if d.size == 0:
+                    continue
+                idx = np.searchsorted(opt_docs, d)
+                np.add.at(acc, idx, s.astype(np.float64))
+                np.add.at(cnt, idx, 1)
+            opt_scores = acc.astype(np.float32)
+            opt_counts = cnt
+
+        # --- combine -------------------------------------------------------
+        if req_docs is not None:
+            docs, scores = req_docs, req_scores
+            if opt_docs is not None:
+                if msm > 0:
+                    keep = opt_counts >= msm
+                    strict_docs = opt_docs[keep]
+                    mask = np.isin(docs, strict_docs, assume_unique=True)
+                    docs, scores = docs[mask], scores[mask]
+                idx = np.searchsorted(opt_docs, docs)
+                valid = (idx < opt_docs.size) & (opt_docs[np.minimum(idx, opt_docs.size - 1)] == docs) if opt_docs.size else np.zeros(docs.size, bool)
+                add = np.zeros(docs.size, dtype=np.float32)
+                add[valid] = opt_scores[idx[valid]]
+                scores = (scores + add).astype(np.float32)  # ReqOptSumScorer f32 add
+        elif opt_docs is not None:
+            need = max(msm, 1)
+            keep = opt_counts >= need
+            docs, scores = opt_docs[keep], opt_scores[keep]
+        else:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+        for nq in nots:
+            nd, _ = self.evaluate(nq)
+            if nd.size and docs.size:
+                mask = ~np.isin(docs, nd, assume_unique=True)
+                docs, scores = docs[mask], scores[mask]
+
+        if q.boost != 1.0:
+            scores = (scores * np.float32(q.boost)).astype(np.float32)
+        return docs, scores
+
+    def _cost(self, q: Query) -> int:
+        if isinstance(q, TermQuery):
+            return self.stats["df"].get(q.term, 0)
+        return self.stats["max_doc"]
+
+    def top_k(self, q: Query, k: int, search_after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
+        """[(global docid, float32 score)] by (score desc, docid asc), length<=k."""
+        docs, scores = self.evaluate(q)
+        if search_after is not None:
+            a_score = np.float32(search_after[0])
+            a_doc = search_after[1] - self.reader.doc_base
+            mask = (scores < a_score) | ((scores == a_score) & (docs > a_doc))
+            docs, scores = docs[mask], scores[mask]
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [
+            (int(docs[i]) + self.reader.doc_base, float(scores[i])) for i in order
+        ]
+
+    def count(self, q: Query) -> int:
+        docs, _ = self.evaluate(q)
+        return int(docs.size)

@@ -1,0 +1,197 @@
+"""Search serving: actor-pool segment readers + driver-side TopDocs merge.
+
+Reference flow (SURVEY.md §3.3): open point-in-time view -> ONE global stats
+pass (idf/avgdl are index-global even though scoring is per-segment,
+/root/reference/src/Lucene.Net.Core/Search/IndexSearcher.cs:1001-1013) ->
+per-leaf scorers -> TopDocs.Merge with (score desc, docID asc) tie-break
+(/root/reference/src/Lucene.Net.Core/Search/TopDocs.cs:251-320,
+ /root/reference/src/Lucene.Net.Core/Search/HitQueue.cs:78-88).
+
+Here: SegmentGroupActor holds SegmentReaders (term dict in RAM, postings
+mmap'd) — load once per actor, reused across queries. The driver broadcasts
+(query, global stats, k), actors return per-segment top-k, the driver heap-
+merges. For batch evaluation of a query SET, `batch_search` amortizes one
+actor round-trip over many queries.
+
+At cluster scale the actor pool is sized to nodes x cores and each actor owns
+a disjoint group of segments; global stats are one small gather per query
+(term-dict lookups only), not a shuffle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import ray
+
+from ..query import Query
+from ..state.index import IndexMeta
+from ..state.segment import SegmentReader
+from .scorer import SegmentScorer, expand_multiterm, query_terms
+
+
+class _SegmentGroup:
+    """In-process group of segments (shared by local searcher and actors)."""
+
+    def __init__(self, seg_dirs: list[str]):
+        self.readers = [SegmentReader(d) for d in seg_dirs]
+
+    def term_stats(self, terms: list[str]) -> dict[str, list[int]]:
+        out = {}
+        for t in terms:
+            df = ttf = 0
+            for r in self.readers:
+                d, tt = r.term_stats(t)
+                df += d
+                ttf += tt
+            out[t] = [df, ttf]
+        return out
+
+    def expand(self, q: Query) -> list[tuple[str, float]]:
+        seen: dict[str, float] = {}
+        for r in self.readers:
+            for t, b in expand_multiterm(r, q):
+                seen.setdefault(t, b)
+        return sorted(seen.items())
+
+    def top_k(self, q: Query, stats: dict, k: int, search_after=None) -> list[tuple[int, float]]:
+        merged: list[tuple[int, float]] = []
+        for r in self.readers:
+            merged.extend(SegmentScorer(r, stats).top_k(q, k, search_after))
+        merged.sort(key=lambda h: (-h[1], h[0]))
+        return merged[:k]
+
+    def count(self, q: Query, stats: dict) -> int:
+        return sum(SegmentScorer(r, stats).count(q) for r in self.readers)
+
+    def scored_docs(self, q: Query, stats: dict) -> list[tuple[int, float]]:
+        """All matching (global docid, score) — for tests/oracles, not serving."""
+        out = []
+        for r in self.readers:
+            docs, scores = SegmentScorer(r, stats).evaluate(q)
+            out.extend(zip((docs + r.doc_base).tolist(), scores.tolist()))
+        return out
+
+
+SegmentGroupActor = ray.remote(_SegmentGroup)
+
+
+def merge_top_docs(per_shard: list[list[tuple[int, float]]], k: int) -> list[tuple[int, float]]:
+    """TopDocs.Merge: k-way merge by (score desc, global docID asc)."""
+    heap = []
+    for hits in per_shard:
+        for doc, score in hits:
+            heap.append((-np.float32(score), doc))
+    heapq.heapify(heap)
+    out = []
+    while heap and len(out) < k:
+        ns, doc = heapq.heappop(heap)
+        out.append((doc, float(np.float32(-ns))))
+    return out
+
+
+class Searcher:
+    """IndexSearcher analog. use_actors=False runs in-process (tests)."""
+
+    def __init__(self, index: IndexMeta | str, num_actors: int = 4, use_actors: bool = True):
+        self.index = index if isinstance(index, IndexMeta) else IndexMeta(index)
+        seg_dirs = self.index.segment_dirs
+        n = max(1, min(num_actors, len(seg_dirs)))
+        groups = [seg_dirs[i::n] for i in range(n)]
+        self.use_actors = use_actors
+        if use_actors:
+            self.groups = [SegmentGroupActor.remote(g) for g in groups]
+        else:
+            self.groups = [_SegmentGroup(g) for g in groups]
+
+    # --- the global stats pass (one term-dict gather per query) -----------
+    def _rewrite_and_stats(self, q: Query) -> tuple[Query, dict]:
+        from ..query import BooleanClause, BooleanQuery, FuzzyQuery, TermQuery
+
+        # fuzzy queries need a global expansion so every segment scores the
+        # same term set with the same boosts (TopTermsRewrite is searcher-level)
+        def rewrite(node: Query) -> Query:
+            if isinstance(node, FuzzyQuery):
+                if self.use_actors:
+                    per = ray.get([g.expand.remote(node) for g in self.groups])
+                else:
+                    per = [g.expand(node) for g in self.groups]
+                seen: dict[str, float] = {}
+                for lst in per:
+                    for t, b in lst:
+                        seen.setdefault(t, b)
+                top = sorted(seen.items(), key=lambda tb: (-tb[1], tb[0]))[: node.max_expansions]
+                return BooleanQuery(
+                    boost=node.boost,
+                    clauses=tuple(
+                        BooleanClause(TermQuery(field=node.field, term=t, boost=b), "SHOULD")
+                        for t, b in top
+                    ),
+                )
+            if isinstance(node, BooleanQuery):
+                return BooleanQuery(
+                    boost=node.boost,
+                    min_should_match=node.min_should_match,
+                    clauses=tuple(
+                        BooleanClause(rewrite(c.query), c.occur) for c in node.clauses
+                    ),
+                )
+            return node
+
+        q = rewrite(q)
+        terms = sorted(query_terms(q))
+        df: dict[str, int] = {t: 0 for t in terms}
+        if terms:
+            if self.use_actors:
+                per = ray.get([g.term_stats.remote(terms) for g in self.groups])
+            else:
+                per = [g.term_stats(terms) for g in self.groups]
+            for stats in per:
+                for t, (d, _tt) in stats.items():
+                    df[t] += d
+        stats = {"max_doc": self.index.max_doc, "sum_ttf": self.index.sum_ttf, "df": df}
+        return q, stats
+
+    def search(self, q: Query, k: int = 10, search_after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
+        q, stats = self._rewrite_and_stats(q)
+        if self.use_actors:
+            per = ray.get([g.top_k.remote(q, stats, k, search_after) for g in self.groups])
+        else:
+            per = [g.top_k(q, stats, k, search_after) for g in self.groups]
+        return merge_top_docs(per, k)
+
+    def count(self, q: Query) -> int:
+        q, stats = self._rewrite_and_stats(q)
+        if self.use_actors:
+            return sum(ray.get([g.count.remote(q, stats) for g in self.groups]))
+        return sum(g.count(q, stats) for g in self.groups)
+
+    def scored_docs(self, q: Query) -> list[tuple[int, float]]:
+        q, stats = self._rewrite_and_stats(q)
+        if self.use_actors:
+            per = ray.get([g.scored_docs.remote(q, stats) for g in self.groups])
+        else:
+            per = [g.scored_docs(q, stats) for g in self.groups]
+        out = [h for hits in per for h in hits]
+        out.sort(key=lambda h: h[0])
+        return out
+
+    def batch_search(self, queries: list[tuple[str, Query]], k: int = 10) -> dict[str, list[tuple[int, float]]]:
+        """Evaluate many queries with one stats gather + one actor round-trip each way."""
+        rewritten = []
+        for name, q in queries:
+            rq, stats = self._rewrite_and_stats(q)
+            rewritten.append((name, rq, stats))
+        out = {}
+        if self.use_actors:
+            futures = {
+                name: [g.top_k.remote(rq, stats, k, None) for g in self.groups]
+                for name, rq, stats in rewritten
+            }
+            for name, futs in futures.items():
+                out[name] = merge_top_docs(ray.get(futs), k)
+        else:
+            for name, rq, stats in rewritten:
+                out[name] = merge_top_docs([g.top_k(rq, stats, k, None) for g in self.groups], k)
+        return out

@@ -1,0 +1,277 @@
+"""Query model + classic-syntax parser subset.
+
+Query tree mirrors the reference's composable model (SURVEY.md §2.6):
+  TermQuery      /root/reference/src/Lucene.Net.Core/Search/TermQuery.cs:50
+  BooleanQuery   /root/reference/src/Lucene.Net.Core/Search/BooleanQuery.cs:118-132
+                 (MUST / SHOULD / MUST_NOT occurs + minNrShouldMatch)
+  PrefixQuery    /root/reference/src/Lucene.Net.Core/Search/PrefixQuery.cs:37
+  TermRangeQuery /root/reference/src/Lucene.Net.Core/Search/TermRangeQuery.cs:44
+  WildcardQuery  /root/reference/src/Lucene.Net.Core/Search/WildcardQuery.cs:45
+  FuzzyQuery     /root/reference/src/Lucene.Net.Core/Search/FuzzyQuery.cs:57
+  MatchAllDocsQuery, ConstantScoreQuery
+
+Parser covers the classic syntax subset (QueryParser/Classic/QueryParser.cs:112):
+terms, +must / -not prefixes, AND/OR/NOT, parentheses, field:term, te*t / te?t
+wildcards, prefix*, fuzzy~N, [a TO b] ranges, ^boost.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+MUST = "MUST"
+SHOULD = "SHOULD"
+MUST_NOT = "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class Query:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    field: str = "content"
+    term: str = ""
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: "Query"
+    occur: str = SHOULD  # MUST | SHOULD | MUST_NOT
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...] = ()
+    min_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    field: str = "content"
+    prefix: str = ""
+    max_expansions: int = 1024
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    field: str = "content"
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    max_expansions: int = 1024
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    field: str = "content"
+    pattern: str = ""  # * = any run, ? = one char
+    max_expansions: int = 1024
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    field: str = "content"
+    term: str = ""
+    max_edits: int = 2  # FuzzyQuery.cs:59 caps at 2
+    prefix_length: int = 0
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query = dc_field(default_factory=MatchAllDocsQuery)
+
+
+# ---------------------------------------------------------------------------
+# Classic-syntax parser subset
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
+        (?P<plus>\+) | (?P<minus>-) |
+        (?P<range>\[[^\]]*\ TO\ [^\]]*\]) |
+        (?P<atom>[^\s()+\-][^\s()]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def parse_query(s: str, default_field: str = "content", analyzer=None) -> Query:
+    """Parse the classic-syntax subset into a Query tree.
+
+    Bare multi-term input produces a BooleanQuery of SHOULD clauses (the
+    classic parser's default OR operator). The analyzer (default: standard)
+    is applied to term text, like QueryParserBase.GetFieldQuery.
+    """
+    from .functions.analysis import Analyzer
+
+    analyzer = analyzer or Analyzer()
+    tokens = _tokenize_query(s)
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else (None, None)
+
+    def advance():
+        t = tokens[pos[0]]
+        pos[0] += 1
+        return t
+
+    def parse_or():
+        left = parse_and()
+        while peek()[0] == "or":
+            advance()
+            right = parse_and()
+            left = _bool_join(left, right, SHOULD)
+        return left
+
+    def parse_and():
+        left = parse_unary()
+        while peek()[0] == "and":
+            advance()
+            right = parse_unary()
+            left = _bool_join(left, right, MUST)
+        return left
+
+    def parse_unary():
+        kind, _ = peek()
+        if kind == "not":
+            advance()
+            inner = parse_unary()
+            return BooleanQuery(
+                clauses=(
+                    BooleanClause(MatchAllDocsQuery(), MUST),
+                    BooleanClause(inner, MUST_NOT),
+                )
+            )
+        return parse_clause_seq()
+
+    def parse_clause_seq():
+        clauses: list[BooleanClause] = []
+        while True:
+            kind, text = peek()
+            if kind in (None, "rparen", "and", "or", "not"):
+                break
+            occur = SHOULD
+            if kind == "plus":
+                advance()
+                occur = MUST
+                kind, text = peek()
+            elif kind == "minus":
+                advance()
+                occur = MUST_NOT
+                kind, text = peek()
+            if kind == "lparen":
+                advance()
+                q = parse_or()
+                if peek()[0] != "rparen":
+                    raise QueryParseError("unbalanced parentheses")
+                advance()
+                q = _apply_boost_suffix(q)
+            elif kind in ("atom", "range"):
+                _, text = advance()
+                q = _parse_atom(text, default_field, analyzer)
+                if q is None:
+                    continue
+            else:
+                raise QueryParseError(f"unexpected token {kind}")
+            clauses.append(BooleanClause(q, occur))
+        if not clauses:
+            raise QueryParseError("empty query")
+        if len(clauses) == 1 and clauses[0].occur != MUST_NOT:
+            return clauses[0].query
+        return BooleanQuery(clauses=tuple(clauses))
+
+    def _apply_boost_suffix(q):
+        kind, text = peek()
+        if kind == "atom" and text.startswith("^"):
+            advance()
+            try:
+                return _with_boost(q, float(text[1:]))
+            except ValueError as e:
+                raise QueryParseError(f"bad boost {text}") from e
+        return q
+
+    q = parse_or()
+    if pos[0] != len(tokens):
+        raise QueryParseError(f"trailing input at token {pos[0]}")
+    return q
+
+
+def _tokenize_query(s: str) -> list[tuple[str, str]]:
+    out = []
+    i = 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m or m.end() == i:
+            if s[i].isspace():
+                i += 1
+                continue
+            raise QueryParseError(f"cannot lex query at {i}: {s[i:]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+def _parse_atom(text: str, default_field: str, analyzer) -> Query | None:
+    field = default_field
+    boost = 1.0
+    if "^" in text:
+        text, bs = text.rsplit("^", 1)
+        boost = float(bs)
+    if ":" in text:
+        field, text = text.split(":", 1)
+    if text.startswith("[") and text.endswith("]") and " TO " in text:
+        lo, hi = text[1:-1].split(" TO ")
+        lo = None if lo.strip() == "*" else lo.strip().lower()
+        hi = None if hi.strip() == "*" else hi.strip().lower()
+        return TermRangeQuery(boost=boost, field=field, lower=lo, upper=hi)
+    m = re.match(r"^(.*)~(\d*)$", text)
+    if m and m.group(1):
+        edits = int(m.group(2)) if m.group(2) else 2
+        return FuzzyQuery(boost=boost, field=field, term=m.group(1).lower(), max_edits=min(edits, 2))
+    if "*" in text or "?" in text:
+        if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
+            return PrefixQuery(boost=boost, field=field, prefix=text[:-1].lower())
+        return WildcardQuery(boost=boost, field=field, pattern=text.lower())
+    terms = analyzer(text)
+    if not terms:
+        return None
+    if len(terms) == 1:
+        return TermQuery(boost=boost, field=field, term=terms[0])
+    return BooleanQuery(
+        boost=boost,
+        clauses=tuple(BooleanClause(TermQuery(field=field, term=t), SHOULD) for t in terms),
+    )
+
+
+def _with_boost(q: Query, boost: float) -> Query:
+    import dataclasses
+
+    return dataclasses.replace(q, boost=boost)
+
+
+def _bool_join(left: Query, right: Query, occur: str) -> BooleanQuery:
+    def clauses_of(q):
+        if isinstance(q, BooleanQuery) and q.min_should_match == 0 and q.boost == 1.0:
+            if all(c.occur == occur for c in q.clauses):
+                return q.clauses
+        return (BooleanClause(q, occur),)
+
+    return BooleanQuery(clauses=clauses_of(left) + clauses_of(right))

@@ -1,0 +1,323 @@
+"""Immutable inverted-index segments: build, write, read.
+
+A segment is the unit of parallel index construction and of checkpoint/resume
+(reference analog: one flushed DWPT segment,
+/root/reference/src/Lucene.Net.Core/Index/DocumentsWriterPerThread.cs:509).
+
+On-disk layout (one directory per segment):
+  terms.parquet    term dict sorted in UTF-8 byte order (= Arrow string order):
+                   term, df, ttf, doc_off/doc_len, frq_off/frq_len and the
+                   per-128-doc block directory as list columns
+                   (last_doc, doc_boff, frq_boff, max_tf, min_normb)
+  postings.bin     concatenated per-term vByte doc-delta + freq streams
+  docs.parquet     one row per doc in local docID order: global doc_id, norm
+                   byte, field length, content sha256, stored id columns
+  meta.json        doc_base, doc_count, sum_ttf, term_count, lineage, metrics
+
+The inversion itself is vectorized: tokens are flattened across the batch,
+grouped/counted with pyarrow's C++ group_by, sorted by (term, doc), and all
+delta/vByte/block computations run over the whole segment's postings at once
+(numpy reduceat over per-term block boundaries) — no per-row Python in the hot
+path beyond tokenization (which is memoized per cluster).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import codec
+from ..functions.analysis import Analyzer
+from ..functions.norms import encode_norm_array
+
+BLOCK_SIZE = codec.BLOCK_SIZE
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def build_segment(
+    table: pa.Table,
+    *,
+    seg_id: int,
+    doc_base: int,
+    out_dir: str,
+    analyzer: Analyzer | None = None,
+    content_column: str = "content",
+    stored_columns: tuple[str, ...] = (),
+    lineage: dict | None = None,
+) -> dict:
+    """Tokenize + invert one partition of the corpus and write a segment.
+
+    Writes to ``{out_dir}/seg{seg_id:06d}`` via a temp dir + atomic rename, so
+    a crashed build never leaves a half-segment behind (two-phase-commit
+    analog of IndexWriter.Commit, reference IndexWriter.cs:3719-3777).
+    Returns the segment meta dict.
+    """
+    t0 = time.perf_counter()
+    analyzer = analyzer or Analyzer()
+    seg_name = f"seg{seg_id:06d}"
+    final_dir = os.path.join(out_dir, seg_name)
+    if os.path.exists(os.path.join(final_dir, "meta.json")):
+        with open(os.path.join(final_dir, "meta.json")) as f:
+            return json.load(f)  # resume: already committed
+    tmp_dir = final_dir + f".tmp{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    contents = table.column(content_column).to_pylist()
+    n_docs = len(contents)
+
+    # --- analysis ---------------------------------------------------------
+    token_lists = [analyzer(c) for c in contents]
+    field_lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+    sha = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in contents]
+    norms = encode_norm_array(field_lens)
+
+    # --- invert: (term, doc) -> tf via pyarrow group_by -------------------
+    flat_tokens = [tok for toks in token_lists for tok in toks]
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), field_lens)
+    if flat_tokens:
+        pairs = pa.table({"term": pa.array(flat_tokens, type=pa.string()), "doc": pa.array(doc_idx)})
+        counted = pairs.group_by(["term", "doc"]).aggregate([([], "count_all")])
+        counted = counted.sort_by([("term", "ascending"), ("doc", "ascending")])
+        terms_sorted = counted.column("term")
+        docs_sorted = counted.column("doc").to_numpy()
+        tfs_sorted = counted.column("count_all").to_numpy().astype(np.int64)
+    else:
+        terms_sorted = pa.chunked_array([pa.array([], type=pa.string())])
+        docs_sorted = np.empty(0, dtype=np.int64)
+        tfs_sorted = np.empty(0, dtype=np.int64)
+
+    # term boundaries via dictionary encoding of the sorted term column
+    term_dict = terms_sorted.combine_chunks().dictionary_encode()
+    if isinstance(term_dict, pa.ChunkedArray):
+        term_dict = term_dict.combine_chunks()
+    codes = term_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_terms = term_dict.dictionary  # in first-occurrence order == sorted order
+    n_post = codes.size
+    if n_post:
+        starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+    else:
+        starts = np.empty(0, dtype=np.int64)
+    ends = np.concatenate((starts[1:], [n_post])).astype(np.int64) if n_post else np.empty(0, dtype=np.int64)
+    n_terms = starts.size
+    df = (ends - starts).astype(np.int64)
+    ttf = np.add.reduceat(tfs_sorted, starts) if n_post else np.empty(0, dtype=np.int64)
+
+    # --- per-term delta gaps, computed globally ---------------------------
+    deltas = np.empty(n_post, dtype=np.int64)
+    if n_post:
+        deltas[1:] = docs_sorted[1:] - docs_sorted[:-1]
+        deltas[starts] = docs_sorted[starts]
+
+    doc_lens_b = codec.vbyte_lengths(deltas)
+    frq_lens_b = codec.vbyte_lengths(tfs_sorted)
+    doc_stream = codec.vbyte_encode(deltas)
+    frq_stream = codec.vbyte_encode(tfs_sorted)
+    doc_cum = np.concatenate(([0], np.cumsum(doc_lens_b)))
+    frq_cum = np.concatenate(([0], np.cumsum(frq_lens_b)))
+
+    # per-term stream extents (bytes)
+    term_doc_start_b = doc_cum[starts] if n_post else np.empty(0, dtype=np.int64)
+    term_doc_end_b = doc_cum[ends] if n_post else np.empty(0, dtype=np.int64)
+    term_frq_start_b = frq_cum[starts] if n_post else np.empty(0, dtype=np.int64)
+    term_frq_end_b = frq_cum[ends] if n_post else np.empty(0, dtype=np.int64)
+
+    # --- block directory: block starts every 128 postings within each term
+    nblocks_per_term = ((df + BLOCK_SIZE - 1) // BLOCK_SIZE).astype(np.int64)
+    blk_term = np.repeat(np.arange(n_terms, dtype=np.int64), nblocks_per_term)
+    total_blocks = int(nblocks_per_term.sum())
+    if total_blocks:
+        blk_offsets = np.concatenate(([0], np.cumsum(nblocks_per_term)))
+        # index of each block within its term
+        blk_in_term = np.arange(total_blocks, dtype=np.int64) - blk_offsets[blk_term]
+        blk_start = starts[blk_term] + blk_in_term * BLOCK_SIZE
+        blk_end = np.minimum(blk_start + BLOCK_SIZE, ends[blk_term])
+        blk_last_doc = docs_sorted[blk_end - 1]
+        blk_max_tf = np.maximum.reduceat(tfs_sorted, blk_start)
+        norm_by_post = norms[docs_sorted] if n_post else np.empty(0, dtype=np.uint8)
+        blk_min_normb = np.maximum.reduceat(norm_by_post, blk_start)
+        # byte offsets relative to the term's stream start
+        blk_doc_boff = doc_cum[blk_start] - term_doc_start_b[blk_term]
+        blk_frq_boff = frq_cum[blk_start] - term_frq_start_b[blk_term]
+    else:
+        blk_offsets = np.zeros(n_terms + 1, dtype=np.int64)
+        blk_last_doc = blk_max_tf = blk_doc_boff = blk_frq_boff = np.empty(0, dtype=np.int64)
+        blk_min_normb = np.empty(0, dtype=np.uint8)
+
+    # --- write postings.bin: [all doc streams][all frq streams] -----------
+    post_path = os.path.join(tmp_dir, "postings.bin")
+    doc_total = int(doc_cum[-1]) if n_post else 0
+    doc_off_abs = term_doc_start_b.astype(np.int64)
+    frq_off_abs = (doc_total + term_frq_start_b).astype(np.int64)
+    with open(post_path, "wb") as f:
+        f.write(doc_stream.tobytes())
+        f.write(frq_stream.tobytes())
+
+    # --- terms.parquet ----------------------------------------------------
+    list_off = blk_offsets.astype(np.int32)
+    terms_table = pa.table(
+        {
+            "term": uniq_terms,
+            "df": df.astype(np.int32),
+            "ttf": ttf,
+            "doc_off": doc_off_abs,
+            "doc_len": (term_doc_end_b - term_doc_start_b).astype(np.int64),
+            "frq_off": frq_off_abs,
+            "frq_len": (term_frq_end_b - term_frq_start_b).astype(np.int64),
+            "blk_last_doc": pa.ListArray.from_arrays(list_off, pa.array(blk_last_doc, type=pa.int64())),
+            "blk_doc_boff": pa.ListArray.from_arrays(list_off, pa.array(blk_doc_boff, type=pa.int64())),
+            "blk_frq_boff": pa.ListArray.from_arrays(list_off, pa.array(blk_frq_boff, type=pa.int64())),
+            "blk_max_tf": pa.ListArray.from_arrays(list_off, pa.array(blk_max_tf, type=pa.int64())),
+            "blk_min_normb": pa.ListArray.from_arrays(list_off, pa.array(blk_min_normb, type=pa.uint8())),
+        }
+    )
+    pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
+
+    # --- docs.parquet -----------------------------------------------------
+    docs_cols = {
+        "doc_id": pa.array(doc_base + np.arange(n_docs, dtype=np.int64)),
+        "norm": pa.array(norms, type=pa.uint8()),
+        "field_len": pa.array(field_lens.astype(np.int32)),
+        "sha256": pa.array(sha, type=pa.string()),
+    }
+    for col in stored_columns:
+        if col in table.column_names:
+            docs_cols[col] = table.column(col)
+    pq.write_table(pa.table(docs_cols), os.path.join(tmp_dir, "docs.parquet"))
+
+    meta = {
+        "seg_id": seg_id,
+        "name": seg_name,
+        "doc_base": int(doc_base),
+        "doc_count": int(n_docs),
+        "sum_ttf": int(field_lens.sum()),
+        "term_count": int(n_terms),
+        "postings": int(n_post),
+        "postings_bytes": int(doc_cum[-1] + frq_cum[-1]) if n_post else 0,
+        "lineage": lineage or {},
+        "metrics": {
+            "build_sec": round(time.perf_counter() - t0, 4),
+            "tokens": int(field_lens.sum()),
+        },
+        "analyzer": analyzer.config(),
+    }
+    _atomic_write_json(os.path.join(tmp_dir, "meta.json"), meta)
+    if os.path.exists(final_dir):  # lost a race with a retry of the same task
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    else:
+        os.replace(tmp_dir, final_dir)
+    return meta
+
+
+class SegmentReader:
+    """Read-side view of one segment: term dict in RAM, postings via mmap."""
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        with open(os.path.join(seg_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        t = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
+        self._terms = t.column("term").combine_chunks()
+        # numpy views for binary-search + posting access
+        self._term_np = np.asarray(self._terms.to_pylist(), dtype=object)
+        for col in ("df", "ttf", "doc_off", "doc_len", "frq_off", "frq_len"):
+            setattr(self, "_" + col, t.column(col).to_numpy())
+        self._blocks_tbl = t.select(
+            ["blk_last_doc", "blk_doc_boff", "blk_frq_boff", "blk_max_tf", "blk_min_normb"]
+        )
+        d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+        self.norms = d.column("norm").to_numpy()
+        self.doc_base = self.meta["doc_base"]
+        self.doc_count = self.meta["doc_count"]
+        self.sum_ttf = self.meta["sum_ttf"]
+        self._post = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r") \
+            if os.path.getsize(os.path.join(seg_dir, "postings.bin")) else np.empty(0, dtype=np.uint8)
+        self._docs_table = d
+
+    def term_index(self, term: str) -> int:
+        """Binary search the sorted term dict; -1 if absent."""
+        i = np.searchsorted(self._term_np, term)
+        if i < len(self._term_np) and self._term_np[i] == term:
+            return int(i)
+        return -1
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        """(df, ttf) of a term in this segment (0, 0 if absent)."""
+        i = self.term_index(term)
+        if i < 0:
+            return 0, 0
+        return int(self._df[i]), int(self._ttf[i])
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(local docids, tfs) for a term; empty arrays if absent."""
+        i = self.term_index(term)
+        if i < 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return self.postings_by_index(i)
+
+    def postings_by_index(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        do, dl = self._doc_off[i], self._doc_len[i]
+        fo, fl = self._frq_off[i], self._frq_len[i]
+        return codec.decode_postings(self._post[do : do + dl], self._post[fo : fo + fl])
+
+    def blocks(self, i: int) -> dict[str, np.ndarray]:
+        """Block directory arrays for term index i."""
+        row = self._blocks_tbl.slice(i, 1)
+        return {
+            "last_doc": np.asarray(row.column("blk_last_doc")[0].as_py(), dtype=np.int64),
+            "doc_boff": np.asarray(row.column("blk_doc_boff")[0].as_py(), dtype=np.int64),
+            "frq_boff": np.asarray(row.column("blk_frq_boff")[0].as_py(), dtype=np.int64),
+            "max_tf": np.asarray(row.column("blk_max_tf")[0].as_py(), dtype=np.int64),
+            "min_normb": np.asarray(row.column("blk_min_normb")[0].as_py(), dtype=np.uint8),
+        }
+
+    def postings_block_range(self, i: int, blk_lo: int, blk_hi: int, blocks: dict) -> tuple[np.ndarray, np.ndarray, int]:
+        """Decode only blocks [blk_lo, blk_hi) of term i.
+
+        Returns (docids, tfs, first_posting_index). The first delta of a
+        non-initial block is relative to the previous block's last doc.
+        """
+        do = self._doc_off[i]
+        fo = self._frq_off[i]
+        dl = self._doc_len[i]
+        fl = self._frq_len[i]
+        boffs = blocks["doc_boff"]
+        foffs = blocks["frq_boff"]
+        nb = boffs.size
+        dstart = boffs[blk_lo]
+        dend = boffs[blk_hi] if blk_hi < nb else dl
+        fstart = foffs[blk_lo]
+        fend = foffs[blk_hi] if blk_hi < nb else fl
+        docids, tfs = codec.decode_postings(
+            self._post[do + dstart : do + dend], self._post[fo + fstart : fo + fend]
+        )
+        if blk_lo > 0 and docids.size:
+            docids += blocks["last_doc"][blk_lo - 1]  # rebase: deltas continue from prev block's last doc
+        return docids, tfs, blk_lo * BLOCK_SIZE
+
+    @property
+    def terms(self) -> np.ndarray:
+        return self._term_np
+
+    @property
+    def df_array(self) -> np.ndarray:
+        return self._df
+
+    @property
+    def ttf_array(self) -> np.ndarray:
+        return self._ttf
