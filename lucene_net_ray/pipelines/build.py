@@ -30,53 +30,52 @@ from ..state.index import IndexMeta, write_index_manifest
 from ..state.segment import build_segment
 
 
-class BuildSegmentTask:
-    """map_batches callable: each input row describes one shard.
+def _build_segment_task(
+    batch: pa.Table,
+    *,
+    out_dir: str,
+    analyzer_kind: str,
+    content_column: str,
+    stored_columns: tuple[str, ...],
+) -> pa.Table:
+    """Stateless map_batches task: each input row describes one shard.
 
-    Stateless per call (partition-private builder state only), but expressed
-    as a class so the Analyzer (compiled regexes + cluster memo cache) is
-    constructed once per actor, not once per batch.
+    The build is partition-private (DWPT analog) so plain tasks beat an actor
+    pool here: no per-stage actor startup, and the tokenizer's module-level
+    cluster memo cache persists across tasks within a Ray worker process
+    anyway. Analyzer construction is microseconds.
     """
-
-    def __init__(self, out_dir: str, analyzer_kind: str, content_column: str, stored_columns: tuple[str, ...]):
-        self.out_dir = out_dir
-        self.analyzer = Analyzer(kind=analyzer_kind)
-        self.content_column = content_column
-        self.stored_columns = stored_columns
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        metas = []
-        for row in batch.to_pylist():
-            columns = None  # prune to needed columns only
-            needed = {self.content_column, *self.stored_columns}
-            columns = [c for c in needed]
-            tbl = read_shard(row, columns=columns)
-            meta = build_segment(
-                tbl,
-                seg_id=row["shard_id"],
-                doc_base=row["doc_base"],
-                out_dir=os.path.join(self.out_dir, "segments"),
-                analyzer=self.analyzer,
-                content_column=self.content_column,
-                stored_columns=self.stored_columns,
-                lineage={
-                    "path": row["path"],
-                    "row_groups": list(row["row_groups"]),
-                    "num_rows": row["num_rows"],
-                },
-            )
-            metas.append(
-                {
-                    "seg_id": meta["seg_id"],
-                    "doc_count": meta["doc_count"],
-                    "sum_ttf": meta["sum_ttf"],
-                    "term_count": meta["term_count"],
-                    "postings": meta["postings"],
-                    "postings_bytes": meta["postings_bytes"],
-                    "build_sec": meta["metrics"]["build_sec"],
-                }
-            )
-        return pa.Table.from_pylist(metas)
+    analyzer = Analyzer(kind=analyzer_kind)
+    metas = []
+    for row in batch.to_pylist():
+        needed = sorted({content_column, *stored_columns})  # prune at the read
+        tbl = read_shard(row, columns=needed)
+        meta = build_segment(
+            tbl,
+            seg_id=row["shard_id"],
+            doc_base=row["doc_base"],
+            out_dir=os.path.join(out_dir, "segments"),
+            analyzer=analyzer,
+            content_column=content_column,
+            stored_columns=stored_columns,
+            lineage={
+                "path": row["path"],
+                "row_groups": list(row["row_groups"]),
+                "num_rows": row["num_rows"],
+            },
+        )
+        metas.append(
+            {
+                "seg_id": meta["seg_id"],
+                "doc_count": meta["doc_count"],
+                "sum_ttf": meta["sum_ttf"],
+                "term_count": meta["term_count"],
+                "postings": meta["postings"],
+                "postings_bytes": meta["postings_bytes"],
+                "build_sec": meta["metrics"]["build_sec"],
+            }
+        )
+    return pa.Table.from_pylist(metas)
 
 
 def build_index(
@@ -96,19 +95,21 @@ def build_index(
     if not shards:
         raise ValueError(f"no parquet input under {input_path}")
 
-    ds = ray.data.from_items([s.to_row() for s in shards])
+    # one block per shard -> one build task per segment, scheduled/backpressured
+    # by the streaming executor; `concurrency` optionally caps in-flight tasks
+    ds = ray.data.from_items([s.to_row() for s in shards]).repartition(len(shards))
     seg_rows = ds.map_batches(
-        BuildSegmentTask,
-        fn_constructor_kwargs={
+        _build_segment_task,
+        fn_kwargs={
             "out_dir": out_dir,
             "analyzer_kind": analyzer_kind,
             "content_column": content_column,
             "stored_columns": tuple(stored_columns),
         },
-        batch_size=1,
+        batch_size=None,
         batch_format="pyarrow",
-        concurrency=concurrency or min(len(shards), 32),
         num_cpus=1,
+        **({"concurrency": concurrency} if concurrency else {}),
     ).take_all()
 
     seg_rows.sort(key=lambda r: r["seg_id"])
@@ -131,5 +132,8 @@ def build_index_from_table(table: pa.Table, out_dir: str, **kwargs) -> IndexMeta
 
     src = os.path.join(out_dir, "_corpus")
     os.makedirs(src, exist_ok=True)
-    pq.write_table(table, os.path.join(src, "corpus.parquet"))
+    # row groups sized to the segment target: shard planning is row-group
+    # granular, so a single huge row group would defeat target_rows_per_segment
+    rg = kwargs.get("target_rows_per_segment", 100_000)
+    pq.write_table(table, os.path.join(src, "corpus.parquet"), row_group_size=rg)
     return build_index(src, out_dir, **kwargs)

@@ -1,0 +1,104 @@
+"""Merge equivalence (SURVEY.md §5d): P-partition index + groupby(term) merge
+== 1-partition index — same stats, same postings, same query results."""
+
+import numpy as np
+import pytest
+
+from lucene_net_ray.oracle import OracleIndex
+from lucene_net_ray.pipelines.build import build_index_from_table
+from lucene_net_ray.pipelines.merge import (
+    MergedSearcher,
+    global_term_stats,
+    high_freq_terms,
+    merge_index,
+)
+from lucene_net_ray.pipelines.search import Searcher
+from lucene_net_ray.query import parse_query
+from lucene_net_ray.sources.corpus import generate_corpus
+from lucene_net_ray.state.checkindex import check_index
+from lucene_net_ray.state.index import IndexMeta
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    corpus = generate_corpus(300, seed=21)
+    oracle = OracleIndex(corpus.column("content").to_pylist())
+    idx = str(tmp_path_factory.mktemp("idx"))
+    build_index_from_table(corpus, idx, target_rows_per_segment=50)  # 6 segments
+    merged_dir = str(tmp_path_factory.mktemp("merged"))
+    merge_index(idx, merged_dir, bucket_size=2)  # force multi-chunk head terms
+    return IndexMeta(idx), merged_dir, oracle
+
+
+def test_check_index(setup):
+    meta, _, oracle = setup
+    totals = check_index(meta)
+    assert totals["docs"] == oracle.max_doc
+    assert totals["segments"] == 6
+
+
+def test_global_term_stats_match_oracle(setup):
+    meta, _, oracle = setup
+    stats = {r["term"]: (r["df"], r["ttf"]) for r in global_term_stats(meta).take_all()}
+    assert len(stats) == len(oracle.df)
+    for term, df in oracle.df.items():
+        assert stats[term][0] == df, term
+    ttf_oracle = {}
+    for docc in oracle.docs:
+        for t, tf in docc.items():
+            ttf_oracle[t] = ttf_oracle.get(t, 0) + tf
+    for term, (d, tt) in stats.items():
+        assert tt == ttf_oracle[term], term
+
+
+def test_high_freq_terms(setup):
+    meta, _, oracle = setup
+    top = high_freq_terms(meta, k=5).take_all()
+    expected = sorted(oracle.df.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["term"], r["df"]) for r in top] == expected
+
+
+def test_merged_head_terms_are_chunked(setup):
+    _, merged_dir, _ = setup
+    from lucene_net_ray.pipelines.merge import MergedIndexReader
+
+    r = MergedIndexReader(merged_dir)
+    lo, hi = r._row_range("public")
+    assert hi - lo >= 2  # sharded across buckets, never one reduce blob
+
+
+def test_merged_postings_equal_segmented(setup):
+    meta, merged_dir, oracle = setup
+    from lucene_net_ray.pipelines.merge import MergedIndexReader
+    from lucene_net_ray.state.segment import SegmentReader
+
+    mr = MergedIndexReader(merged_dir)
+    readers = [SegmentReader(d) for d in meta.segment_dirs]
+    for term in ["public", "query", "zyzzyva", "x86_64"]:
+        parts = []
+        for r in readers:
+            d, t = r.postings(term)
+            parts.append((d + r.doc_base, t))
+        seg_docs = np.concatenate([p[0] for p in parts])
+        seg_tfs = np.concatenate([p[1] for p in parts])
+        m_docs, m_tfs = mr.postings(term)
+        assert np.array_equal(m_docs, seg_docs), term
+        assert np.array_equal(m_tfs, seg_tfs), term
+        df, ttf = mr.term_stats(term)
+        assert df == oracle.df.get(term, 0)
+
+
+def test_merged_search_equals_oracle_and_segmented(setup):
+    meta, merged_dir, oracle = setup
+    seg_searcher = Searcher(meta, use_actors=False)
+    m = MergedSearcher(merged_dir)
+    for qs in ["public", "+public +query", "query token score", "+query -public", "zyzzyva"]:
+        q = parse_query(qs)
+        mh = m.search(q, k=10)
+        sh = seg_searcher.search(q, k=10)
+        oh = oracle.top_k(q, 10)
+        assert [d for d, _ in mh] == [d for d, _ in oh]
+        for (d1, s1), (d2, s2) in zip(mh, oh):
+            assert np.float32(s1) == np.float32(s2)
+        assert mh == sh
+        assert m.count(q) == oracle.count(q)
