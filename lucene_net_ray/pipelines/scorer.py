@@ -265,8 +265,29 @@ class SegmentScorer:
             return self.stats["df"].get(q.term, 0)
         return self.stats["max_doc"]
 
-    def top_k(self, q: Query, k: int, search_after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
-        """[(global docid, float32 score)] by (score desc, docid asc), length<=k."""
+    def top_k(
+        self,
+        q: Query,
+        k: int,
+        search_after: tuple[float, int] | None = None,
+        mode: str = "auto",
+    ) -> list[tuple[int, float]]:
+        """[(global docid, float32 score)] by (score desc, docid asc), length<=k.
+
+        mode: 'auto' uses block-max WAND for term/pure-disjunction queries
+        (result-preserving pruning), 'exhaustive' forces full evaluation,
+        'wand' forces WAND (error if the query shape is ineligible).
+        """
+        if mode in ("auto", "wand"):
+            from .wand import is_wand_eligible, wand_top_k
+
+            tw = is_wand_eligible(q) if hasattr(self.reader, "blocks") else None
+            if tw is not None:
+                weights = [(t, self._term_weight(t, boost)) for t, boost in tw]
+                hits = wand_top_k(self.reader, weights, self.cache, k, search_after)
+                return [(d + self.reader.doc_base, s) for d, s in hits]
+            if mode == "wand":
+                raise ValueError(f"query not WAND-eligible: {q!r}")
         docs, scores = self.evaluate(q)
         if search_after is not None:
             a_score = np.float32(search_after[0])
