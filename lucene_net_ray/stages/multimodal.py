@@ -1,0 +1,143 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The Ray-side plumbing — schema, actor-pool stages, batch sizing, output
+layout — is real and tested; the actual media decode is STUBBED because this
+container ships no image/audio libraries. ``DecodeStage`` tries to import
+PIL/soundfile and falls back to a clearly-marked deterministic fake decoder
+(or raises NotImplementedError with ``strict=True``). Swapping in a real
+decoder changes ONE method, not the pipeline.
+
+Design rules encoded here (for 100 TB media):
+  - payloads are `binary` columns; batch_size is SMALL (payload x batch x
+    concurrency must fit worker heap) — default 32
+  - decode/feature stages are actor pools (model/codec loaded once per actor
+    in __init__), `num_cpus` sized per stage
+  - outputs keep (content_id, modality, meta...) and drop payloads as early
+    as possible so only features flow downstream
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("content_id", pa.int64()),
+        ("modality", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("source_uri", pa.string()),
+    ]
+)
+
+
+def synthesize_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic fake media corpus (binary payloads derived from the seed)."""
+    rng = np.random.default_rng(seed)
+    modalities = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        m = modalities[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
+        rows.append(
+            {"content_id": i, "modality": m, "payload": payload, "source_uri": f"mem://{m}/{i}"}
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class DecodeStage:
+    """Actor-pool stage: binary payload -> typed metadata + feature vector.
+
+    Real decoders load once per actor in __init__ (the actor-pool contract);
+    the deterministic fake derives metadata from a payload hash so tests and
+    downstream plumbing are stable without media libs.
+    """
+
+    def __init__(self, feature_dim: int = 16, strict: bool = False):
+        self.feature_dim = feature_dim
+        self.strict = strict
+        self._pil = None
+        try:  # pragma: no cover - not installed in this container
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    "real media decode requires PIL/soundfile; install them or "
+                    "run with strict=False to use the deterministic fake decoder"
+                )
+
+    def _fake_decode(self, payload: bytes, modality: str) -> dict:
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        w = 64 + h[0] % 192
+        hgt = 64 + h[1] % 192
+        dur = round(0.5 + h[2] / 32.0, 3)
+        feat = (
+            np.frombuffer(hashlib.blake2b(payload, digest_size=self.feature_dim * 4).digest(), dtype=np.uint32)
+            .astype(np.float32)
+            / np.float32(2**32)
+        )
+        meta = {"width": w, "height": hgt} if modality == "image" else {"width": 0, "height": 0}
+        meta["duration_sec"] = 0.0 if modality == "image" else dur
+        meta["feature"] = feat.tolist()
+        return meta
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "content_id": batch.column("content_id"),
+            "modality": batch.column("modality"),
+            "source_uri": batch.column("source_uri"),
+        }
+        widths, heights, durs, feats, nbytes = [], [], [], [], []
+        for row in batch.to_pylist():
+            meta = self._fake_decode(row["payload"], row["modality"])
+            widths.append(meta["width"])
+            heights.append(meta["height"])
+            durs.append(meta["duration_sec"])
+            feats.append(meta["feature"])
+            nbytes.append(len(row["payload"]))
+        out.update(
+            {
+                "payload_bytes": pa.array(nbytes, type=pa.int64()),
+                "width": pa.array(widths, type=pa.int32()),
+                "height": pa.array(heights, type=pa.int32()),
+                "duration_sec": pa.array(durs, type=pa.float64()),
+                "feature": pa.array(feats, type=pa.list_(pa.float32())),
+            }
+        )
+        return pa.table(out)  # payload dropped here — only features flow on
+
+
+class ResizeStage:
+    """Actor-pool stage stub: image resize plan (real resize = PIL thumbnail)."""
+
+    def __init__(self, target: int = 224):
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy()
+        h = batch.column("height").to_numpy()
+        scale = np.where(
+            (w > 0) & (h > 0), self.target / np.maximum(w, h).astype(np.float64), 1.0
+        )
+        return batch.append_column("resize_scale", pa.array(np.round(scale, 6), type=pa.float64()))
+
+
+def media_feature_pipeline(
+    ds: ray.data.Dataset, *, concurrency=(1, 4), batch_size: int = 32, feature_dim: int = 16
+) -> ray.data.Dataset:
+    """payload -> decode (actor pool, small batches) -> resize plan."""
+    decoded = ds.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"feature_dim": feature_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,  # binary payloads: keep batches small
+        concurrency=concurrency,
+    )
+    return decoded.map_batches(
+        ResizeStage, batch_format="pyarrow", batch_size=256, concurrency=concurrency
+    )
