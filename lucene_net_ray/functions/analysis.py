@@ -187,6 +187,34 @@ def analyze_with_positions(
     return tokens, incrs
 
 
+@lru_cache(maxsize=1_000_000)
+def _analyze_cluster(
+    cluster: str, stop_words: frozenset[str], max_token_length: int
+) -> tuple[str, ...]:
+    """Fully-processed terms of one cluster (StandardFilter + lowercase + stop
+    + length cutoff), memoized — the whole filter chain runs once per distinct
+    cluster, so the indexing hot path is findall + dict hits + list extend."""
+    if len(cluster) == 1 and _CJ_RE.match(cluster):
+        return (cluster,)  # CJ single-char token, never a stopword
+    out = []
+    for tok, typ in _lex_cluster(cluster):
+        if typ == "<ACRONYM_DEP>":
+            tok, typ = tok[:-1], "<HOST>"
+        if len(tok) > max_token_length:
+            continue
+        term = _standard_filter(tok, typ).lower()
+        if term not in stop_words:
+            out.append(term)
+    return tuple(out)
+
+
+# plain-dict memo for the default analyzer config: dict.get is ~20x cheaper
+# than an lru_cache call, and this sits in the per-token hot path of every
+# index build (bounded; head clusters repeat massively in source code)
+_DEFAULT_CACHE: dict[str, tuple[str, ...]] = {}
+_DEFAULT_CACHE_MAX = 2_000_000
+
+
 def analyze(
     text: str,
     stop_words: frozenset[str] = ENGLISH_STOP_WORDS,
@@ -195,12 +223,19 @@ def analyze(
     """Final index terms of a document field; len(result) is the field length
     used for norm encoding (post-stop-filter kept-token count)."""
     tokens: list[str] = []
-    for tok, typ in tokenize_raw(text):
-        if len(tok) > max_token_length:
-            continue
-        term = _standard_filter(tok, typ).lower()
-        if term not in stop_words:
-            tokens.append(term)
+    if stop_words is ENGLISH_STOP_WORDS and max_token_length == DEFAULT_MAX_TOKEN_LENGTH:
+        cache_get = _DEFAULT_CACHE.get
+        extend = tokens.extend
+        for chunk in _CLUSTER_RE.findall(text):
+            terms = cache_get(chunk)
+            if terms is None:
+                terms = _analyze_cluster(chunk, stop_words, max_token_length)
+                if len(_DEFAULT_CACHE) < _DEFAULT_CACHE_MAX:
+                    _DEFAULT_CACHE[chunk] = terms
+            extend(terms)
+        return tokens
+    for chunk in _CLUSTER_RE.findall(text):
+        tokens.extend(_analyze_cluster(chunk, stop_words, max_token_length))
     return tokens
 
 

@@ -45,6 +45,11 @@ def _build_segment_task(
     cluster memo cache persists across tasks within a Ray worker process
     anyway. Analyzer construction is microseconds.
     """
+    # each task is scheduled at num_cpus=1 — pyarrow's default per-process
+    # thread pool (= all cores) would oversubscribe the node N-fold across
+    # concurrent tasks (measured 6-10x per-task slowdown); pin it to 1
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
     analyzer = Analyzer(kind=analyzer_kind)
     metas = []
     for row in batch.to_pylist():
@@ -96,8 +101,19 @@ def build_index(
         raise ValueError(f"no parquet input under {input_path}")
 
     # one block per shard -> one build task per segment, scheduled/backpressured
-    # by the streaming executor; `concurrency` optionally caps in-flight tasks
-    ds = ray.data.from_items([s.to_row() for s in shards]).repartition(len(shards))
+    # by the streaming executor; `concurrency` optionally caps in-flight tasks.
+    # Default cap: ~75% of cluster CPUs — raylet/object-store/driver processes
+    # need headroom, and full oversubscription measured 1.5-2x slower walls.
+    if concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        if cpus >= 16:
+            concurrency = max(8, cpus - 4)
+    # from_items already yields one block per shard descriptor -> one build
+    # task per segment; no repartition needed
+    ds = ray.data.from_items([s.to_row() for s in shards])
     seg_rows = ds.map_batches(
         _build_segment_task,
         fn_kwargs={

@@ -38,6 +38,9 @@ from ..query import (
 )
 from ..state.segment import SegmentReader
 
+# postings-size threshold above which auto mode switches to block-max WAND
+WAND_MIN_DF = 500_000
+
 
 def query_terms(q: Query) -> set[str]:
     """All literal terms referenced by a query tree (for the global stats pass)."""
@@ -283,10 +286,16 @@ class SegmentScorer:
 
             tw = is_wand_eligible(q) if hasattr(self.reader, "blocks") else None
             if tw is not None:
-                weights = [(t, self._term_weight(t, boost)) for t, boost in tw]
-                hits = wand_top_k(self.reader, weights, self.cache, k, search_after)
-                return [(d + self.reader.doc_base, s) for d, s in hits]
-            if mode == "wand":
+                # cost-based choice: vectorized exhaustive decode+score is a
+                # single numpy pass and beats the zone loop until posting
+                # lists are large; WAND's block skipping pays off when the
+                # candidate set dwarfs k (the 100TB head-term regime)
+                sum_df = sum(self.stats["df"].get(t, 0) for t, _ in tw)
+                if mode == "wand" or sum_df >= WAND_MIN_DF:
+                    weights = [(t, self._term_weight(t, boost)) for t, boost in tw]
+                    hits = wand_top_k(self.reader, weights, self.cache, k, search_after)
+                    return [(d + self.reader.doc_base, s) for d, s in hits]
+            elif mode == "wand":
                 raise ValueError(f"query not WAND-eligible: {q!r}")
         docs, scores = self.evaluate(q)
         if search_after is not None:

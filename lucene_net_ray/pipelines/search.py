@@ -100,6 +100,7 @@ class Searcher:
         n = max(1, min(num_actors, len(seg_dirs)))
         groups = [seg_dirs[i::n] for i in range(n)]
         self.use_actors = use_actors
+        self._df_cache: dict[str, int] = {}
         if use_actors:
             self.groups = [SegmentGroupActor.remote(g) for g in groups]
         else:
@@ -141,15 +142,18 @@ class Searcher:
 
         q = rewrite(q)
         terms = sorted(query_terms(q))
-        df: dict[str, int] = {t: 0 for t in terms}
-        if terms:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:  # the index is immutable: global df is cacheable forever
+            agg = {t: 0 for t in missing}
             if self.use_actors:
-                per = ray.get([g.term_stats.remote(terms) for g in self.groups])
+                per = ray.get([g.term_stats.remote(missing) for g in self.groups])
             else:
-                per = [g.term_stats(terms) for g in self.groups]
+                per = [g.term_stats(missing) for g in self.groups]
             for stats in per:
                 for t, (d, _tt) in stats.items():
-                    df[t] += d
+                    agg[t] += d
+            self._df_cache.update(agg)
+        df = {t: self._df_cache[t] for t in terms}
         stats = {"max_doc": self.index.max_doc, "sum_ttf": self.index.sum_ttf, "df": df}
         return q, stats
 

@@ -101,20 +101,30 @@ def wand_top_k(
                 zone_docs.append(d)
                 zone_scores.append(s)
             if zone_docs:
-                alld = np.concatenate(zone_docs)
-                alls = np.concatenate(zone_scores)
-                uniq = np.unique(alld)
-                acc = np.zeros(uniq.size, dtype=np.float64)
-                np.add.at(acc, np.searchsorted(uniq, alld), alls.astype(np.float64))
-                final = acc.astype(np.float32)
-                for d, s in zip(uniq.tolist(), final.tolist()):
-                    s32 = np.float32(s)
-                    if a_score is not None and not (s32 < a_score or (s32 == a_score and d > a_doc)):
-                        continue
+                if len(zone_docs) == 1:
+                    uniq, final = zone_docs[0], zone_scores[0]
+                else:
+                    alld = np.concatenate(zone_docs)
+                    alls = np.concatenate(zone_scores)
+                    uniq = np.unique(alld)
+                    acc = np.zeros(uniq.size, dtype=np.float64)
+                    np.add.at(acc, np.searchsorted(uniq, alld), alls.astype(np.float64))
+                    final = acc.astype(np.float32)
+                if a_score is not None:
+                    keep = (final < a_score) | ((final == a_score) & (uniq > a_doc))
+                    uniq, final = uniq[keep], final[keep]
+                if len(heap) >= k:
+                    # vectorized pre-filter: only strict improvements can enter
+                    # (equal-to-min never displaces: smaller docIDs came first)
+                    cand = np.flatnonzero(final > heap[0][0])
+                else:
+                    cand = np.arange(uniq.size)
+                for i in cand.tolist():
+                    item = (np.float32(final[i]), -int(uniq[i]))
                     if len(heap) < k:
-                        heapq.heappush(heap, (s32, -d))
-                    elif (s32, -d) > heap[0]:
-                        heapq.heapreplace(heap, (s32, -d))
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
         zone_lo = int(e) + 1
 
     out = [(-nd, float(s)) for s, nd in heap]

@@ -37,40 +37,42 @@ NORM_EDGE_LENGTHS = [1, 2, 3, 7, 8, 9, 100, 250, 255, 256, 1000]
 
 
 def generate_corpus(num_rows: int = 1000, seed: int = 7) -> pa.Table:
+    """Deterministic synthetic corpus; fully vectorized sampling (a per-row
+    Python loop took minutes at the multi-million-row bench scale)."""
     rng = np.random.default_rng(seed)
-    repos, paths, commits, langs, contents = [], [], [], [], []
     overlong = "x" * 300  # exceeds maxTokenLength 255 -> skipped by tokenizer
-    for i in range(num_rows):
-        lang = LANGS[int(rng.integers(0, len(LANGS)))]
-        repo = f"org{int(rng.integers(0, 20))}/proj{int(rng.integers(0, 10))}"
-        path = f"src/module{int(rng.integers(0, 50))}/File{i}.{EXTS[lang]}"
-        commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
-        if i < len(NORM_EDGE_LENGTHS):
-            # pinned-length docs across norm quantization boundaries
-            n = NORM_EDGE_LENGTHS[i]
-            words = ["public"] + [MID_WORDS[int(rng.integers(0, len(MID_WORDS)))] for _ in range(n - 1)]
-        else:
-            n = int(rng.integers(5, 120))
-            words = []
-            for _ in range(n):
-                r = rng.random()
-                if r < 0.35:
-                    words.append(HEAD_WORDS[int(rng.integers(0, len(HEAD_WORDS)))])
-                elif r < 0.60:
-                    words.append(MID_WORDS[int(rng.integers(0, len(MID_WORDS)))])
-                elif r < 0.72:
-                    words.append(STOPS[int(rng.integers(0, len(STOPS)))])
-                elif r < 0.82:
-                    words.append(SPECIAL[int(rng.integers(0, len(SPECIAL)))])
-                elif r < 0.84:
-                    words.append(overlong)
-                else:
-                    words.append(RARE_WORDS[int(rng.integers(0, len(RARE_WORDS)))])
-        repos.append(repo)
-        paths.append(path)
-        commits.append(commit)
-        langs.append(lang)
-        contents.append(" ".join(words))
+
+    lang_idx = rng.integers(0, len(LANGS), size=num_rows)
+    org = rng.integers(0, 20, size=num_rows)
+    proj = rng.integers(0, 10, size=num_rows)
+    module = rng.integers(0, 50, size=num_rows)
+    langs = [LANGS[i] for i in lang_idx]
+    repos = [f"org{o}/proj{p}" for o, p in zip(org, proj)]
+    paths = [f"src/module{m}/File{i}.{EXTS[l]}" for i, (m, l) in enumerate(zip(module, langs))]
+    commits = [hashlib.sha1(f"{r}:{p}".encode()).hexdigest() for r, p in zip(repos, paths)]
+
+    n_edge = min(len(NORM_EDGE_LENGTHS), num_rows)
+    lens = rng.integers(5, 120, size=num_rows)
+    lens[:n_edge] = NORM_EDGE_LENGTHS[:n_edge]
+
+    # one flat token draw for the whole corpus, then per-doc joins
+    total = int(lens.sum())
+    r = rng.random(total)
+    pick = rng.integers(0, 1 << 30, size=total)
+    vocab_lists = [HEAD_WORDS, MID_WORDS, STOPS, SPECIAL, [overlong], RARE_WORDS]
+    bounds = np.array([0.35, 0.60, 0.72, 0.82, 0.84, 1.01])
+    cat = np.searchsorted(bounds, r, side="right")
+    flat = np.empty(total, dtype=object)
+    for ci, words in enumerate(vocab_lists):
+        mask = cat == ci
+        flat[mask] = np.array(words, dtype=object)[pick[mask] % len(words)]
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    # pinned-length docs across norm quantization boundaries: head word + MIDs
+    for i in range(n_edge):
+        s, e = offs[i], offs[i + 1]
+        flat[s] = "public"
+        flat[s + 1 : e] = np.array(MID_WORDS, dtype=object)[pick[s + 1 : e] % len(MID_WORDS)]
+    contents = [" ".join(flat[offs[i] : offs[i + 1]]) for i in range(num_rows)]
     return pa.table(
         {"repo": repos, "path": paths, "commit": commits, "lang": langs, "content": contents}
     )

@@ -30,6 +30,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions import codec
@@ -76,37 +77,105 @@ def build_segment(
     tmp_dir = final_dir + f".tmp{os.getpid()}"
     os.makedirs(tmp_dir, exist_ok=True)
 
-    contents = table.column(content_column).to_pylist()
-    n_docs = len(contents)
+    content_arr = table.column(content_column)
+    if isinstance(content_arr, pa.ChunkedArray):
+        content_arr = content_arr.combine_chunks()
+    n_docs = len(content_arr)
 
-    # --- analysis ---------------------------------------------------------
-    token_lists = [analyzer(c) for c in contents]
-    field_lens = np.array([len(t) for t in token_lists], dtype=np.int64)
-    sha = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in contents]
+    # --- analysis + inversion, allocation-light ---------------------------
+    # Whitespace pre-split happens in Arrow (contiguous buffers); the Python
+    # analyzer touches only the UNIQUE whitespace tokens (dictionary-encoded,
+    # memoized across tasks), and everything per-occurrence is integer numpy.
+    # Tokens never span whitespace in the grammar, so analyzing per
+    # whitespace-token is exactly analyzing the document.
+    if analyzer.kind in ("standard", "whitespace", "simple") and n_docs:
+        ws = pc.utf8_split_whitespace(content_arr)
+        ws_counts = pc.list_value_length(ws).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_ws = pc.list_flatten(ws)
+        denc = flat_ws.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_ws = denc.dictionary.to_pylist()
+        # per-unique-token analysis -> CSR of term-ids
+        term_id: dict[str, int] = {}
+        uniq_vals: list[int] = []
+        uniq_offs = np.zeros(len(uniq_ws) + 1, dtype=np.int64)
+        for u_i, u in enumerate(uniq_ws):
+            for t in analyzer(u):
+                tid = term_id.setdefault(t, len(term_id))
+                uniq_vals.append(tid)
+            uniq_offs[u_i + 1] = len(uniq_vals)
+        uniq_vals_np = np.asarray(uniq_vals, dtype=np.int64)
+        uniq_lens = np.diff(uniq_offs)
+        # expand: per occurrence of unique token u, its term-id run
+        occ_lens = uniq_lens[idx]
+        occ_starts = uniq_offs[idx]
+        total_terms = int(occ_lens.sum())
+        # standard numpy range-expand idiom
+        cum = np.concatenate(([0], np.cumsum(occ_lens)[:-1]))
+        ids = np.arange(total_terms, dtype=np.int64) - np.repeat(cum, occ_lens)
+        flat_term_ids = uniq_vals_np[np.repeat(occ_starts, occ_lens) + ids]
+        doc_of_ws = np.repeat(np.arange(n_docs, dtype=np.int64), ws_counts)
+        flat_doc_idx = np.repeat(doc_of_ws, occ_lens)
+        field_lens = np.bincount(flat_doc_idx, minlength=n_docs).astype(np.int64)
+
+        # (term, doc) -> tf via one integer sort: key = term_id * n_docs + doc
+        n_terms_all = len(term_id)
+        if total_terms:
+            key = flat_term_ids * n_docs + flat_doc_idx
+            uniq_key, tfs_sorted = np.unique(key, return_counts=True)
+            tfs_sorted = tfs_sorted.astype(np.int64)
+            tid_sorted = uniq_key // n_docs
+            docs_sorted = uniq_key % n_docs
+        else:
+            uniq_key = np.empty(0, dtype=np.int64)
+            tfs_sorted = np.empty(0, dtype=np.int64)
+            tid_sorted = np.empty(0, dtype=np.int64)
+            docs_sorted = np.empty(0, dtype=np.int64)
+        # term ids were assigned in first-seen order; remap to UTF-8 order
+        id_to_term = np.empty(n_terms_all, dtype=object)
+        for t, i in term_id.items():
+            id_to_term[i] = t
+        sort_perm = np.argsort(id_to_term, kind="stable")  # python str order == UTF-8 byte order
+        rank_of_id = np.empty(n_terms_all, dtype=np.int64)
+        rank_of_id[sort_perm] = np.arange(n_terms_all)
+        ranked = rank_of_id[tid_sorted]
+        order = np.lexsort((docs_sorted, ranked))
+        codes = ranked[order]
+        docs_sorted = docs_sorted[order]
+        tfs_sorted = tfs_sorted[order]
+        uniq_terms = pa.array(id_to_term[sort_perm], type=pa.string())
+        n_post = codes.size
+    else:
+        contents = content_arr.to_pylist()
+        token_lists = [analyzer(c) for c in contents]
+        field_lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+        flat_tokens = [tok for toks in token_lists for tok in toks]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), field_lens)
+        if flat_tokens:
+            pairs = pa.table(
+                {"term": pa.array(flat_tokens, type=pa.string()), "doc": pa.array(doc_idx)}
+            )
+            counted = pairs.group_by(["term", "doc"]).aggregate([([], "count_all")])
+            counted = counted.sort_by([("term", "ascending"), ("doc", "ascending")])
+            term_dict = counted.column("term").combine_chunks().dictionary_encode()
+            if isinstance(term_dict, pa.ChunkedArray):
+                term_dict = term_dict.combine_chunks()
+            codes = term_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq_terms = term_dict.dictionary
+            docs_sorted = counted.column("doc").to_numpy()
+            tfs_sorted = counted.column("count_all").to_numpy().astype(np.int64)
+        else:
+            codes = np.empty(0, dtype=np.int64)
+            uniq_terms = pa.array([], type=pa.string())
+            docs_sorted = np.empty(0, dtype=np.int64)
+            tfs_sorted = np.empty(0, dtype=np.int64)
+        n_post = codes.size
+
+    sha = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in content_arr.to_pylist()]
     norms = encode_norm_array(field_lens)
 
-    # --- invert: (term, doc) -> tf via pyarrow group_by -------------------
-    flat_tokens = [tok for toks in token_lists for tok in toks]
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), field_lens)
-    if flat_tokens:
-        pairs = pa.table({"term": pa.array(flat_tokens, type=pa.string()), "doc": pa.array(doc_idx)})
-        counted = pairs.group_by(["term", "doc"]).aggregate([([], "count_all")])
-        counted = counted.sort_by([("term", "ascending"), ("doc", "ascending")])
-        terms_sorted = counted.column("term")
-        docs_sorted = counted.column("doc").to_numpy()
-        tfs_sorted = counted.column("count_all").to_numpy().astype(np.int64)
-    else:
-        terms_sorted = pa.chunked_array([pa.array([], type=pa.string())])
-        docs_sorted = np.empty(0, dtype=np.int64)
-        tfs_sorted = np.empty(0, dtype=np.int64)
-
-    # term boundaries via dictionary encoding of the sorted term column
-    term_dict = terms_sorted.combine_chunks().dictionary_encode()
-    if isinstance(term_dict, pa.ChunkedArray):
-        term_dict = term_dict.combine_chunks()
-    codes = term_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq_terms = term_dict.dictionary  # in first-occurrence order == sorted order
-    n_post = codes.size
     if n_post:
         starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
     else:
