@@ -208,6 +208,33 @@ def _analyze_cluster(
     return tuple(out)
 
 
+@lru_cache(maxsize=1_000_000)
+def _analyze_cluster_positions(
+    cluster: str, stop_words: frozenset[str], max_token_length: int
+) -> tuple[tuple[str, ...], tuple[int, ...], int]:
+    """(terms, relative_positions, positions_consumed) for one cluster.
+
+    Every raw tokenizer token consumes one position (stopwords and overlong
+    tokens included — their increments accumulate), so a kept term's position
+    is the index of its raw token. Needed for phrase/span scoring.
+    """
+    if len(cluster) == 1 and _CJ_RE.match(cluster):
+        return ((cluster,), (0,), 1)
+    terms: list[str] = []
+    rel: list[int] = []
+    pos = 0
+    for tok, typ in _lex_cluster(cluster):
+        if typ == "<ACRONYM_DEP>":
+            tok, typ = tok[:-1], "<HOST>"
+        if len(tok) <= max_token_length:
+            term = _standard_filter(tok, typ).lower()
+            if term not in stop_words:
+                terms.append(term)
+                rel.append(pos)
+        pos += 1
+    return tuple(terms), tuple(rel), pos
+
+
 # plain-dict memo for the default analyzer config: dict.get is ~20x cheaper
 # than an lru_cache call, and this sits in the per-token hot path of every
 # index build (bounded; head clusters repeat massively in source code)
@@ -267,6 +294,19 @@ class Analyzer:
         if self.kind == "simple":
             return [m.group().lower() for m in self._simple_re.finditer(text)]
         return [text]  # keyword
+
+    def analyze_positions(self, ws_token: str) -> tuple[tuple[str, ...], tuple[int, ...], int]:
+        """(terms, relative positions, positions consumed) for one
+        whitespace-delimited token — the position-aware unit of the fast
+        indexing path (every raw token consumes one position)."""
+        if self.kind == "standard":
+            return _analyze_cluster_positions(ws_token, self.stop_words, self.max_token_length)
+        if self.kind == "whitespace":
+            return (ws_token,), (0,), 1
+        if self.kind == "simple":
+            terms = tuple(m.group().lower() for m in self._simple_re.finditer(ws_token))
+            return terms, tuple(range(len(terms))), len(terms)
+        raise NotImplementedError(f"positions unsupported for analyzer kind {self.kind!r}")
 
     def config(self) -> dict:
         return {

@@ -20,8 +20,10 @@ from .functions.norms import encode_norm
 from .query import (
     BooleanQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    PhraseQuery,
     PrefixQuery,
     Query,
     TermQuery,
@@ -32,8 +34,20 @@ from .query import (
 
 class OracleIndex:
     def __init__(self, contents: list[str], analyzer: Analyzer | None = None, k1=1.2, b=0.75):
+        from .functions.analysis import analyze_with_positions
+
         analyzer = analyzer or Analyzer()
         self.docs = [Counter(analyzer(c)) for c in contents]
+        # term -> positions per doc (positions = cumulative increments - 1)
+        self.positions: list[dict[str, list[int]]] = []
+        for c in contents:
+            toks, incrs = analyze_with_positions(c)
+            pos_map: dict[str, list[int]] = {}
+            pos = -1
+            for t, inc in zip(toks, incrs):
+                pos += inc
+                pos_map.setdefault(t, []).append(pos)
+            self.positions.append(pos_map)
         self.lens = [sum(c.values()) for c in self.docs]
         self.norm_bytes = [encode_norm(n) for n in self.lens]
         self.max_doc = len(contents)
@@ -87,6 +101,33 @@ class OracleIndex:
                 if self.docs[doc].get(t, 0) > 0:
                     return np.float32(q.boost)
             return None
+        if isinstance(q, PhraseQuery):
+            qpos = q.term_positions()
+            pos_map = self.positions[doc]
+            sets = []
+            for t, p in zip(q.terms, qpos):
+                pl = pos_map.get(t)
+                if not pl:
+                    return None
+                sets.append({x - p for x in pl})
+            anchors = set.intersection(*sets)
+            freq = len(anchors)
+            if freq == 0:
+                return None
+            idf_sum = np.float32(0.0)
+            for t in q.terms:
+                idf_sum = np.float32(idf_sum + sim.idf(self.df[t], self.max_doc))
+            w = np.float32(np.float32(idf_sum * np.float32(q.boost)) * (self.k1 + np.float32(1.0)))
+            f32 = np.float32(freq)
+            return np.float32((w * f32) / (f32 + self.cache[self.norm_bytes[doc]]))
+        if isinstance(q, DisjunctionMaxQuery):
+            scores = [s for s in (self._eval(doc, d) for d in q.disjuncts) if s is not None]
+            if not scores:
+                return None
+            mx = max(scores)
+            total = np.float32(float(np.sum(np.array(scores, dtype=np.float64))))
+            out = np.float32(mx + np.float32(q.tie_breaker) * np.float32(total - mx))
+            return np.float32(out * np.float32(q.boost)) if q.boost != 1.0 else out
         if isinstance(q, FuzzyQuery):
             raise NotImplementedError("fuzzy handled via engine-level rewrite in tests")
         if isinstance(q, BooleanQuery):

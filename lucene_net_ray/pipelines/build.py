@@ -37,6 +37,7 @@ def _build_segment_task(
     analyzer_kind: str,
     content_column: str,
     stored_columns: tuple[str, ...],
+    index_options: str = "freqs",
 ) -> pa.Table:
     """Stateless map_batches task: each input row describes one shard.
 
@@ -63,6 +64,7 @@ def _build_segment_task(
             analyzer=analyzer,
             content_column=content_column,
             stored_columns=stored_columns,
+            index_options=index_options,
             lineage={
                 "path": row["path"],
                 "row_groups": list(row["row_groups"]),
@@ -92,6 +94,7 @@ def build_index(
     analyzer_kind: str = "standard",
     target_rows_per_segment: int = 100_000,
     concurrency: int | None = None,
+    index_options: str = "freqs",
 ) -> IndexMeta:
     """Build (or resume) an index from a Parquet corpus. Returns IndexMeta."""
     t0 = time.perf_counter()
@@ -121,6 +124,7 @@ def build_index(
             "analyzer_kind": analyzer_kind,
             "content_column": content_column,
             "stored_columns": tuple(stored_columns),
+            "index_options": index_options,
         },
         batch_size=None,
         batch_format="pyarrow",
@@ -131,6 +135,7 @@ def build_index(
     seg_rows.sort(key=lambda r: r["seg_id"])
     manifest = {
         "version": 1,
+        "index_options": index_options,
         "analyzer": Analyzer(kind=analyzer_kind).config(),
         "content_column": content_column,
         "segments": seg_rows,

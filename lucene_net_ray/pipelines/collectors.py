@@ -1,0 +1,235 @@
+"""Collector-side operators beyond plain top-k-by-score (SURVEY.md §2.7).
+
+  search_sorted     TopFieldCollector + Sort/SortField analog: top-k matching
+                    docs ordered by stored doc-values columns
+                    (/root/reference/src/Lucene.Net.Core/Search/TopFieldCollector.cs:36)
+  facet_counts      FacetsCollector + counts analog: per-value doc counts of
+                    matching docs (/root/reference/src/Lucene.Net.Facet/FacetsCollector.cs:34)
+  group_top_k       two-pass grouping analog: top groups by best hit, top docs
+                    per group (/root/reference/src/Lucene.Net.Grouping/GroupingSearch.cs:17)
+  more_like_this    top tf-idf terms of a text -> SHOULD query
+                    (/root/reference/src/Lucene.Net.Queries/Mlt/MoreLikeThis.cs:127)
+  common_terms_query high-df terms demoted to an optional low-boost subquery
+                    (/root/reference/src/Lucene.Net.Queries/CommonTermsQuery.cs:56)
+  suggest_terms     DirectSpellChecker analog: nearest terms by edit distance
+                    then df (/root/reference/src/Lucene.Net.Suggest/Spell/DirectSpellChecker.cs)
+  MemoryIndex       single-document in-RAM index for percolation
+                    (/root/reference/src/Lucene.Net.Memory/MemoryIndex.cs:162)
+  FieldRangeFilter / FilteredQuery  numeric/text predicate over the docs table
+                    ANDed into scoring (Filter -> DocIdSet analog; the
+                    idiomatic Ray/Arrow replacement for trie-encoded
+                    NumericRangeQuery per SURVEY.md §2.6)
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from collections import Counter, defaultdict
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..functions import similarity as sim
+from ..functions.analysis import Analyzer
+from ..query import BooleanClause, BooleanQuery, FieldRangeFilter, FilteredQuery, Query, TermQuery
+from .scorer import SegmentScorer
+from .search import Searcher
+
+
+# ---------------------------------------------------------------------------
+# sorted search / facets / grouping (driver-side merges over per-segment work)
+# ---------------------------------------------------------------------------
+
+def _matching_with_fields(searcher: Searcher, q: Query, fields: list[str]):
+    """Yield (global docids, {field: values}, scores) per segment (local path)."""
+    q, stats = searcher._rewrite_and_stats(q)
+    for group in searcher.groups:
+        readers = group.readers if hasattr(group, "readers") else None
+        if readers is None:
+            raise ValueError("sorted search currently requires use_actors=False")
+        for r in readers:
+            scorer = SegmentScorer(r, stats)
+            docs, scores = scorer.evaluate(q)
+            if docs.size == 0:
+                continue
+            tbl = pq.read_table(os.path.join(r.seg_dir, "docs.parquet"), columns=fields)
+            vals = {f: tbl.column(f).to_numpy(zero_copy_only=False)[docs] for f in fields}
+            yield docs + r.doc_base, vals, scores
+
+
+def search_sorted(
+    searcher: Searcher,
+    q: Query,
+    sort_fields: list[tuple[str, bool]],  # (field, descending)
+    k: int = 10,
+) -> list[dict]:
+    """Top-k matching docs by stored-field sort; docID breaks ties (SortField
+    semantics with the implicit final doc order)."""
+    fields = [f for f, _ in sort_fields]
+    rows: list[tuple] = []
+    for gids, vals, _scores in _matching_with_fields(searcher, q, fields):
+        all_numeric = all(np.issubdtype(vals[f].dtype, np.number) for f in fields)
+        if all_numeric:
+            # safe per-segment pre-truncation before the driver merge
+            keys = [(-vals[f] if desc else vals[f]) for f, desc in sort_fields]
+            order = np.lexsort((gids, *reversed(keys)))[:k]
+        else:
+            order = np.arange(gids.size)  # string desc: defer ordering to merge
+        for i in order:
+            rows.append((tuple(vals[f][i] for f in fields), int(gids[i])))
+    # driver merge: python tuple sort honoring desc flags
+    def sort_key(row):
+        key_vals, gid = row
+        out = []
+        for (f, desc), v in zip(sort_fields, key_vals):
+            if isinstance(v, (int, float, np.number)):
+                out.append(-v if desc else v)
+            else:
+                out.append(_NegStr(v) if desc else v)
+        out.append(gid)
+        return tuple(out)
+
+    rows.sort(key=sort_key)
+    return [
+        {"doc_id": gid, **{f: _pyval(v) for f, v in zip(fields, key_vals)}}
+        for key_vals, gid in rows[:k]
+    ]
+
+
+class _NegStr(str):
+    def __lt__(self, other):
+        return str.__gt__(self, other)
+
+
+def _pyval(v):
+    return v.item() if isinstance(v, np.generic) else v
+
+
+def facet_counts(searcher: Searcher, q: Query, field: str) -> dict[str, int]:
+    """Doc counts per facet value among matching docs."""
+    out: Counter = Counter()
+    for _gids, vals, _scores in _matching_with_fields(searcher, q, [field]):
+        out.update(Counter(vals[field].tolist()))
+    return dict(out)
+
+
+def group_top_k(
+    searcher: Searcher, q: Query, group_field: str, k_groups: int = 10, k_per_group: int = 2
+) -> list[dict]:
+    """Top groups by their best hit's (score, docid), top docs per group."""
+    groups: dict = defaultdict(list)
+    for gids, vals, scores in _matching_with_fields(searcher, q, [group_field]):
+        for gid, v, s in zip(gids.tolist(), vals[group_field].tolist(), scores.tolist()):
+            groups[v].append((np.float32(s), gid))
+    ranked = []
+    for v, hits in groups.items():
+        hits.sort(key=lambda h: (-h[0], h[1]))
+        ranked.append((v, hits[:k_per_group]))
+    ranked.sort(key=lambda g: (-g[1][0][0], g[1][0][1]))
+    return [
+        {
+            "group": _pyval(v),
+            "hits": [{"doc_id": d, "score": float(s)} for s, d in hits],
+        }
+        for v, hits in ranked[:k_groups]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# query-building utilities
+# ---------------------------------------------------------------------------
+
+def more_like_this(
+    searcher: Searcher,
+    text: str,
+    *,
+    max_query_terms: int = 25,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 1,
+    field: str = "content",
+    analyzer: Analyzer | None = None,
+) -> Query:
+    """Extract the text's top tf-idf terms and build a SHOULD query."""
+    analyzer = analyzer or Analyzer()
+    tf = Counter(analyzer(text))
+    terms = [t for t, f in tf.items() if f >= min_term_freq]
+    # one stats gather for all candidate terms
+    df = searcher._stats_for_terms(terms)
+    n = searcher.index.max_doc
+    scored = []
+    for t in terms:
+        d = df.get(t, 0)
+        if d < min_doc_freq or d == 0:
+            continue
+        scored.append((float(sim.idf(d, n)) * tf[t], t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    top = [t for _, t in scored[:max_query_terms]]
+    return BooleanQuery(
+        clauses=tuple(BooleanClause(TermQuery(field=field, term=t), "SHOULD") for t in top)
+    )
+
+
+def common_terms_query(
+    searcher: Searcher,
+    terms: list[str],
+    *,
+    max_term_frequency: float = 0.01,
+    high_freq_boost: float = 1.0,
+    field: str = "content",
+) -> Query:
+    """CommonTermsQuery rewrite: low-df terms MUST-ish (SHOULD main clause),
+    high-df terms demoted to a separate optional subquery."""
+    df = searcher._stats_for_terms(terms)
+    n = max(searcher.index.max_doc, 1)
+    low = [t for t in terms if df.get(t, 0) / n <= max_term_frequency]
+    high = [t for t in terms if t not in low]
+    clauses = [BooleanClause(TermQuery(field=field, term=t), "SHOULD") for t in low]
+    if high:
+        sub = BooleanQuery(
+            boost=high_freq_boost,
+            clauses=tuple(BooleanClause(TermQuery(field=field, term=t), "SHOULD") for t in high),
+        )
+        clauses.append(BooleanClause(sub, "SHOULD"))
+    return BooleanQuery(clauses=tuple(clauses))
+
+
+def suggest_terms(
+    searcher: Searcher, term: str, *, max_edits: int = 2, k: int = 5
+) -> list[tuple[str, int, int]]:
+    """[(term, edit_distance, global df)] nearest dictionary terms
+    (DirectSpellChecker analog, ranked by distance then df desc)."""
+    from ..query import FuzzyQuery
+    from .scorer import expand_multiterm
+    from .scorer import _edit_distance_capped as ed
+
+    fq = FuzzyQuery(term=term, max_edits=max_edits, max_expansions=1000)
+    cands: set[str] = set()
+    for group in searcher.groups:
+        readers = group.readers if hasattr(group, "readers") else []
+        for r in readers:
+            cands.update(t for t, _ in expand_multiterm(r, fq))
+    df = searcher._stats_for_terms(sorted(cands))
+    ranked = sorted(
+        ((t, ed(term, t, max_edits), df.get(t, 0)) for t in cands if t != term),
+        key=lambda x: (x[1], -x[2], x[0]),
+    )
+    return ranked[:k]
+
+
+class MemoryIndex:
+    """Single-document in-RAM index: percolate queries against one doc.
+
+    Collection stats are the document itself (maxDoc=1), like the reference's
+    MemoryIndex. ``score(query) > 0`` means the doc matches.
+    """
+
+    def __init__(self, text: str, analyzer: Analyzer | None = None):
+        from ..oracle import OracleIndex
+
+        self._oracle = OracleIndex([text], analyzer=analyzer)
+
+    def score(self, q: Query) -> float:
+        s = self._oracle._eval(0, q)
+        return float(s) if s is not None else 0.0

@@ -41,6 +41,7 @@ TERM = "merge"
 OR_TERMS = ("merge", "spark", "window")
 AND_TERMS = ("merge", "spark")
 MSM_TERMS = ("merge", "spark", "window", "vector")
+PHRASE_TERMS = ("merge", "spark")
 TOPK = 10
 
 _TOKS_CTE = (
@@ -61,15 +62,16 @@ def _index_for(sf_dir: str) -> tuple[IndexMeta, np.ndarray]:
     from .build import build_index
 
     slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    out = os.path.join("/tmp", "lnr_index_cache", slug)
+    out = os.path.join("/tmp", "lnr_index_cache2", slug)
     os.makedirs(out, exist_ok=True)
     if not os.path.exists(os.path.join(out, "manifest.json")):
         build_index(
             os.path.join(sf_dir, "documents.parquet"),
             out,
             content_column="text",
-            stored_columns=("doc_id",),
+            stored_columns=("doc_id", "lang", "n_chars"),
             target_rows_per_segment=2000,
+            index_options="positions",
         )
     meta = IndexMeta(out)
     parts = []
@@ -115,7 +117,12 @@ def _bm25_f64(meta: IndexMeta, orig: np.ndarray, terms: list[str]) -> dict[str, 
 
 
 def _topk_frame(scores: dict[int, float], k: int = TOPK) -> pd.DataFrame:
-    items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    # rank by the ROUNDED score: raw f64 sums differ between numpy and DuckDB
+    # in the last ulps (summation order / parallel aggregation), which would
+    # flip ranks of near-ties
+    items = sorted(
+        scores.items(), key=lambda kv: (-(math.floor(kv[1] * 1e4 + 0.5) / 1e4), kv[0])
+    )[:k]
     return pd.DataFrame(
         {
             "rank": np.arange(1, len(items) + 1, dtype=np.int64),
@@ -165,9 +172,87 @@ scored AS (
   {sel_where}
   GROUP BY tfs.doc_id
 )
-SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+SELECT CAST(row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, ROUND(score, 4) AS score
-FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+FROM scored ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _phrase_rank_sql(terms: tuple[str, ...], k: int = TOPK) -> str:
+    """Exact phrase BM25 SQL: phrase freq = adjacent raw-token runs (positions
+    equal raw indices for this corpus: every raw token is kept or a stopword,
+    each consuming one position), weight = sum of per-term idfs."""
+    buckets = length_bucket_table(1_000_000)
+    bucket_rows = ", ".join(f"({lo}, {hi}, {float(NORM_TABLE[b])!r})" for lo, hi, b in buckets)
+    tl = ", ".join(f"'{t}'" for t in terms)
+    adj = " AND ".join(f"ts[i + {i}] = '{t}'" for i, t in enumerate(terms))
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) AS sum_ttf
+),
+buckets(lo, hi, dl_dec) AS (VALUES {bucket_rows}),
+dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks WHERE tok IN ({tl}) GROUP BY tok),
+idfsum AS (
+  SELECT sum(ln(1 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5))) AS w
+  FROM dfs
+),
+raw AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),
+freqs AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, len(ts) - {len(terms) - 1}), i -> {adj})) AS freq
+  FROM raw WHERE len(ts) >= {len(terms)}
+),
+scored AS (
+  SELECT f.doc_id,
+         (SELECT w FROM idfsum) * 2.2 * f.freq
+         / (f.freq + 1.2 * ((1 - 0.75) + 0.75 * b.dl_dec
+              / ((SELECT sum_ttf FROM stats) * 1.0 / (SELECT n_docs FROM stats)))) AS score
+  FROM freqs f
+  JOIN dl ON dl.doc_id = f.doc_id
+  JOIN buckets b ON dl.n_terms BETWEEN b.lo AND b.hi
+  WHERE f.freq > 0 AND (SELECT count(*) FROM dfs) = {len(terms)}
+)
+SELECT CAST(row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, ROUND(score, 4) AS score
+FROM scored ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _dismax_rank_sql(terms: tuple[str, ...], tie: float, k: int = TOPK) -> str:
+    buckets = length_bucket_table(1_000_000)
+    bucket_rows = ", ".join(f"({lo}, {hi}, {float(NORM_TABLE[b])!r})" for lo, hi, b in buckets)
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) AS sum_ttf
+),
+buckets(lo, hi, dl_dec) AS (VALUES {bucket_rows}),
+tfs AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok IN ({tl}) GROUP BY doc_id, tok),
+dfs AS (SELECT tok, count(*) AS df FROM tfs GROUP BY tok),
+per_term AS (
+  SELECT tfs.doc_id,
+         ln(1 + ((SELECT n_docs FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5))
+         * 2.2 * tfs.tf
+         / (tfs.tf + 1.2 * ((1 - 0.75) + 0.75 * b.dl_dec
+              / ((SELECT sum_ttf FROM stats) * 1.0 / (SELECT n_docs FROM stats)))) AS s
+  FROM tfs
+  JOIN dl ON dl.doc_id = tfs.doc_id
+  JOIN dfs ON dfs.tok = tfs.tok
+  JOIN buckets b ON dl.n_terms BETWEEN b.lo AND b.hi
+),
+scored AS (
+  SELECT doc_id, max(s) + {tie} * (sum(s) - max(s)) AS score
+  FROM per_term GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, ROUND(score, 4) AS score
+FROM scored ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -258,6 +343,61 @@ def q_bm25_msm_topk(sf_dir: str):
             total[d] += s
     total = {d: s for d, s in total.items() if count[d] >= 2}
     return _topk_frame(total)
+
+
+def q_phrase_topk(sf_dir: str):
+    """Exact phrase BM25 top-k: phrase frequency from the index's position
+    streams, arithmetic in f64 (idf-sum weight) mirroring the SQL oracle."""
+    meta, orig = _index_for(sf_dir)
+    readers = [SegmentReader(d) for d in meta.segment_dirs]
+    n_docs = meta.max_doc
+    avgdl = meta.sum_ttf * 1.0 / n_docs
+    terms = list(PHRASE_TERMS)
+    dfs = {t: sum(r.term_stats(t)[0] for r in readers) for t in terms}
+    if any(dfs[t] == 0 for t in terms):
+        return _topk_frame({})
+    idf_sum = sum(math.log(1 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in terms)
+    scores: dict[int, float] = {}
+    SHIFT = np.int64(1) << np.int64(32)
+    for r in readers:
+        keysets = []
+        ok = True
+        for i, t in enumerate(terms):
+            docids, tfs, flat, _occ = r.positions(t)
+            if docids.size == 0:
+                ok = False
+                break
+            keysets.append(np.repeat(docids, tfs) * SHIFT + (flat - i + len(terms)))
+        if not ok:
+            continue
+        common = keysets[0]
+        for ks in keysets[1:]:
+            common = np.intersect1d(common, ks, assume_unique=True)
+        if common.size == 0:
+            continue
+        docs, freqs = np.unique(common // SHIFT, return_counts=True)
+        dl_dec = NORM_TABLE[r.norms[docs]].astype(np.float64)
+        cache = 1.2 * ((1 - 0.75) + 0.75 * dl_dec / avgdl)
+        s = idf_sum * 2.2 * freqs.astype(np.float64) / (freqs + cache)
+        for g, sc in zip((docs + r.doc_base).tolist(), s.tolist()):
+            scores[int(orig[g])] = sc
+    return _topk_frame(scores)
+
+
+def q_dismax_topk(sf_dir: str):
+    """DisjunctionMax over term scores: max + tie*(sum-max), f64 arithmetic."""
+    meta, orig = _index_for(sf_dir)
+    per_term = _bm25_f64(meta, orig, list(OR_TERMS))
+    tie = 0.3
+    total: dict[int, float] = defaultdict(float)
+    best: dict[int, float] = defaultdict(lambda: -1e300)
+    for t in OR_TERMS:
+        for d, s in per_term[t].items():
+            total[d] += s
+            if s > best[d]:
+                best[d] = s
+    scores = {d: best[d] + tie * (total[d] - best[d]) for d in total}
+    return _topk_frame(scores)
 
 
 def q_bool_not_count(sf_dir: str):
@@ -398,6 +538,8 @@ QUERIES = {
     "bm25_or_topk": q_bm25_or_topk,
     "bm25_and_topk": q_bm25_and_topk,
     "bm25_msm_topk": q_bm25_msm_topk,
+    "phrase_topk": q_phrase_topk,
+    "dismax_topk": q_dismax_topk,
     "bool_not_count": q_bool_not_count,
     "prefix_doc_count": q_prefix_doc_count,
     "facet_lang_counts": q_facet_lang_counts,
@@ -461,6 +603,8 @@ FROM toks WHERE tok >= 'k' AND tok < 's' GROUP BY tok ORDER BY term
         "bm25_or_topk": _bm25_rank_sql(OR_TERMS),
         "bm25_and_topk": _bm25_rank_sql(AND_TERMS, having="= 2"),
         "bm25_msm_topk": _bm25_rank_sql(MSM_TERMS, having=">= 2"),
+        "phrase_topk": _phrase_rank_sql(PHRASE_TERMS),
+        "dismax_topk": _dismax_rank_sql(OR_TERMS, tie=0.3),
         "bool_not_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(*) AS n FROM (

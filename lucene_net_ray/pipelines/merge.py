@@ -53,7 +53,8 @@ def _segment_term_rows(batch: pa.Table, *, with_blobs: bool, bucket_size: int = 
         }
         if with_blobs:
             post = r._post
-            doc_blobs, frq_blobs = [], []
+            has_pos = r.has_positions
+            doc_blobs, frq_blobs, pos_blobs = [], [], []
             first_docs = np.empty(n, dtype=np.int64)
             last_docs = np.empty(n, dtype=np.int64)
             tbl = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
@@ -67,6 +68,11 @@ def _segment_term_rows(batch: pa.Table, *, with_blobs: bool, bucket_size: int = 
                 fo, fl = r._frq_off[i], r._frq_len[i]
                 doc_blobs.append(post[do : do + dl].tobytes())
                 frq_blobs.append(post[fo : fo + fl].tobytes())
+                if has_pos:
+                    po, pl = r._pos_off[i], r._pos_len[i]
+                    pos_blobs.append(post[po : po + pl].tobytes())
+                else:
+                    pos_blobs.append(b"")
                 lasts = blk_last[i].as_py()
                 last_docs[i] = lasts[-1]
                 # first docid = first delta of the stream
@@ -76,6 +82,7 @@ def _segment_term_rows(batch: pa.Table, *, with_blobs: bool, bucket_size: int = 
                 {
                     "doc_blob": pa.array(doc_blobs, type=pa.large_binary()),
                     "frq_blob": pa.array(frq_blobs, type=pa.large_binary()),
+                    "pos_blob": pa.array(pos_blobs, type=pa.large_binary()),
                     "first_doc": pa.array(first_docs + base),
                     "last_doc": pa.array(last_docs + base),
                     "blk_last_doc": _rebase_list(blk_last, base),
@@ -129,6 +136,7 @@ def _merge_term_group(group: pa.Table) -> pa.Table:
     rows = group.take(pa.array(order)).to_pylist()
     doc_parts: list[bytes] = []
     frq_parts: list[bytes] = []
+    pos_parts: list[bytes] = []
     blk_last: list[int] = []
     blk_doc_boff: list[int] = []
     blk_frq_boff: list[int] = []
@@ -146,6 +154,7 @@ def _merge_term_group(group: pa.Table) -> pa.Table:
             blob = codec.splice_first_delta(blob, r["first_doc"])  # local->global first delta
         doc_parts.append(blob)
         frq_parts.append(r["frq_blob"])
+        pos_parts.append(r.get("pos_blob") or b"")
         shift = len(blob) - len(r["doc_blob"])  # first-delta splice may change length
         # block 0 still starts at the chunk head; later blocks shift with it
         blk_doc_boff.extend([doc_pos + (b + shift if b > 0 else 0) for b in r["blk_doc_boff"]])
@@ -167,6 +176,7 @@ def _merge_term_group(group: pa.Table) -> pa.Table:
             "first_seg": pa.array([rows[0]["seg_id"]], type=pa.int64()),
             "doc_blob": pa.array([b"".join(doc_parts)], type=pa.large_binary()),
             "frq_blob": pa.array([b"".join(frq_parts)], type=pa.large_binary()),
+            "pos_blob": pa.array([b"".join(pos_parts)], type=pa.large_binary()),
             "blk_last_doc": pa.array([blk_last], type=pa.list_(pa.int64())),
             "blk_doc_boff": pa.array([blk_doc_boff], type=pa.list_(pa.int64())),
             "blk_frq_boff": pa.array([blk_frq_boff], type=pa.list_(pa.int64())),
@@ -218,6 +228,7 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
             "max_doc": index.max_doc,
             "sum_ttf": index.sum_ttf,
             "bucket_size": bucket_size,
+            "index_options": index.manifest.get("index_options", "freqs"),
             "source": index.index_dir,
             "analyzer": index.manifest.get("analyzer"),
             "segments": index.manifest["segments"],
@@ -293,6 +304,38 @@ class MergedIndexReader:
             doc_parts.append(d)
             tf_parts.append(t)
         return np.concatenate(doc_parts), np.concatenate(tf_parts)
+
+    @property
+    def has_positions(self) -> bool:
+        return "pos_blob" in self._tbl.column_names and self.manifest.get("index_options") == "positions"
+
+    def positions(self, term: str):
+        """(docids, tfs, flat_positions, occ_offsets) — see SegmentReader."""
+        if not self.has_positions:
+            raise ValueError("merged index was built without positions")
+        lo, hi = self._row_range(term)
+        e = np.empty(0, dtype=np.int64)
+        if lo == hi:
+            return e, e, e, np.zeros(1, dtype=np.int64)
+        doc_parts, tf_parts, flat_parts = [], [], []
+        for i in range(lo, hi):
+            d, t = codec.decode_postings(
+                self._tbl.column("doc_blob")[i].as_py(), self._tbl.column("frq_blob")[i].as_py()
+            )
+            deltas = codec.vbyte_decode(
+                np.frombuffer(self._tbl.column("pos_blob")[i].as_py(), dtype=np.uint8)
+            ).astype(np.int64)
+            occ = np.concatenate(([0], np.cumsum(t)))
+            flat = np.cumsum(deltas)
+            if d.size > 1:
+                flat -= np.repeat(np.concatenate(([0], flat[occ[1:-1] - 1])), t)
+            doc_parts.append(d)
+            tf_parts.append(t)
+            flat_parts.append(flat)
+        docids = np.concatenate(doc_parts)
+        tfs = np.concatenate(tf_parts)
+        flatp = np.concatenate(flat_parts)
+        return docids, tfs, flatp, np.concatenate(([0], np.cumsum(tfs)))
 
 
 class MergedSearcher:

@@ -28,8 +28,11 @@ from ..query import (
     BooleanClause,
     BooleanQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FilteredQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    PhraseQuery,
     PrefixQuery,
     Query,
     TermQuery,
@@ -42,6 +45,107 @@ from ..state.segment import SegmentReader
 WAND_MIN_DF = 500_000
 
 
+class ClassicSegmentScorer:
+    """TF-IDF (DefaultSimilarity) scorer — the Similarity extension surface.
+
+    Supports TermQuery and flat BooleanQuery of term clauses (MUST / SHOULD /
+    MUST_NOT, minShouldMatch) with queryNorm + coord; see
+    functions/similarity_classic.py for formula provenance.
+    """
+
+    def __init__(self, reader: SegmentReader, global_stats: dict):
+        from ..functions import similarity_classic as cs
+
+        self.cs = cs
+        self.reader = reader
+        self.stats = global_stats
+
+    def _flat_terms(self, q: Query) -> tuple[list[tuple[str, float, str]], int]:
+        if isinstance(q, TermQuery):
+            return [(q.term, q.boost, "SHOULD")], 0
+        if isinstance(q, BooleanQuery):
+            out = []
+            for c in q.clauses:
+                if not isinstance(c.query, TermQuery):
+                    raise NotImplementedError("classic scorer supports flat term clauses")
+                out.append((c.query.term, c.query.boost, c.occur))
+            return out, q.min_should_match
+        raise NotImplementedError(f"classic scorer: {type(q).__name__}")
+
+    def evaluate(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
+        cs = self.cs
+        clauses, msm = self._flat_terms(q)
+        n = self.stats["max_doc"]
+        scoring = [(t, b) for t, b, occ in clauses if occ != "MUST_NOT"]
+        # queryNorm over all scoring clauses' squared weights
+        ssw = 0.0
+        weights = {}
+        for t, b in scoring:
+            idf = cs.classic_idf(self.stats["df"].get(t, 0), n)
+            qw = np.float32(idf * np.float32(b))
+            weights[(t, b)] = (idf, qw)
+            ssw += float(qw) * float(qw)
+        qn = cs.query_norm(ssw)
+        norms = cs.CLASSIC_NORM_TABLE[self.reader.norms]
+
+        musts = [(t, b) for t, b, occ in clauses if occ == "MUST"]
+        shoulds = [(t, b) for t, b, occ in clauses if occ == "SHOULD"]
+        nots = [t for t, b, occ in clauses if occ == "MUST_NOT"]
+
+        def term_scores(t, b):
+            docids, tfs = self.reader.postings(t)
+            if docids.size == 0:
+                return docids, np.empty(0, dtype=np.float32)
+            idf, qw = weights[(t, b)]
+            value = np.float32(qw * qn)
+            s = (cs.classic_tf(tfs) * np.float32(idf) * value * norms[docids]).astype(np.float32)
+            return docids, s
+
+        evals = {key: term_scores(*key) for key in set(musts + shoulds)}
+        req = None
+        if musts:
+            req = evals[musts[0]][0]
+            for key in musts[1:]:
+                req = np.intersect1d(req, evals[key][0], assume_unique=True)
+        union_src = [evals[k][0] for k in set(musts + shoulds)]
+        docs = np.unique(np.concatenate(union_src)) if union_src else np.empty(0, dtype=np.int64)
+        if req is not None:
+            docs = np.intersect1d(docs, req, assume_unique=True)
+        acc = np.zeros(docs.size, dtype=np.float64)
+        matched = np.zeros(docs.size, dtype=np.int64)
+        for key in musts + shoulds:
+            d, s = evals[key]
+            if d.size == 0:
+                continue
+            ix = np.searchsorted(docs, d)
+            valid = (ix < docs.size) & (docs[np.minimum(ix, max(docs.size - 1, 0))] == d) if docs.size else np.zeros(d.size, bool)
+            np.add.at(acc, ix[valid], s[valid].astype(np.float64))
+            np.add.at(matched, ix[valid], 1)
+        if msm > 0 and shoulds:
+            should_matched = np.zeros(docs.size, dtype=np.int64)
+            for key in shoulds:
+                d, s = evals[key]
+                ix = np.searchsorted(docs, d)
+                valid = (ix < docs.size) & (docs[np.minimum(ix, max(docs.size - 1, 0))] == d) if docs.size else np.zeros(d.size, bool)
+                np.add.at(should_matched, ix[valid], 1)
+            keep = should_matched >= msm
+            docs, acc, matched = docs[keep], acc[keep], matched[keep]
+        scores = (acc.astype(np.float32) * self.cs.coord(matched, len(scoring))).astype(np.float32)
+        for t in nots:
+            nd, _ = self.reader.postings(t)
+            if nd.size and docs.size:
+                keep = ~np.isin(docs, nd, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
+        return docs, scores
+
+    def top_k(self, q: Query, k: int) -> list[tuple[int, float]]:
+        docs, scores = self.evaluate(q)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]) + self.reader.doc_base, float(scores[i])) for i in order]
+
+
 def query_terms(q: Query) -> set[str]:
     """All literal terms referenced by a query tree (for the global stats pass)."""
     if isinstance(q, TermQuery):
@@ -51,7 +155,14 @@ def query_terms(q: Query) -> set[str]:
         for c in q.clauses:
             out |= query_terms(c.query)
         return out
-    if isinstance(q, ConstantScoreQuery):
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for d in q.disjuncts:
+            out |= query_terms(d)
+        return out
+    if isinstance(q, (ConstantScoreQuery, FilteredQuery)):
         return query_terms(q.query)
     return set()
 
@@ -186,9 +297,79 @@ class SegmentScorer:
                 ),
             )
             return self.evaluate(sub)
+        if isinstance(q, FilteredQuery):
+            docs, scores = self.evaluate(q.query)
+            if docs.size == 0:
+                return docs, scores
+            vals = self.reader.doc_values(q.filter.field)
+            keep = np.ones(docs.size, dtype=bool)
+            if q.filter.lower is not None:
+                keep &= vals[docs] >= q.filter.lower
+            if q.filter.upper is not None:
+                keep &= vals[docs] <= q.filter.upper
+            return docs[keep], scores[keep]
+        if isinstance(q, PhraseQuery):
+            return self._evaluate_phrase(q)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._evaluate_dismax(q)
         if isinstance(q, BooleanQuery):
             return self._evaluate_boolean(q)
         raise TypeError(f"unsupported query: {q!r}")
+
+    def _evaluate_phrase(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
+        """ExactPhraseScorer: positions must align with the query's analyzed
+        position pattern; tf = phrase frequency; weight = f32-summed idfs."""
+        if q.slop != 0:
+            raise NotImplementedError("sloppy phrase (slop>0) is not implemented yet")
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        if not q.terms:
+            return empty
+        qpos = q.term_positions()
+        qmax = max(qpos)
+        # per-term (docid, adjusted position) keys; anchor = pos - qpos_i
+        SHIFT = np.int64(1) << np.int64(32)
+        keysets = []
+        for t, p in zip(q.terms, qpos):
+            if self.stats["df"].get(t, 0) == 0:
+                return empty
+            docids, tfs, flat, occ = self.reader.positions(t)
+            if docids.size == 0:
+                return empty
+            doc_per_occ = np.repeat(docids, tfs)
+            adj = flat - p + qmax  # keep non-negative
+            keysets.append(doc_per_occ * SHIFT + adj)
+        common = keysets[0]
+        for ks in keysets[1:]:
+            common = np.intersect1d(common, ks, assume_unique=True)
+        if common.size == 0:
+            return empty
+        docs, freqs = np.unique(common // SHIFT, return_counts=True)
+        # weight: f32 sequential sum of idfs in term order (IdfExplain loop)
+        idf_sum = np.float32(0.0)
+        for t in q.terms:
+            idf_sum = np.float32(idf_sum + sim.idf(self.stats["df"][t], self.stats["max_doc"]))
+        w = np.float32(np.float32(idf_sum * np.float32(q.boost)) * (self.k1 + np.float32(1.0)))
+        scores = sim.score_tf(freqs.astype(np.int64), self.reader.norms[docs], w, self.cache)
+        return docs.astype(np.int64), scores
+
+    def _evaluate_dismax(self, q: DisjunctionMaxQuery) -> tuple[np.ndarray, np.ndarray]:
+        """DisjunctionMaxScorer: max + tieBreaker * (sum - max) per doc."""
+        evals = [self.evaluate(d) for d in q.disjuncts]
+        evals = [(d, s) for d, s in evals if d.size]
+        if not evals:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        union = np.unique(np.concatenate([d for d, _ in evals]))
+        smax = np.full(union.size, -np.inf, dtype=np.float32)
+        ssum = np.zeros(union.size, dtype=np.float64)
+        for d, s in evals:
+            ix = np.searchsorted(union, d)
+            np.maximum.at(smax, ix, s)
+            np.add.at(ssum, ix, s.astype(np.float64))
+        tie = np.float32(q.tie_breaker)
+        scores = (smax + tie * (ssum.astype(np.float32) - smax)).astype(np.float32)
+        if q.boost != 1.0:
+            scores = (scores * np.float32(q.boost)).astype(np.float32)
+        return union, scores
 
     def _evaluate_boolean(self, q: BooleanQuery) -> tuple[np.ndarray, np.ndarray]:
         musts = [c.query for c in q.clauses if c.occur == "MUST"]

@@ -157,6 +157,21 @@ class Searcher:
         stats = {"max_doc": self.index.max_doc, "sum_ttf": self.index.sum_ttf, "df": df}
         return q, stats
 
+    def _stats_for_terms(self, terms: list[str]) -> dict[str, int]:
+        """Global df for arbitrary terms (cached; used by MLT/CommonTerms/suggest)."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            agg = {t: 0 for t in missing}
+            if self.use_actors:
+                per = ray.get([g.term_stats.remote(missing) for g in self.groups])
+            else:
+                per = [g.term_stats(missing) for g in self.groups]
+            for stats in per:
+                for t, (d, _tt) in stats.items():
+                    agg[t] += d
+            self._df_cache.update(agg)
+        return {t: self._df_cache[t] for t in terms}
+
     def search(self, q: Query, k: int = 10, search_after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
         q, stats = self._rewrite_and_stats(q)
         if self.use_actors:

@@ -49,6 +49,37 @@ class BooleanQuery(Query):
 
 
 @dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact (slop=0) or sloppy phrase over consecutive positions.
+
+    Reference: /root/reference/src/Lucene.Net.Core/Search/PhraseQuery.cs:51,
+    ExactPhraseScorer.cs:26 (positions must align), SloppyPhraseScorer.cs:31.
+    Scored through the same SimScorer with tf = phrase frequency and
+    weight = SUM of the terms' idfs (BM25Similarity.IdfExplain over the term
+    array, BM25Similarity.cs:205-222).
+    """
+
+    field: str = "content"
+    terms: tuple[str, ...] = ()
+    slop: int = 0
+    # analyzed positions of the terms within the query (gaps where stopwords
+    # were removed, like QueryParserBase.GetFieldQuery); () = consecutive
+    positions: tuple[int, ...] = ()
+
+    def term_positions(self) -> tuple[int, ...]:
+        return self.positions if self.positions else tuple(range(len(self.terms)))
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """max(clause scores) + tie_breaker * sum(other matching clause scores)
+    (reference Search/DisjunctionMaxQuery.cs:46)."""
+
+    disjuncts: tuple[Query, ...] = ()
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
 class PrefixQuery(Query):
     field: str = "content"
     prefix: str = ""
@@ -87,6 +118,26 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldRangeFilter:
+    """Docs-table predicate: lower <= docs[field] <= upper (None = unbounded).
+    The idiomatic Arrow-side replacement for trie-coded NumericRangeQuery /
+    NumericRangeFilter (reference Search/NumericRangeQuery.cs:174,
+    Util/NumericUtils.cs:339) and for TermRangeFilter on stored fields."""
+
+    field: str = ""
+    lower: object = None
+    upper: object = None
+
+
+@dataclass(frozen=True)
+class FilteredQuery(Query):
+    """query scores, filter restricts (reference Search/FilteredQuery.cs:41)."""
+
+    query: "Query" = None
+    filter: FieldRangeFilter = None
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     query: Query = dc_field(default_factory=MatchAllDocsQuery)
 
@@ -101,6 +152,7 @@ _TOKEN_RE = re.compile(
         (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
         (?P<plus>\+) | (?P<minus>-) |
         (?P<range>\[[^\]]*\ TO\ [^\]]*\]) |
+        (?P<phrase>"[^"]*"(?:~\d+)?) |
         (?P<atom>[^\s()+\-][^\s()]*)
     )""",
     re.VERBOSE,
@@ -183,6 +235,11 @@ def parse_query(s: str, default_field: str = "content", analyzer=None) -> Query:
                     raise QueryParseError("unbalanced parentheses")
                 advance()
                 q = _apply_boost_suffix(q)
+            elif kind == "phrase":
+                _, text = advance()
+                q = _parse_phrase(text, default_field, analyzer)
+                if q is None:
+                    continue
             elif kind in ("atom", "range"):
                 _, text = advance()
                 q = _parse_atom(text, default_field, analyzer)
@@ -259,6 +316,27 @@ def _parse_atom(text: str, default_field: str, analyzer) -> Query | None:
         boost=boost,
         clauses=tuple(BooleanClause(TermQuery(field=field, term=t), SHOULD) for t in terms),
     )
+
+
+def _parse_phrase(text: str, field: str, analyzer) -> Query | None:
+    from .functions.analysis import analyze_with_positions
+
+    slop = 0
+    m = re.match(r'^"(.*)"(?:~(\d+))?$', text)
+    body = m.group(1)
+    if m.group(2):
+        slop = int(m.group(2))
+    terms, incrs = analyze_with_positions(body)
+    if not terms:
+        return None
+    if len(terms) == 1:
+        return TermQuery(field=field, term=terms[0])
+    positions = []
+    pos = -1
+    for inc in incrs:
+        pos += inc
+        positions.append(pos)
+    return PhraseQuery(field=field, terms=tuple(terms), slop=slop, positions=tuple(positions))
 
 
 def _with_boost(q: Query, boost: float) -> Query:

@@ -59,6 +59,7 @@ def build_segment(
     content_column: str = "content",
     stored_columns: tuple[str, ...] = (),
     lineage: dict | None = None,
+    index_options: str = "freqs",  # "freqs" | "positions" (FieldInfo.IndexOptions analog)
 ) -> dict:
     """Tokenize + invert one partition of the corpus and write a segment.
 
@@ -97,16 +98,22 @@ def build_segment(
             denc = denc.combine_chunks()
         idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq_ws = denc.dictionary.to_pylist()
-        # per-unique-token analysis -> CSR of term-ids
+        with_pos = index_options == "positions"
+        # per-unique-token analysis -> CSR of term-ids (+ relative positions)
         term_id: dict[str, int] = {}
         uniq_vals: list[int] = []
+        uniq_rels: list[int] = []
         uniq_offs = np.zeros(len(uniq_ws) + 1, dtype=np.int64)
+        n_raw = np.zeros(len(uniq_ws), dtype=np.int64)
         for u_i, u in enumerate(uniq_ws):
-            for t in analyzer(u):
-                tid = term_id.setdefault(t, len(term_id))
-                uniq_vals.append(tid)
+            terms, rels, consumed = analyzer.analyze_positions(u)
+            for t, rp in zip(terms, rels):
+                uniq_vals.append(term_id.setdefault(t, len(term_id)))
+                uniq_rels.append(rp)
+            n_raw[u_i] = consumed
             uniq_offs[u_i + 1] = len(uniq_vals)
         uniq_vals_np = np.asarray(uniq_vals, dtype=np.int64)
+        uniq_rels_np = np.asarray(uniq_rels, dtype=np.int64)
         uniq_lens = np.diff(uniq_offs)
         # expand: per occurrence of unique token u, its term-id run
         occ_lens = uniq_lens[idx]
@@ -115,39 +122,72 @@ def build_segment(
         # standard numpy range-expand idiom
         cum = np.concatenate(([0], np.cumsum(occ_lens)[:-1]))
         ids = np.arange(total_terms, dtype=np.int64) - np.repeat(cum, occ_lens)
-        flat_term_ids = uniq_vals_np[np.repeat(occ_starts, occ_lens) + ids]
+        src = np.repeat(occ_starts, occ_lens) + ids
+        flat_term_ids = uniq_vals_np[src]
         doc_of_ws = np.repeat(np.arange(n_docs, dtype=np.int64), ws_counts)
         flat_doc_idx = np.repeat(doc_of_ws, occ_lens)
         field_lens = np.bincount(flat_doc_idx, minlength=n_docs).astype(np.int64)
 
-        # (term, doc) -> tf via one integer sort: key = term_id * n_docs + doc
         n_terms_all = len(term_id)
-        if total_terms:
-            key = flat_term_ids * n_docs + flat_doc_idx
-            uniq_key, tfs_sorted = np.unique(key, return_counts=True)
-            tfs_sorted = tfs_sorted.astype(np.int64)
-            tid_sorted = uniq_key // n_docs
-            docs_sorted = uniq_key % n_docs
-        else:
-            uniq_key = np.empty(0, dtype=np.int64)
-            tfs_sorted = np.empty(0, dtype=np.int64)
-            tid_sorted = np.empty(0, dtype=np.int64)
-            docs_sorted = np.empty(0, dtype=np.int64)
         # term ids were assigned in first-seen order; remap to UTF-8 order
-        id_to_term = np.empty(n_terms_all, dtype=object)
+        id_to_term = np.empty(max(n_terms_all, 1), dtype=object)
         for t, i in term_id.items():
             id_to_term[i] = t
+        id_to_term = id_to_term[:n_terms_all]
         sort_perm = np.argsort(id_to_term, kind="stable")  # python str order == UTF-8 byte order
         rank_of_id = np.empty(n_terms_all, dtype=np.int64)
         rank_of_id[sort_perm] = np.arange(n_terms_all)
-        ranked = rank_of_id[tid_sorted]
-        order = np.lexsort((docs_sorted, ranked))
-        codes = ranked[order]
-        docs_sorted = docs_sorted[order]
-        tfs_sorted = tfs_sorted[order]
         uniq_terms = pa.array(id_to_term[sort_perm], type=pa.string())
-        n_post = codes.size
+
+        if with_pos and total_terms:
+            # absolute position = per-doc cumulative raw-token base + relative
+            occ_nraw = n_raw[idx]
+            total_cum = np.cumsum(occ_nraw) - occ_nraw
+            ws_doc_starts = np.concatenate(([0], np.cumsum(ws_counts)[:-1]))
+            safe_starts = np.minimum(ws_doc_starts, max(total_cum.size - 1, 0))
+            doc_start_vals = total_cum[safe_starts] if total_cum.size else np.zeros(n_docs, dtype=np.int64)
+            base_occ = total_cum - np.repeat(doc_start_vals, ws_counts)
+            flat_positions = np.repeat(base_occ, occ_lens) + uniq_rels_np[src]
+            ranked_all = rank_of_id[flat_term_ids]
+            order = np.lexsort((flat_positions, flat_doc_idx, ranked_all))
+            r_sorted = ranked_all[order]
+            d_sorted = flat_doc_idx[order]
+            p_sorted = flat_positions[order]
+            # run-length boundaries of (term, doc) pairs -> postings + tfs
+            pair_change = np.concatenate(
+                ([True], (r_sorted[1:] != r_sorted[:-1]) | (d_sorted[1:] != d_sorted[:-1]))
+            )
+            pstarts = np.flatnonzero(pair_change)
+            pends = np.concatenate((pstarts[1:], [r_sorted.size]))
+            codes = r_sorted[pstarts]
+            docs_sorted = d_sorted[pstarts]
+            tfs_sorted = (pends - pstarts).astype(np.int64)
+            # position deltas: within a (term,doc) run, first = pos, rest = gaps
+            pos_deltas = np.empty(p_sorted.size, dtype=np.int64)
+            pos_deltas[1:] = p_sorted[1:] - p_sorted[:-1]
+            pos_deltas[pstarts] = p_sorted[pstarts]
+            n_post = codes.size
+        else:
+            # (term, doc) -> tf via one integer sort: key = term_id*n_docs + doc
+            if total_terms:
+                key = rank_of_id[flat_term_ids] * n_docs + flat_doc_idx
+                uniq_key, tfs_sorted = np.unique(key, return_counts=True)
+                tfs_sorted = tfs_sorted.astype(np.int64)
+                codes = uniq_key // n_docs
+                docs_sorted = uniq_key % n_docs
+            else:
+                codes = np.empty(0, dtype=np.int64)
+                tfs_sorted = np.empty(0, dtype=np.int64)
+                docs_sorted = np.empty(0, dtype=np.int64)
+            pos_deltas = None
+            n_post = codes.size
     else:
+        if index_options == "positions":
+            raise NotImplementedError(
+                "positions indexing requires a whitespace-splittable analyzer "
+                f"(kind={analyzer.kind!r} unsupported)"
+            )
+        pos_deltas = None
         contents = content_arr.to_pylist()
         token_lists = [analyzer(c) for c in contents]
         field_lens = np.array([len(t) for t in token_lists], dtype=np.int64)
@@ -226,14 +266,30 @@ def build_segment(
         blk_last_doc = blk_max_tf = blk_doc_boff = blk_frq_boff = np.empty(0, dtype=np.int64)
         blk_min_normb = np.empty(0, dtype=np.uint8)
 
-    # --- write postings.bin: [all doc streams][all frq streams] -----------
+    # --- optional positions stream (delta-gapped within each posting) -----
+    if pos_deltas is not None and n_post:
+        pos_stream = codec.vbyte_encode(pos_deltas)
+        pos_lens_b = codec.vbyte_lengths(pos_deltas)
+        pos_cum_b = np.concatenate(([0], np.cumsum(pos_lens_b)))
+        occ_cum = np.concatenate(([0], np.cumsum(tfs_sorted)))  # posting -> occurrence offset
+        term_pos_start_b = pos_cum_b[occ_cum[starts]]
+        term_pos_end_b = pos_cum_b[occ_cum[ends]]
+    else:
+        pos_stream = np.empty(0, dtype=np.uint8)
+        term_pos_start_b = np.zeros(n_terms, dtype=np.int64)
+        term_pos_end_b = np.zeros(n_terms, dtype=np.int64)
+
+    # --- write postings.bin: [doc streams][frq streams][pos streams] ------
     post_path = os.path.join(tmp_dir, "postings.bin")
     doc_total = int(doc_cum[-1]) if n_post else 0
+    frq_total = int(frq_cum[-1]) if n_post else 0
     doc_off_abs = term_doc_start_b.astype(np.int64)
     frq_off_abs = (doc_total + term_frq_start_b).astype(np.int64)
+    pos_off_abs = (doc_total + frq_total + term_pos_start_b).astype(np.int64)
     with open(post_path, "wb") as f:
         f.write(doc_stream.tobytes())
         f.write(frq_stream.tobytes())
+        f.write(pos_stream.tobytes())
 
     # --- terms.parquet ----------------------------------------------------
     list_off = blk_offsets.astype(np.int32)
@@ -246,6 +302,8 @@ def build_segment(
             "doc_len": (term_doc_end_b - term_doc_start_b).astype(np.int64),
             "frq_off": frq_off_abs,
             "frq_len": (term_frq_end_b - term_frq_start_b).astype(np.int64),
+            "pos_off": pos_off_abs,
+            "pos_len": (term_pos_end_b - term_pos_start_b).astype(np.int64),
             "blk_last_doc": pa.ListArray.from_arrays(list_off, pa.array(blk_last_doc, type=pa.int64())),
             "blk_doc_boff": pa.ListArray.from_arrays(list_off, pa.array(blk_doc_boff, type=pa.int64())),
             "blk_frq_boff": pa.ListArray.from_arrays(list_off, pa.array(blk_frq_boff, type=pa.int64())),
@@ -276,6 +334,7 @@ def build_segment(
         "term_count": int(n_terms),
         "postings": int(n_post),
         "postings_bytes": int(doc_cum[-1] + frq_cum[-1]) if n_post else 0,
+        "index_options": index_options,
         "lineage": lineage or {},
         "metrics": {
             "build_sec": round(time.perf_counter() - t0, 4),
@@ -306,6 +365,10 @@ class SegmentReader:
         self._term_np = np.asarray(self._terms.to_pylist(), dtype=object)
         for col in ("df", "ttf", "doc_off", "doc_len", "frq_off", "frq_len"):
             setattr(self, "_" + col, t.column(col).to_numpy())
+        self.has_positions = "pos_off" in t.column_names and self.meta.get("index_options") == "positions"
+        if "pos_off" in t.column_names:
+            self._pos_off = t.column("pos_off").to_numpy()
+            self._pos_len = t.column("pos_len").to_numpy()
         self._blocks_tbl = t.select(
             ["blk_last_doc", "blk_doc_boff", "blk_frq_boff", "blk_max_tf", "blk_min_normb"]
         )
@@ -317,6 +380,15 @@ class SegmentReader:
         self._post = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r") \
             if os.path.getsize(os.path.join(seg_dir, "postings.bin")) else np.empty(0, dtype=np.uint8)
         self._docs_table = d
+
+    def doc_values(self, field: str) -> "np.ndarray":
+        """Stored docs-table column as numpy (cached) — DocValues analog."""
+        if not hasattr(self, "_dv_cache"):
+            self._dv_cache = {}
+        if field not in self._dv_cache:
+            tbl = pq.read_table(os.path.join(self.seg_dir, "docs.parquet"), columns=[field])
+            self._dv_cache[field] = tbl.column(field).to_numpy(zero_copy_only=False)
+        return self._dv_cache[field]
 
     def term_index(self, term: str) -> int:
         """Binary search the sorted term dict; -1 if absent."""
@@ -343,6 +415,28 @@ class SegmentReader:
         do, dl = self._doc_off[i], self._doc_len[i]
         fo, fl = self._frq_off[i], self._frq_len[i]
         return codec.decode_postings(self._post[do : do + dl], self._post[fo : fo + fl])
+
+    def positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(docids, tfs, flat_positions, occ_offsets) for a term.
+
+        flat_positions holds every occurrence position; posting j's positions
+        are flat_positions[occ_offsets[j]:occ_offsets[j+1]] (len == tfs[j]).
+        """
+        if not self.has_positions:
+            raise ValueError(f"segment {self.seg_dir} was built without positions")
+        i = self.term_index(term)
+        if i < 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e, np.zeros(1, dtype=np.int64)
+        docids, tfs = self.postings_by_index(i)
+        po, pl = self._pos_off[i], self._pos_len[i]
+        deltas = codec.vbyte_decode(self._post[po : po + pl]).astype(np.int64)
+        occ_offsets = np.concatenate(([0], np.cumsum(tfs)))
+        # positions are delta-gapped within each posting: cumsum then rebase
+        flat = np.cumsum(deltas)
+        if docids.size > 1:
+            flat -= np.repeat(np.concatenate(([0], flat[occ_offsets[1:-1] - 1])), tfs)
+        return docids, tfs, flat, occ_offsets
 
     def blocks(self, i: int) -> dict[str, np.ndarray]:
         """Block directory arrays for term index i."""

@@ -1,0 +1,196 @@
+"""Collector operators: sorted search, facets, grouping, filters, MLT,
+CommonTerms, suggest, MemoryIndex, and the Classic (TF-IDF) similarity."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_net_ray.oracle import OracleIndex
+from lucene_net_ray.pipelines.build import build_index_from_table
+from lucene_net_ray.pipelines.collectors import (
+    MemoryIndex,
+    common_terms_query,
+    facet_counts,
+    group_top_k,
+    more_like_this,
+    search_sorted,
+    suggest_terms,
+)
+from lucene_net_ray.pipelines.scorer import ClassicSegmentScorer, SegmentScorer
+from lucene_net_ray.pipelines.search import Searcher
+from lucene_net_ray.query import (
+    BooleanQuery,
+    FieldRangeFilter,
+    FilteredQuery,
+    TermQuery,
+    parse_query,
+)
+from lucene_net_ray.sources.corpus import generate_corpus
+from lucene_net_ray.state.index import IndexMeta
+from lucene_net_ray.state.segment import SegmentReader
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    corpus = generate_corpus(300, seed=55)
+    idx = str(tmp_path_factory.mktemp("coll_idx"))
+    build_index_from_table(
+        corpus, idx, target_rows_per_segment=80, stored_columns=("lang", "repo")
+    )
+    searcher = Searcher(idx, use_actors=False)
+    oracle = OracleIndex(corpus.column("content").to_pylist())
+    return corpus, searcher, oracle
+
+
+def _matching_docs(oracle, q):
+    return {d for d in range(oracle.max_doc) if oracle._eval(d, q) is not None}
+
+
+def test_search_sorted_by_numeric_field(setup):
+    corpus, searcher, oracle = setup
+    q = parse_query("public")
+    # sort by field_len desc (numeric column stored in docs table)
+    rows = search_sorted(searcher, q, [("field_len", True)], k=5)
+    match = _matching_docs(oracle, q)
+    expected = sorted(match, key=lambda d: (-oracle.lens[d], d))[:5]
+    assert [r["doc_id"] for r in rows] == expected
+    assert [r["field_len"] for r in rows] == [oracle.lens[d] for d in expected]
+
+
+def test_search_sorted_by_string_field_desc(setup):
+    corpus, searcher, oracle = setup
+    langs = corpus.column("lang").to_pylist()
+    q = parse_query("public")
+    rows = search_sorted(searcher, q, [("lang", True)], k=5)
+    match = _matching_docs(oracle, q)
+    expected = sorted(match, key=lambda d: (_neg(langs[d]), d))[:5]
+    assert [r["doc_id"] for r in rows] == expected
+
+
+class _neg(str):
+    def __lt__(self, o):
+        return str.__gt__(self, o)
+
+
+def test_facet_counts(setup):
+    corpus, searcher, oracle = setup
+    langs = corpus.column("lang").to_pylist()
+    q = parse_query("public")
+    counts = facet_counts(searcher, q, "lang")
+    match = _matching_docs(oracle, q)
+    expected = {}
+    for d in match:
+        expected[langs[d]] = expected.get(langs[d], 0) + 1
+    assert counts == expected
+
+
+def test_group_top_k(setup):
+    corpus, searcher, oracle = setup
+    langs = corpus.column("lang").to_pylist()
+    q = parse_query("query")
+    groups = group_top_k(searcher, q, "lang", k_groups=4, k_per_group=2)
+    hits = {d: s for d, s in ((d, oracle._eval(d, q)) for d in range(oracle.max_doc)) if s is not None}
+    by_lang = {}
+    for d, s in hits.items():
+        by_lang.setdefault(langs[d], []).append((np.float32(s), d))
+    for g in groups:
+        expected = sorted(by_lang[g["group"]], key=lambda h: (-h[0], h[1]))[:2]
+        assert [(h["doc_id"], np.float32(h["score"])) for h in g["hits"]] == [
+            (d, s) for s, d in expected
+        ]
+
+
+def test_filtered_query(setup):
+    corpus, searcher, oracle = setup
+    q = FilteredQuery(
+        query=TermQuery(term="public"),
+        filter=FieldRangeFilter(field="field_len", lower=20, upper=60),
+    )
+    hits = searcher.search(q, k=50)
+    match = {d for d in _matching_docs(oracle, TermQuery(term="public")) if 20 <= oracle.lens[d] <= 60}
+    assert {d for d, _ in hits} <= match
+    assert searcher.count(q) == len(match)
+    # scores unchanged by the filter
+    for d, s in hits:
+        assert np.float32(s) == oracle._eval(d, TermQuery(term="public"))
+
+
+def test_more_like_this(setup):
+    corpus, searcher, oracle = setup
+    text = "zyzzyva quux zyzzyva public"
+    q = more_like_this(searcher, text, max_query_terms=3)
+    terms = {c.query.term for c in q.clauses}
+    assert "zyzzyva" in terms  # high tf x high idf
+    assert len(terms) <= 3
+    hits = searcher.search(q, k=5)
+    assert hits  # finds the rare-term docs
+
+
+def test_common_terms_query(setup):
+    corpus, searcher, oracle = setup
+    q = common_terms_query(searcher, ["public", "zyzzyva"], max_term_frequency=0.2)
+    # 'public' is in most docs -> demoted into the nested optional subquery
+    flat = [c.query for c in q.clauses]
+    nested = [x for x in flat if isinstance(x, BooleanQuery)]
+    assert len(nested) == 1
+    assert {c.query.term for c in nested[0].clauses} == {"public"}
+    assert {x.term for x in flat if isinstance(x, TermQuery)} == {"zyzzyva"}
+
+
+def test_suggest_terms(setup):
+    corpus, searcher, oracle = setup
+    out = suggest_terms(searcher, "publik", max_edits=2, k=3)
+    assert out[0][0] == "public"
+    assert out[0][1] == 1  # edit distance
+
+
+def test_memory_index_percolation(setup):
+    mi = MemoryIndex("the quick brown fox")
+    assert mi.score(TermQuery(term="quick")) > 0
+    assert mi.score(TermQuery(term="zebra")) == 0.0
+    assert mi.score(parse_query("+quick +brown")) > 0
+    assert mi.score(parse_query("+quick +zebra")) == 0.0
+
+
+def test_classic_similarity_term(setup):
+    corpus, searcher, oracle = setup
+    meta = IndexMeta(searcher.index.index_dir)
+    reader = SegmentReader(meta.segment_dirs[0])
+    q = TermQuery(term="query")
+    _, stats = searcher._rewrite_and_stats(q)
+    cls = ClassicSegmentScorer(reader, stats)
+    docs, scores = cls.evaluate(q)
+    # hand-compute for the first matching doc
+    from lucene_net_ray.functions.norms import byte315_to_float
+
+    d0 = int(docs[0])
+    tf = reader.postings("query")[1][0]
+    n = stats["max_doc"]
+    df = stats["df"]["query"]
+    idf = np.float32(math.log(n / (df + 1.0)) + 1.0)
+    qw = idf  # boost 1
+    qn = np.float32(1.0 / math.sqrt(float(qw) * float(qw)))
+    expected = np.float32(
+        np.float32(np.sqrt(np.float32(tf))) * idf * np.float32(qw * qn)
+        * np.float32(byte315_to_float(int(reader.norms[d0])))
+    )
+    assert np.isclose(scores[0], expected, rtol=1e-6)
+    # ranking sanity: all scores positive, sorted retrieval works
+    top = cls.top_k(q, 5)
+    assert all(s > 0 for _, s in top)
+
+
+def test_classic_similarity_boolean_coord(setup):
+    corpus, searcher, oracle = setup
+    meta = IndexMeta(searcher.index.index_dir)
+    reader = SegmentReader(meta.segment_dirs[0])
+    q = parse_query("query token")
+    _, stats = searcher._rewrite_and_stats(q)
+    cls = ClassicSegmentScorer(reader, stats)
+    docs, scores = cls.evaluate(q)
+    # docs matching both clauses must outrank same docs' single-clause score
+    both = np.intersect1d(reader.postings("query")[0], reader.postings("token")[0])
+    if both.size:
+        i = np.searchsorted(docs, both[0])
+        assert scores[i] > 0

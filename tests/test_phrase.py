@@ -1,0 +1,124 @@
+"""PhraseQuery / positions / DisjunctionMaxQuery vs the brute-force oracle
+(ExactPhraseScorer + DisjunctionMaxScorer semantics)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_net_ray.oracle import OracleIndex
+from lucene_net_ray.pipelines.build import build_index_from_table
+from lucene_net_ray.pipelines.search import Searcher
+from lucene_net_ray.query import (
+    DisjunctionMaxQuery,
+    PhraseQuery,
+    TermQuery,
+    parse_query,
+)
+from lucene_net_ray.sources.corpus import generate_corpus
+from lucene_net_ray.state.index import IndexMeta
+from lucene_net_ray.state.segment import SegmentReader
+
+DOCS = [
+    "quick brown fox jumps",
+    "quick the brown fox",          # stopword gap between quick and brown
+    "brown quick fox",
+    "quick brown quick brown dog",  # phrase freq 2
+    "the quick brown cat",
+    "quick fox brown",
+    "wholly unrelated text here",
+]
+
+
+@pytest.fixture(scope="module")
+def phrase_setup(tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("phrase_idx"))
+    tbl = pa.table({"content": DOCS})
+    build_index_from_table(tbl, idx, target_rows_per_segment=3, index_options="positions")
+    oracle = OracleIndex(DOCS)
+    return Searcher(idx, use_actors=False), oracle, idx
+
+
+def _same(engine_hits, oracle_hits):
+    assert [d for d, _ in engine_hits] == [d for d, _ in oracle_hits]
+    for (d1, s1), (d2, s2) in zip(engine_hits, oracle_hits):
+        assert np.float32(s1) == np.float32(s2), (d1, s1, s2)
+
+
+def test_positions_round_trip(phrase_setup):
+    _, _, idx = phrase_setup
+    meta = IndexMeta(idx)
+    r = SegmentReader(meta.segment_dirs[0])
+    assert r.has_positions
+    docids, tfs, flat, occ = r.positions("quick")
+    # doc 0: "quick brown fox jumps" -> quick at position 0
+    assert docids[0] == 0 and flat[occ[0]:occ[1]].tolist() == [0]
+    # doc 1 (local): "quick the brown fox" -> quick at 0
+    d3 = np.flatnonzero(docids == 1)
+    assert d3.size == 1
+
+
+def test_exact_phrase_matches_adjacency(phrase_setup):
+    searcher, oracle, _ = phrase_setup
+    q = parse_query('"quick brown"')
+    hits = searcher.search(q, k=10)
+    _same(hits, oracle.top_k(q, 10))
+    ids = {d for d, _ in hits}
+    assert 0 in ids and 3 in ids and 4 in ids
+    assert 1 not in ids  # stopword gap breaks exact adjacency
+    assert 2 not in ids and 5 not in ids  # wrong order
+
+
+def test_phrase_with_stopword_gap_in_query(phrase_setup):
+    searcher, oracle, _ = phrase_setup
+    # query "quick the brown": analyzed to quick@0, brown@2 -> matches doc 1
+    q = parse_query('"quick the brown"')
+    assert q.term_positions() == (0, 2)
+    hits = searcher.search(q, k=10)
+    _same(hits, oracle.top_k(q, 10))
+    # the position gap matches ANY middle token (Lucene semantics):
+    # doc 1 "quick the brown" and doc 5 "quick fox brown" both align
+    assert {d for d, _ in hits} == {1, 5}
+
+
+def test_phrase_freq_affects_score(phrase_setup):
+    searcher, oracle, _ = phrase_setup
+    q = PhraseQuery(terms=("quick", "brown"))
+    hits = dict(searcher.search(q, k=10))
+    # doc 3 has phrase freq 2; its raw tf-component must exceed a freq-1 doc
+    # of the same length class - just assert oracle equality and freq-2 doc wins
+    _same(sorted(hits.items(), key=lambda h: (-h[1], h[0])), oracle.top_k(q, 10))
+
+
+def test_phrase_absent_term(phrase_setup):
+    searcher, oracle, _ = phrase_setup
+    q = PhraseQuery(terms=("quick", "zzzznope"))
+    assert searcher.search(q, k=10) == []
+
+
+def test_phrase_on_synthetic_corpus_multiseg(tmp_path):
+    corpus = generate_corpus(300, seed=77)
+    idx = str(tmp_path / "idx")
+    build_index_from_table(corpus, idx, target_rows_per_segment=60, index_options="positions")
+    oracle = OracleIndex(corpus.column("content").to_pylist())
+    searcher = Searcher(idx, use_actors=False)
+    for qs in ['"public import"', '"import class"', '"rare1 rare2"']:
+        q = parse_query(qs)
+        _same(searcher.search(q, k=10), oracle.top_k(q, 10))
+
+
+def test_dismax(phrase_setup):
+    searcher, oracle, _ = phrase_setup
+    q = DisjunctionMaxQuery(
+        disjuncts=(TermQuery(term="quick"), TermQuery(term="fox")), tie_breaker=0.3
+    )
+    _same(searcher.search(q, k=10), oracle.top_k(q, 10))
+    q0 = DisjunctionMaxQuery(disjuncts=(TermQuery(term="quick"), TermQuery(term="fox")))
+    _same(searcher.search(q0, k=10), oracle.top_k(q0, 10))
+
+
+def test_freqs_only_index_rejects_phrase(tmp_path):
+    idx = str(tmp_path / "idx")
+    build_index_from_table(pa.table({"content": DOCS}), idx, target_rows_per_segment=100)
+    s = Searcher(idx, use_actors=False)
+    with pytest.raises(ValueError):
+        s.search(PhraseQuery(terms=("quick", "brown")), k=5)
