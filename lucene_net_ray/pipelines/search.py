@@ -91,6 +91,59 @@ def merge_top_docs(per_shard: list[list[tuple[int, float]]], k: int) -> list[tup
     return out
 
 
+class QueryEvalStage:
+    """Actor-pool map_batches stage: evaluate a Dataset of query strings.
+
+    Each actor opens the FULL index once in __init__ (term dicts in RAM,
+    postings mmap'd) and evaluates every query in a batch end-to-end —
+    queries-as-data, the bulk-serving dual of the per-query Searcher
+    (SURVEY.md §3.3 "Queries-as-Dataset"). Global stats come from the
+    index manifest + per-term lookups, cached across batches.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10):
+        from ..state.index import IndexMeta
+
+        self.searcher = Searcher(IndexMeta(index_dir), use_actors=False)
+        self.k = k
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from ..query import parse_query
+
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        for row in batch.to_pylist():
+            try:
+                q = parse_query(row["query"])
+            except Exception:
+                continue
+            for rank, (doc, score) in enumerate(self.searcher.search(q, k=self.k), 1):
+                out["query_id"].append(row["query_id"])
+                out["rank"].append(rank)
+                out["doc_id"].append(doc)
+                out["score"].append(float(score))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "rank": pa.array(out["rank"], type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+            }
+        )
+
+
+def evaluate_query_dataset(index_dir: str, queries_ds, *, k: int = 10, concurrency=(1, 8), batch_size: int = 64):
+    """queries Dataset (query_id, query) -> hits Dataset (query_id, rank, doc_id, score)."""
+    return queries_ds.map_batches(
+        QueryEvalStage,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class Searcher:
     """IndexSearcher analog. use_actors=False runs in-process (tests)."""
 

@@ -56,6 +56,16 @@ def check_index(index: IndexMeta | str) -> dict:
                 assert blocks["min_normb"][bi] == r.norms[docids[lo:hi]].max(), (
                     f"{seg_dir} term {i} blk {bi}: min_normb"
                 )
+            if r.has_positions:
+                pdocs, ptfs, flat, occ = r.positions(str(r.terms[i]))
+                assert np.array_equal(pdocs, docids), f"{seg_dir} term {i}: pos docs"
+                assert flat.size == int(tfs.sum()), f"{seg_dir} term {i}: pos count"
+                for j in range(pdocs.size):
+                    seg = flat[occ[j] : occ[j + 1]]
+                    assert (np.diff(seg) > 0).all() if seg.size > 1 else True, (
+                        f"{seg_dir} term {i} doc {j}: positions out of order"
+                    )
+                    assert seg.size == tfs[j], f"{seg_dir} term {i} doc {j}: pos/freq"
             sum_ttf_from_terms += int(tfs.sum())
             totals["postings"] += docids.size
         assert sum_ttf_from_terms == r.sum_ttf, f"{seg_dir}: terms ttf vs docs"

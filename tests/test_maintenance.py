@@ -1,0 +1,90 @@
+"""addIndexes + NRT reopen + queries-as-dataset batch evaluation."""
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_net_ray.oracle import OracleIndex
+from lucene_net_ray.pipelines.build import build_index_from_table
+from lucene_net_ray.pipelines.maintenance import add_indexes, reopen
+from lucene_net_ray.pipelines.search import Searcher
+from lucene_net_ray.query import parse_query
+from lucene_net_ray.sources.corpus import generate_corpus
+from lucene_net_ray.state.checkindex import check_index
+
+
+def test_add_indexes_equals_single_build(tmp_path):
+    c1 = generate_corpus(120, seed=1)
+    c2 = generate_corpus(80, seed=2)
+    combined_contents = c1.column("content").to_pylist() + c2.column("content").to_pylist()
+    idx1 = str(tmp_path / "i1")
+    idx2 = str(tmp_path / "i2")
+    build_index_from_table(c1, idx1, target_rows_per_segment=50)
+    build_index_from_table(c2, idx2, target_rows_per_segment=50)
+    merged = add_indexes(str(tmp_path / "combined"), idx1, idx2)
+    assert merged.max_doc == 200
+    check_index(merged)
+
+    oracle = OracleIndex(combined_contents)
+    s = Searcher(merged, use_actors=False)
+    for qs in ["public", "+public +query", "query token score", "zyzzyva"]:
+        q = parse_query(qs)
+        hits = s.search(q, k=10)
+        expected = oracle.top_k(q, 10)
+        assert [d for d, _ in hits] == [d for d, _ in expected]
+        for (d1, s1), (d2, s2) in zip(hits, expected):
+            assert np.float32(s1) == np.float32(s2)
+
+
+def test_reopen_sees_added_segments(tmp_path):
+    c1 = generate_corpus(60, seed=3)
+    idx1 = str(tmp_path / "i1")
+    build_index_from_table(c1, idx1, target_rows_per_segment=60)
+    combined = str(tmp_path / "combined")
+    add_indexes(combined, idx1)
+    s = reopen(combined)
+    n1 = s.count(parse_query("public"))
+    # "commit" more docs by re-running add_indexes with an extra source
+    c2 = generate_corpus(60, seed=4)
+    idx2 = str(tmp_path / "i2")
+    build_index_from_table(c2, idx2, target_rows_per_segment=60)
+    add_indexes(combined, idx1, idx2)
+    s2 = reopen(combined)
+    assert s2.index.max_doc == 120
+    assert s2.count(parse_query("public")) >= n1
+
+
+def test_checkindex_validates_positions(tmp_path):
+    corpus = generate_corpus(80, seed=5)
+    idx = str(tmp_path / "idx")
+    build_index_from_table(corpus, idx, target_rows_per_segment=40, index_options="positions")
+    totals = check_index(idx)
+    assert totals["docs"] == 80
+
+
+def test_queries_as_dataset(tmp_path):
+    import ray.data
+
+    from lucene_net_ray.pipelines.search import evaluate_query_dataset
+
+    corpus = generate_corpus(150, seed=6)
+    idx = str(tmp_path / "idx")
+    build_index_from_table(corpus, idx, target_rows_per_segment=50)
+    oracle = OracleIndex(corpus.column("content").to_pylist())
+    queries = [
+        {"query_id": 0, "query": "public"},
+        {"query_id": 1, "query": "+public +query"},
+        {"query_id": 2, "query": "query token score"},
+        {"query_id": 3, "query": "((broken"},  # unparseable -> skipped
+    ]
+    qds = ray.data.from_items(queries)
+    hits = evaluate_query_dataset(idx, qds, k=5, concurrency=(1, 2)).take_all()
+    by_q = {}
+    for h in hits:
+        by_q.setdefault(h["query_id"], []).append((h["rank"], h["doc_id"], h["score"]))
+    assert 3 not in by_q
+    for qid, qs in [(0, "public"), (1, "+public +query"), (2, "query token score")]:
+        expected = oracle.top_k(parse_query(qs), 5)
+        got = sorted(by_q[qid])
+        assert [d for _, d, _ in got] == [d for d, _ in expected]
+        for (_, d1, s1), (d2, s2) in zip(got, expected):
+            assert np.float32(s1) == np.float32(s2)
