@@ -1,0 +1,111 @@
+"""CLI entry points, usable directly or via ``ray job submit``:
+
+  ray job submit -- python -m lucene_net_ray.cli build \
+      --input /data/corpus --out /data/index --positions
+  ray job submit -- python -m lucene_net_ray.cli search \
+      --index /data/index --query '+public +import' -k 10
+  ray job submit -- python -m lucene_net_ray.cli merge \
+      --index /data/index --out /data/index_merged
+  ray job submit -- python -m lucene_net_ray.cli check --index /data/index
+
+Ray is initialised here only when no cluster is already attached (the driver
+contract in __ray_entry__ never goes through this module).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import ray
+
+
+def _ensure_ray():
+    if not ray.is_initialized():
+        ray.init(address="auto" if _has_cluster() else "local", include_dashboard=False)
+
+
+def _has_cluster() -> bool:
+    import os
+
+    return bool(os.environ.get("RAY_ADDRESS")) and os.environ.get("RAY_ADDRESS") != "local"
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="lucene_net_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index from a parquet corpus")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--content-column", default="content")
+    b.add_argument("--stored-columns", default="")
+    b.add_argument("--rows-per-segment", type=int, default=100_000)
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--analyzer", default="standard")
+
+    s = sub.add_parser("search", help="run a classic-syntax query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--actors", type=int, default=4)
+
+    m = sub.add_parser("merge", help="compact into a term-partitioned merged index")
+    m.add_argument("--index", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--bucket-size", type=int, default=8)
+
+    c = sub.add_parser("check", help="CheckIndex-style validation")
+    c.add_argument("--index", required=True)
+
+    h = sub.add_parser("highfreq", help="top-df terms (skew probe)")
+    h.add_argument("--index", required=True)
+    h.add_argument("-k", type=int, default=20)
+
+    args = ap.parse_args(argv)
+    _ensure_ray()
+    try:
+        if args.cmd == "build":
+            from .pipelines.build import build_index
+
+            meta = build_index(
+                args.input,
+                args.out,
+                content_column=args.content_column,
+                stored_columns=tuple(x for x in args.stored_columns.split(",") if x),
+                analyzer_kind=args.analyzer,
+                target_rows_per_segment=args.rows_per_segment,
+                index_options="positions" if args.positions else "freqs",
+            )
+            print(json.dumps({"max_doc": meta.max_doc, "segments": len(meta.segment_dirs),
+                              "sum_ttf": meta.sum_ttf, "out": args.out}))
+        elif args.cmd == "search":
+            from .pipelines.search import Searcher
+            from .query import parse_query
+
+            searcher = Searcher(args.index, num_actors=args.actors, use_actors=True)
+            hits = searcher.search(parse_query(args.query), k=args.k)
+            print(json.dumps([{"doc_id": d, "score": s} for d, s in hits]))
+        elif args.cmd == "merge":
+            from .pipelines.merge import merge_index
+
+            merge_index(args.index, args.out, bucket_size=args.bucket_size)
+            print(json.dumps({"merged": args.out}))
+        elif args.cmd == "check":
+            from .state.checkindex import check_index
+
+            print(json.dumps(check_index(args.index)))
+        elif args.cmd == "highfreq":
+            from .pipelines.merge import high_freq_terms
+            from .state.index import IndexMeta
+
+            rows = high_freq_terms(IndexMeta(args.index), k=args.k).take_all()
+            print(json.dumps(rows))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,14 +83,37 @@ class MinHasher:
         self.num_perm = num_perm
         self.shingle_size = shingle_size
 
+    _tok_cache: dict[str, int] = {}  # per-process unique-token hash memo
+
     def shingles(self, text: str) -> np.ndarray:
+        """Distinct shingle hashes, vectorized: per-token stable hashes
+        (memoized) combined by a rolling polynomial over k-windows."""
         toks = text.split()
         k = self.shingle_size
+        if not toks:
+            return np.empty(0, dtype=np.uint64)
+        cache = self._tok_cache
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = _stable_hash64(t)
+                if len(cache) < 2_000_000:
+                    cache[t] = h
+            hs[i] = h
+        P = np.uint64(0x9E3779B97F4A7C15)
         if len(toks) < k:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        return np.array(sorted({_stable_hash64(g) for g in grams}), dtype=np.uint64)
+            out = hs[:1].copy()
+            with np.errstate(over="ignore"):
+                for j in range(1, len(toks)):
+                    out = out * P + hs[j : j + 1]
+            return np.unique(out)
+        n_win = len(toks) - k + 1
+        with np.errstate(over="ignore"):
+            out = hs[:n_win].copy()
+            for j in range(1, k):
+                out = out * P + hs[j : j + n_win]
+        return np.unique(out)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
@@ -209,17 +232,30 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SIMHASH_BITS: dict[str, np.ndarray] = {}  # token -> {-1,+1}^64 (memoized)
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+_BIT_VAL = 1 << np.arange(64, dtype=np.uint64)
+
+
 def _simhash64(tokens: list[str]) -> int:
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
     from collections import Counter
 
-    for tok, tf in Counter(tokens).items():
-        h = np.uint64(_stable_hash64(tok))
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), tf, -tf)
-    return int(sum(1 << i for i in range(64) if acc[i] > 0))
+    counts = Counter(tokens)
+    mat = np.empty((len(counts), 64), dtype=np.int64)
+    tfs = np.empty(len(counts), dtype=np.int64)
+    for i, (tok, tf) in enumerate(counts.items()):
+        bits = _SIMHASH_BITS.get(tok)
+        if bits is None:
+            h = np.uint64(_stable_hash64(tok))
+            bits = (((h >> _BIT_IDX) & np.uint64(1)).astype(np.int64) * 2) - 1
+            if len(_SIMHASH_BITS) < 2_000_000:
+                _SIMHASH_BITS[tok] = bits
+        mat[i] = bits
+        tfs[i] = tf
+    acc = (mat * tfs[:, None]).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) * _BIT_VAL).sum())
 
 
 def simhash_pairs(

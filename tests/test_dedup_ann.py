@@ -1,0 +1,130 @@
+"""Dedup + ANN + multimodal operators: semantic correctness on crafted data."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lucene_net_ray.stages.ann import brute_force_topk, lsh_topk
+from lucene_net_ray.stages.dedup import (
+    MinHasher,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+def _docs_ds(texts):
+    return ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_keeps_min_id():
+    texts = ["alpha beta", "gamma delta", "alpha beta", "alpha beta", "epsilon"]
+    rows = exact_dedup(_docs_ds(texts)).take_all()
+    by_hash = {r["text_hash"]: r for r in rows}
+    assert len(rows) == 3
+    dup = [r for r in rows if r["n_dups"] == 3]
+    assert len(dup) == 1 and dup[0]["kept_doc_id"] == 0
+
+
+def test_minhash_finds_near_duplicates():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")  # one token changed out of 45
+    far = "completely different content with other words entirely " * 5
+    rows = minhash_lsh_pairs(
+        _docs_ds([base, near, far]), threshold=0.5, shingle_size=3
+    ).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_minhash_estimator_quality():
+    mh = MinHasher(num_perm=128, shingle_size=2)
+    a = "w" + " w".join(str(i) for i in range(100))
+    b = "w" + " w".join(str(i) for i in range(50, 150))
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = float((sa == sb).mean())
+    sha, shb = set(mh.shingles(a).tolist()), set(mh.shingles(b).tolist())
+    true_j = len(sha & shb) / len(sha | shb)
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_near_duplicates():
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    near = base.replace("dog", "cat")
+    far = "zzz yyy xxx www vvv uuu ttt " * 4
+    rows = simhash_pairs(_docs_ds([base, near, far]), max_hamming=12).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ngram_jaccard_exact_value():
+    a = "a b c d e"   # 2-grams: ab bc cd de
+    b = "a b c x y"   # 2-grams: ab bc cx xy
+    rows = ngram_jaccard_pairs(
+        _docs_ds([a, b]), shingle_size=2, threshold=0.01
+    ).take_all()
+    assert len(rows) == 1
+    # |inter| = {ab, bc} = 2; |union| = 6 -> 1/3
+    assert rows[0]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_brute_force_ann_matches_numpy():
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+    )
+    queries = vecs[:3].astype(np.float64)
+    rows = brute_force_topk(ds, queries, k=5)
+    v64 = vecs.astype(np.float64)
+    vn = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+    for qi in range(3):
+        sims = vn @ (queries[qi] / np.linalg.norm(queries[qi]))
+        expected = np.lexsort((np.arange(200), -sims))[:5]
+        got = [r["vec_id"] for r in rows if r["query_id"] == qi]
+        assert got == expected.tolist()
+        assert got[0] == qi  # self-similarity = 1
+
+
+def test_lsh_ann_recall():
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((500, 16)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(500)]
+    )
+    queries = vecs[:5].astype(np.float64)
+    rows = lsh_topk(ds, queries, k=5, bits=4)
+    # the query vector itself shares its own bucket -> rank-1 self hit
+    for qi in range(5):
+        got = [r for r in rows if r["query_id"] == qi]
+        assert got and got[0]["vec_id"] == qi
+
+
+def test_multimodal_pipeline_plumbing():
+    from lucene_net_ray.stages.multimodal import (
+        DecodeStage,
+        media_feature_pipeline,
+        synthesize_media_table,
+    )
+
+    tbl = synthesize_media_table(24, seed=9)
+    out = media_feature_pipeline(ray.data.from_arrow(tbl), concurrency=(1, 2)).take_all()
+    assert len(out) == 24
+    for r in out:
+        assert "payload" not in r  # payload dropped after decode
+        assert len(r["feature"]) == 16
+        if r["modality"] == "image":
+            assert r["width"] >= 64 and 0 < r["resize_scale"] <= 4.0
+    # determinism
+    out2 = media_feature_pipeline(ray.data.from_arrow(tbl), concurrency=(1, 2)).take_all()
+    key = lambda r: r["content_id"]
+    assert sorted(out, key=key) == sorted(out2, key=key)
+    # strict mode demands real codecs (not installed here)
+    with pytest.raises(NotImplementedError):
+        DecodeStage(strict=True)
