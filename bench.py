@@ -176,7 +176,7 @@ def run_full() -> dict:
     import ray
 
     total0 = time.perf_counter()
-    b = build_bench(NUM_CPUS)
+    b = build_bench(NUM_CPUS, warmup=True)
     lat = query_bench(b["index_dir"])
     m = merge_bench(b["index_dir"])
     d = data_pipeline_bench(SF_DIR)

@@ -171,8 +171,12 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
     )
 
+    COARSE = 1024  # groupby key granularity: per-group UDF calls are the
+    # dominant cost of fine-grained map_groups (one call per LSH bucket);
+    # hash buckets into COARSE groups and split exact (band,key) runs inside
+
     def to_band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, keys, sig_col = [], [], [], []
+        doc_ids, band_ids, keys, sig_col, coarse = [], [], [], [], []
         for row in batch.to_pylist():
             sig = row["sig"]
             for bi in range(bands):
@@ -182,11 +186,13 @@ def minhash_lsh_pairs(
                 band_ids.append(bi)
                 keys.append(key)
                 sig_col.append(sig)
+                coarse.append((key ^ (bi * 0x9E3779B9)) % COARSE)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "band": pa.array(band_ids, type=pa.int32()),
                 "key": pa.array(keys, type=pa.uint64()),
+                "coarse": pa.array(coarse, type=pa.int64()),
                 "sig": pa.array(sig_col, type=pa.list_(pa.uint64())),
             }
         )
@@ -194,23 +200,27 @@ def minhash_lsh_pairs(
     band_rows = sigs.map_batches(to_band_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2 or n > max_bucket:  # head-bucket guard
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
-        rows = group.to_pylist()
-        rows.sort(key=lambda x: x["doc_id"])
         out_a, out_b, est = [], [], []
-        for x, y in combinations(rows, 2):
-            if x["doc_id"] == y["doc_id"]:
-                continue
-            sx = np.asarray(x["sig"], dtype=np.uint64)
-            sy = np.asarray(y["sig"], dtype=np.uint64)
-            j = float((sx == sy).mean())
-            if j >= threshold:
-                out_a.append(x["doc_id"])
-                out_b.append(y["doc_id"])
-                est.append(_round6(j))
+        rows = group.to_pylist()
+        rows.sort(key=lambda x: (x["band"], x["key"], x["doc_id"]))
+        i = 0
+        while i < len(rows):
+            j = i
+            while j < len(rows) and rows[j]["band"] == rows[i]["band"] and rows[j]["key"] == rows[i]["key"]:
+                j += 1
+            run = rows[i:j]
+            if 2 <= len(run) <= max_bucket:  # head-bucket guard
+                for x, y in combinations(run, 2):
+                    if x["doc_id"] == y["doc_id"]:
+                        continue
+                    sx = np.asarray(x["sig"], dtype=np.uint64)
+                    sy = np.asarray(y["sig"], dtype=np.uint64)
+                    jac = float((sx == sy).mean())
+                    if jac >= threshold:
+                        out_a.append(x["doc_id"])
+                        out_b.append(y["doc_id"])
+                        est.append(_round6(jac))
+            i = j
         return pa.table(
             {
                 "doc_a": pa.array(out_a, type=pa.int64()),
@@ -219,7 +229,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = band_rows.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = band_rows.groupby("coarse").map_groups(bucket_pairs, batch_format="pyarrow")
     # a pair can surface from several bands: keep one row per pair
     return (
         pairs.groupby(["doc_a", "doc_b"])
@@ -274,20 +284,25 @@ def simhash_pairs(
 
     sh = ds.map_batches(add_simhash, batch_format="pyarrow")
 
+    COARSE = 512
+
     def to_band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, bands_, keys, hashes = [], [], [], []
+        doc_ids, bands_, keys, hashes, coarse = [], [], [], [], []
         for row in batch.to_pylist():
             h = row["simhash"] + (1 << 63)
             for bi in range(4):
+                key = (h >> (16 * bi)) & 0xFFFF
                 doc_ids.append(row["doc_id"])
                 bands_.append(bi)
-                keys.append((h >> (16 * bi)) & 0xFFFF)
+                keys.append(key)
                 hashes.append(row["simhash"])
+                coarse.append((key ^ (bi * 0x9E37)) % COARSE)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "band": pa.array(bands_, type=pa.int32()),
                 "key": pa.array(keys, type=pa.int64()),
+                "coarse": pa.array(coarse, type=pa.int64()),
                 "simhash": pa.array(hashes, type=pa.int64()),
             }
         )
@@ -295,18 +310,24 @@ def simhash_pairs(
     band_rows = sh.map_batches(to_band_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
         out_a, out_b, dist = [], [], []
-        if 2 <= n <= max_bucket:
-            rows = sorted(group.to_pylist(), key=lambda x: x["doc_id"])
-            for x, y in combinations(rows, 2):
-                if x["doc_id"] == y["doc_id"]:
-                    continue
-                d = int(bin((x["simhash"] ^ y["simhash"]) & ((1 << 64) - 1)).count("1"))
-                if d <= max_hamming:
-                    out_a.append(x["doc_id"])
-                    out_b.append(y["doc_id"])
-                    dist.append(d)
+        rows = sorted(group.to_pylist(), key=lambda x: (x["band"], x["key"], x["doc_id"]))
+        i = 0
+        while i < len(rows):
+            j = i
+            while j < len(rows) and rows[j]["band"] == rows[i]["band"] and rows[j]["key"] == rows[i]["key"]:
+                j += 1
+            run = rows[i:j]
+            if 2 <= len(run) <= max_bucket:
+                for x, y in combinations(run, 2):
+                    if x["doc_id"] == y["doc_id"]:
+                        continue
+                    d = int(bin((x["simhash"] ^ y["simhash"]) & ((1 << 64) - 1)).count("1"))
+                    if d <= max_hamming:
+                        out_a.append(x["doc_id"])
+                        out_b.append(y["doc_id"])
+                        dist.append(d)
+            i = j
         return pa.table(
             {
                 "doc_a": pa.array(out_a, type=pa.int64()),
@@ -315,7 +336,7 @@ def simhash_pairs(
             }
         )
 
-    pairs = band_rows.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = band_rows.groupby("coarse").map_groups(bucket_pairs, batch_format="pyarrow")
     return (
         pairs.groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming"))
@@ -342,6 +363,8 @@ def ngram_jaccard_pairs(
     becomes a hash join at petabyte scale).
     """
 
+    COARSE = 2048
+
     def to_shingle_rows(batch: pa.Table) -> pa.Table:
         doc_ids, sh_hashes, sizes = [], [], []
         for row in batch.to_pylist():
@@ -356,26 +379,35 @@ def ngram_jaccard_pairs(
                 doc_ids.append(row["doc_id"])
                 sh_hashes.append(_stable_hash64(g) - (1 << 63))
                 sizes.append(len(grams))
-        return pa.table(
+        t = pa.table(
             {
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "shingle": pa.array(sh_hashes, type=pa.int64()),
                 "set_size": pa.array(sizes, type=pa.int64()),
             }
         )
+        return t.append_column(
+            "coarse", pa.compute.bit_wise_and(t.column("shingle"), COARSE - 1)
+        )
 
     shingle_rows = ds.map_batches(to_shingle_rows, batch_format="pyarrow")
 
     def co_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
         out_a, out_b, sa, sb = [], [], [], []
-        if 2 <= n <= max_shingle_df:
-            rows = sorted(group.to_pylist(), key=lambda x: x["doc_id"])
-            for x, y in combinations(rows, 2):
-                out_a.append(x["doc_id"])
-                out_b.append(y["doc_id"])
-                sa.append(x["set_size"])
-                sb.append(y["set_size"])
+        rows = sorted(group.to_pylist(), key=lambda x: (x["shingle"], x["doc_id"]))
+        i = 0
+        while i < len(rows):
+            j = i
+            while j < len(rows) and rows[j]["shingle"] == rows[i]["shingle"]:
+                j += 1
+            run = rows[i:j]
+            if 2 <= len(run) <= max_shingle_df:  # head-shingle guard
+                for x, y in combinations(run, 2):
+                    out_a.append(x["doc_id"])
+                    out_b.append(y["doc_id"])
+                    sa.append(x["set_size"])
+                    sb.append(y["set_size"])
+            i = j
         return pa.table(
             {
                 "doc_a": pa.array(out_a, type=pa.int64()),
@@ -386,22 +418,26 @@ def ngram_jaccard_pairs(
             }
         )
 
-    co = shingle_rows.groupby("shingle").map_groups(co_pairs, batch_format="pyarrow")
+    co = shingle_rows.groupby("coarse").map_groups(co_pairs, batch_format="pyarrow")
 
-    def finish(group: pa.Table) -> pa.Table:
-        row0 = group.slice(0, 1).to_pylist()[0]
-        inter = group.num_rows  # one row per shared shingle
-        union = row0["size_a"] + row0["size_b"] - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            return pa.table(
-                {
-                    "doc_a": pa.array([row0["doc_a"]], pa.int64()),
-                    "doc_b": pa.array([row0["doc_b"]], pa.int64()),
-                    "jaccard": pa.array([_round6(j)], pa.float64()),
-                }
-            )
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+    # per-pair reduction as a vectorized aggregate (a per-group UDF here would
+    # mean one Python call per candidate pair)
+    agg = co.groupby(["doc_a", "doc_b"]).aggregate(Count(), Min("size_a"), Min("size_b"))
 
-    return co.groupby(["doc_a", "doc_b"]).map_groups(finish, batch_format="pyarrow")
+    def finish(batch: pa.Table) -> pa.Table:
+        inter = batch.column("count()").to_numpy().astype(np.float64)
+        sa = batch.column("min(size_a)").to_numpy().astype(np.float64)
+        sb = batch.column("min(size_b)").to_numpy().astype(np.float64)
+        union = sa + sb - inter
+        j = np.where(union > 0, inter / union, 0.0)
+        jr = np.floor(j * 1e6 + 0.5) / 1e6  # half-away, like DuckDB ROUND
+        keep = jr >= threshold
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "jaccard": pa.array(jr[keep], type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
