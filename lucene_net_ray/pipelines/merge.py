@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -44,10 +45,17 @@ def _segment_term_rows(batch: pa.Table, *, with_blobs: bool, bucket_size: int = 
         seg_dir = row["seg_dir"]
         r = SegmentReader(seg_dir)
         n = len(r.terms)
+        terms_list = list(r.terms)
         cols: dict = {
-            "term": pa.array(list(r.terms), type=pa.string()),
+            "term": pa.array(terms_list, type=pa.string()),
             "seg_id": pa.array(np.full(n, row["seg_id"], dtype=np.int64)),
             "bucket": pa.array(np.full(n, row["seg_id"] // bucket_size, dtype=np.int64)),
+            # coarse shuffle key: one map_groups UDF call per (term,bucket)
+            # group would dominate at real vocab sizes; hash terms into a
+            # bounded number of groups and split exact runs inside the UDF
+            "coarse": pa.array(
+                np.array([zlib.crc32(t.encode()) & 0x7FF for t in terms_list], dtype=np.int64)
+            ),
             "df": pa.array(r.df_array.astype(np.int64)),
             "ttf": pa.array(r.ttf_array.astype(np.int64)),
         }
@@ -131,9 +139,26 @@ def high_freq_terms(index: IndexMeta, k: int = 20) -> ray.data.Dataset:
 
 
 def _merge_term_group(group: pa.Table) -> pa.Table:
-    """map_groups fn for one (term, bucket) group: ordered chunk concat."""
-    order = np.argsort(group.column("seg_id").to_numpy(), kind="stable")
-    rows = group.take(pa.array(order)).to_pylist()
+    """One coarse group: split into exact (term, bucket) runs, merge each."""
+    rows_all = group.to_pylist()
+    rows_all.sort(key=lambda x: (x["term"], x["bucket"], x["seg_id"]))
+    outs = []
+    i = 0
+    while i < len(rows_all):
+        j = i
+        while (
+            j < len(rows_all)
+            and rows_all[j]["term"] == rows_all[i]["term"]
+            and rows_all[j]["bucket"] == rows_all[i]["bucket"]
+        ):
+            j += 1
+        outs.append(_merge_one_run(rows_all[i:j]))
+        i = j
+    return pa.concat_tables(outs)
+
+
+def _merge_one_run(rows: list[dict]) -> pa.Table:
+    """Ordered chunk concat for one (term, bucket) run (already seg-sorted)."""
     doc_parts: list[bytes] = []
     frq_parts: list[bytes] = []
     pos_parts: list[bytes] = []
@@ -212,7 +237,7 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
         batch_format="pyarrow",
         batch_size=None,
     )
-    merged = term_rows.groupby(["term", "bucket"]).map_groups(_merge_term_group, batch_format="pyarrow")
+    merged = term_rows.groupby("coarse").map_groups(_merge_term_group, batch_format="pyarrow")
     merged.write_parquet(os.path.join(out_dir, "parts"))
 
     # docs: copy per-segment doc tables, already global docIDs
