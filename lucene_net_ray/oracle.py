@@ -104,6 +104,24 @@ class OracleIndex:
         if isinstance(q, PhraseQuery):
             qpos = q.term_positions()
             pos_map = self.positions[doc]
+            if q.slop > 0:
+                from .pipelines.scorer import _sloppy_phrase_freq
+
+                plists = []
+                for t, p in zip(q.terms, qpos):
+                    pl = pos_map.get(t)
+                    if not pl:
+                        return None
+                    plists.append([x - p for x in pl])
+                freq = _sloppy_phrase_freq(plists, q.slop)
+                if freq == 0:
+                    return None
+                idf_sum = np.float32(0.0)
+                for t in q.terms:
+                    idf_sum = np.float32(idf_sum + sim.idf(self.df[t], self.max_doc))
+                w = np.float32(np.float32(idf_sum * np.float32(q.boost)) * (self.k1 + np.float32(1.0)))
+                f32 = np.float32(freq)
+                return np.float32((w * f32) / (f32 + self.cache[self.norm_bytes[doc]]))
             sets = []
             for t, p in zip(q.terms, qpos):
                 pl = pos_map.get(t)

@@ -231,6 +231,51 @@ def _edit_distance_capped(a: str, b: str, cap: int) -> int:
     return prev[lb]
 
 
+def _sloppy_phrase_freq(plists: list[list[int]], slop: int) -> float:
+    """PhraseFreq() port: plists = per-term offset-adjusted position lists
+    (sorted ascending, non-repeating terms). Returns float32 freq."""
+    import heapq
+
+    if len(plists) == 1:
+        return float(len(plists[0]))  # every position is a 0-length match
+    iters = [iter(pl) for pl in plists]
+    cur = []
+    end = -1
+    for i, it in enumerate(iters):
+        p = next(it)
+        cur.append(p)
+        end = max(end, p)
+    pq = [(p, i) for i, p in enumerate(cur)]
+    heapq.heapify(pq)
+    freq = np.float32(0.0)
+
+    pos, i = heapq.heappop(pq)
+    match_length = end - pos
+    nxt = pq[0][0]
+    while True:
+        # AdvancePP: next position of term i, update end
+        p = next(iters[i], None)
+        if p is None:
+            break
+        if p > end:
+            end = p
+        if p > nxt:  # done minimizing current match length
+            if match_length <= slop:
+                freq = np.float32(freq + np.float32(1.0 / (match_length + 1.0)))
+            heapq.heappush(pq, (p, i))
+            pos, i = heapq.heappop(pq)
+            nxt = pq[0][0]
+            match_length = end - pos
+        else:
+            ml2 = end - p
+            if ml2 < match_length:
+                match_length = ml2
+            pos = p
+    if match_length <= slop:
+        freq = np.float32(freq + np.float32(1.0 / (match_length + 1.0)))
+    return float(freq)
+
+
 class SegmentScorer:
     """Evaluates a query tree against one segment with index-global stats."""
 
@@ -318,9 +363,10 @@ class SegmentScorer:
 
     def _evaluate_phrase(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
         """ExactPhraseScorer: positions must align with the query's analyzed
-        position pattern; tf = phrase frequency; weight = f32-summed idfs."""
+        position pattern; tf = phrase frequency; weight = f32-summed idfs.
+        slop>0 delegates to the SloppyPhraseScorer port."""
         if q.slop != 0:
-            raise NotImplementedError("sloppy phrase (slop>0) is not implemented yet")
+            return self._evaluate_sloppy_phrase(q)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         if not q.terms:
             return empty
@@ -351,6 +397,53 @@ class SegmentScorer:
         w = np.float32(np.float32(idf_sum * np.float32(q.boost)) * (self.k1 + np.float32(1.0)))
         scores = sim.score_tf(freqs.astype(np.int64), self.reader.norms[docs], w, self.cache)
         return docs.astype(np.int64), scores
+
+    def _evaluate_sloppy_phrase(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
+        """SloppyPhraseScorer port (non-repeating terms): min-window sweep via
+        a priority queue, phrase freq = f32 sum of 1/(matchLength+1) per match
+        (/root/reference/src/Lucene.Net.Core/Search/SloppyPhraseScorer.cs:102-146,
+        SloppyFreq = 1/(distance+1), BM25Similarity.cs:75).
+        """
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        if not q.terms:
+            return empty
+        if len(set(q.terms)) != len(q.terms):
+            raise NotImplementedError("sloppy phrase with repeating terms is not supported yet")
+        qpos = q.term_positions()
+        per_term = []
+        for t, p in zip(q.terms, qpos):
+            if self.stats["df"].get(t, 0) == 0:
+                return empty
+            docids, tfs, flat, occ = self.reader.positions(t)
+            if docids.size == 0:
+                return empty
+            per_term.append((docids, tfs, flat, occ, p))
+        common = per_term[0][0]
+        for d, *_ in per_term[1:]:
+            common = np.intersect1d(common, d, assume_unique=True)
+        if common.size == 0:
+            return empty
+        out_docs, out_freqs = [], []
+        for doc in common.tolist():
+            plists = []
+            for docids, tfs, flat, occ, p in per_term:
+                j = int(np.searchsorted(docids, doc))
+                plists.append((flat[occ[j] : occ[j + 1]] - p).tolist())
+            f = _sloppy_phrase_freq(plists, q.slop)
+            if f > 0:
+                out_docs.append(doc)
+                out_freqs.append(f)
+        if not out_docs:
+            return empty
+        docs = np.array(out_docs, dtype=np.int64)
+        freqs = np.array(out_freqs, dtype=np.float32)
+        idf_sum = np.float32(0.0)
+        for t in q.terms:
+            idf_sum = np.float32(idf_sum + sim.idf(self.stats["df"][t], self.stats["max_doc"]))
+        w = np.float32(np.float32(idf_sum * np.float32(q.boost)) * (self.k1 + np.float32(1.0)))
+        c = self.cache[self.reader.norms[docs]]
+        scores = ((np.float32(w) * freqs) / (freqs + c)).astype(np.float32)
+        return docs, scores
 
     def _evaluate_dismax(self, q: DisjunctionMaxQuery) -> tuple[np.ndarray, np.ndarray]:
         """DisjunctionMaxScorer: max + tieBreaker * (sum - max) per doc."""

@@ -122,3 +122,56 @@ def test_freqs_only_index_rejects_phrase(tmp_path):
     s = Searcher(idx, use_actors=False)
     with pytest.raises(ValueError):
         s.search(PhraseQuery(terms=("quick", "brown")), k=5)
+
+
+# --- sloppy phrase: hand-derived SloppyPhraseScorer.PhraseFreq vectors ------
+
+def test_sloppy_freq_hand_vectors():
+    from lucene_net_ray.pipelines.scorer import _sloppy_phrase_freq
+
+    # "a b"~1 on "a x b": a@0, b@2 -> adjusted a=[0], b=[1]; matchLength 1
+    assert _sloppy_phrase_freq([[0], [1]], 1) == pytest.approx(0.5)
+    # same but slop 0 -> no match
+    assert _sloppy_phrase_freq([[0], [1]], 0) == 0.0
+    # transposed "b a": adjusted a=[1], b=[-1]; distance 2
+    assert _sloppy_phrase_freq([[1], [-1]], 1) == 0.0
+    assert _sloppy_phrase_freq([[1], [-1]], 2) == pytest.approx(1 / 3)
+    # exact adjacency: distance 0 -> slop factor 1
+    assert _sloppy_phrase_freq([[0], [0]], 0) == pytest.approx(1.0)
+    # two exact occurrences -> freq 2
+    assert _sloppy_phrase_freq([[0, 5], [0, 5]], 0) == pytest.approx(2.0)
+
+
+def test_sloppy_phrase_engine_vs_oracle(tmp_path):
+    docs = [
+        "quick brown fox",          # exact
+        "quick red brown fox",      # gap 1
+        "brown quick fox",          # transposed
+        "quick aa bb cc brown",     # gap 3
+        "nothing here",
+    ]
+    idx = str(tmp_path / "idx")
+    build_index_from_table(
+        pa.table({"content": docs}), idx, target_rows_per_segment=3, index_options="positions"
+    )
+    oracle = OracleIndex(docs)
+    searcher = Searcher(idx, use_actors=False)
+    for slop in (1, 2, 3):
+        q = PhraseQuery(terms=("quick", "brown"), slop=slop)
+        hits = searcher.search(q, k=10)
+        expected = oracle.top_k(q, 10)
+        assert [d for d, _ in hits] == [d for d, _ in expected], slop
+        for (d1, s1), (d2, s2) in zip(hits, expected):
+            assert np.float32(s1) == np.float32(s2)
+    # slop=1 matches docs 0,1 and the transposed doc only at slop>=2
+    ids1 = {d for d, _ in searcher.search(PhraseQuery(terms=("quick", "brown"), slop=1), k=10)}
+    assert ids1 == {0, 1}
+    ids2 = {d for d, _ in searcher.search(PhraseQuery(terms=("quick", "brown"), slop=2), k=10)}
+    assert ids2 == {0, 1, 2}
+    ids3 = {d for d, _ in searcher.search(PhraseQuery(terms=("quick", "brown"), slop=3), k=10)}
+    assert ids3 == {0, 1, 2, 3}
+
+
+def test_sloppy_parser_syntax(tmp_path):
+    q = parse_query('"quick brown"~2')
+    assert isinstance(q, PhraseQuery) and q.slop == 2
