@@ -548,13 +548,29 @@ class SegmentScorer:
         k: int,
         search_after: tuple[float, int] | None = None,
         mode: str = "auto",
+        exclude_local: np.ndarray | None = None,
     ) -> list[tuple[int, float]]:
         """[(global docid, float32 score)] by (score desc, docid asc), length<=k.
 
         mode: 'auto' uses block-max WAND for term/pure-disjunction queries
         (result-preserving pruning), 'exhaustive' forces full evaluation,
         'wand' forces WAND (error if the query shape is ineligible).
+        exclude_local: deleted (liveDocs) local docids — forces the
+        exhaustive path so masking happens before top-k selection.
         """
+        if exclude_local is not None and exclude_local.size:
+            docs, scores = self.evaluate(q)
+            keep = ~np.isin(docs, exclude_local, assume_unique=True)
+            docs, scores = docs[keep], scores[keep]
+            if search_after is not None:
+                a_score = np.float32(search_after[0])
+                a_doc = search_after[1] - self.reader.doc_base
+                m = (scores < a_score) | ((scores == a_score) & (docs > a_doc))
+                docs, scores = docs[m], scores[m]
+            if docs.size == 0:
+                return []
+            order = np.lexsort((docs, -scores))[:k]
+            return [(int(docs[i]) + self.reader.doc_base, float(scores[i])) for i in order]
         if mode in ("auto", "wand"):
             from .wand import is_wand_eligible, wand_top_k
 

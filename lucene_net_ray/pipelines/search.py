@@ -32,10 +32,23 @@ from .scorer import SegmentScorer, expand_multiterm, query_terms
 
 
 class _SegmentGroup:
-    """In-process group of segments (shared by local searcher and actors)."""
+    """In-process group of segments (shared by local searcher and actors).
 
-    def __init__(self, seg_dirs: list[str]):
+    ``deleted`` is the index-global tombstone array (liveDocs analog); each
+    reader's local slice is computed once here. At cluster scale the array
+    ships once per actor at construction (or per refresh), not per query.
+    """
+
+    def __init__(self, seg_dirs: list[str], deleted: list[int] | None = None):
         self.readers = [SegmentReader(d) for d in seg_dirs]
+        import numpy as _np
+
+        dels = _np.asarray(deleted if deleted is not None else [], dtype=_np.int64)
+        self.deleted_local = []
+        for r in self.readers:
+            lo, hi = r.doc_base, r.doc_base + r.doc_count
+            sel = dels[(dels >= lo) & (dels < hi)] - lo
+            self.deleted_local.append(sel)
 
     def term_stats(self, terms: list[str]) -> dict[str, list[int]]:
         out = {}
@@ -57,19 +70,34 @@ class _SegmentGroup:
 
     def top_k(self, q: Query, stats: dict, k: int, search_after=None) -> list[tuple[int, float]]:
         merged: list[tuple[int, float]] = []
-        for r in self.readers:
-            merged.extend(SegmentScorer(r, stats).top_k(q, k, search_after))
+        for r, dels in zip(self.readers, self.deleted_local):
+            merged.extend(
+                SegmentScorer(r, stats).top_k(q, k, search_after, exclude_local=dels)
+            )
         merged.sort(key=lambda h: (-h[1], h[0]))
         return merged[:k]
 
     def count(self, q: Query, stats: dict) -> int:
-        return sum(SegmentScorer(r, stats).count(q) for r in self.readers)
+        import numpy as _np
+
+        total = 0
+        for r, dels in zip(self.readers, self.deleted_local):
+            docs, _ = SegmentScorer(r, stats).evaluate(q)
+            if dels.size:
+                docs = docs[~_np.isin(docs, dels, assume_unique=True)]
+            total += int(docs.size)
+        return total
 
     def scored_docs(self, q: Query, stats: dict) -> list[tuple[int, float]]:
-        """All matching (global docid, score) — for tests/oracles, not serving."""
+        """All matching live (global docid, score) — for tests/oracles."""
+        import numpy as _np
+
         out = []
-        for r in self.readers:
+        for r, dels in zip(self.readers, self.deleted_local):
             docs, scores = SegmentScorer(r, stats).evaluate(q)
+            if dels.size:
+                keep = ~_np.isin(docs, dels, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
             out.extend(zip((docs + r.doc_base).tolist(), scores.tolist()))
         return out
 
@@ -154,10 +182,13 @@ class Searcher:
         groups = [seg_dirs[i::n] for i in range(n)]
         self.use_actors = use_actors
         self._df_cache: dict[str, int] = {}
+        from ..state.deletes import load_deleted
+
+        deleted = load_deleted(self.index.index_dir).tolist()
         if use_actors:
-            self.groups = [SegmentGroupActor.remote(g) for g in groups]
+            self.groups = [SegmentGroupActor.remote(g, deleted) for g in groups]
         else:
-            self.groups = [_SegmentGroup(g) for g in groups]
+            self.groups = [_SegmentGroup(g, deleted) for g in groups]
 
     # --- the global stats pass (one term-dict gather per query) -----------
     def _rewrite_and_stats(self, q: Query) -> tuple[Query, dict]:

@@ -88,3 +88,41 @@ def test_queries_as_dataset(tmp_path):
         assert [d for _, d, _ in got] == [d for d, _ in expected]
         for (_, d1, s1), (d2, s2) in zip(got, expected):
             assert np.float32(s1) == np.float32(s2)
+
+
+def test_delete_documents_livedocs(tmp_path):
+    from lucene_net_ray.query import TermQuery
+    from lucene_net_ray.state.deletes import delete_by_query, load_deleted
+
+    corpus = generate_corpus(100, seed=8)
+    idx = str(tmp_path / "idx")
+    build_index_from_table(corpus, idx, target_rows_per_segment=40)
+    s0 = Searcher(idx, use_actors=False)
+    q = parse_query("zyzzyva")
+    before_ids = {d for d, _ in s0.scored_docs(q)}
+    assert before_ids
+    n_before = s0.count(parse_query("public"))
+
+    # delete all docs containing zyzzyva
+    n_del = delete_by_query(idx, TermQuery(term="zyzzyva"))
+    assert n_del == len(before_ids)
+    assert set(load_deleted(idx).tolist()) == before_ids
+
+    s1 = reopen(idx)
+    assert s1.count(q) == 0
+    assert s1.search(q, k=10) == []
+    # other docs still searchable; deleted docs excluded from other queries too
+    pub_ids = {d for d, _ in s1.scored_docs(parse_query("public"))}
+    assert not (pub_ids & before_ids)
+    assert s1.count(parse_query("public")) <= n_before
+    # Lucene semantics: df/idf unchanged until expunge -> surviving doc scores
+    # identical to pre-delete scores
+    pre = dict(s0.scored_docs(parse_query("public")))
+    post = dict(s1.scored_docs(parse_query("public")))
+    for d, sc in post.items():
+        assert np.float32(sc) == np.float32(pre[d])
+    # tombstone generations accumulate
+    delete_by_query(idx, TermQuery(term="quux"))
+    s2 = reopen(idx)
+    assert s2.count(parse_query("quux")) == 0
+    assert s2.count(q) == 0
