@@ -1,0 +1,231 @@
+"""Span queries over position streams (SURVEY.md §2.6 Spans row).
+
+  SpanTermQuery   one span (pos, pos+1) per occurrence
+  SpanNearQuery   ordered: consecutive non-overlapping sub-spans, total gap
+                  <= slop, shrunk to the shortest match (NearSpansOrdered's
+                  ShrinkToAfterShortestMatch intent; the reference's
+                  overlapping-ordered edge cases are simplified here and
+                  documented as such);
+                  unordered: min-window sweep, window_width - sum(lengths)
+                  <= slop (NearSpansUnordered criterion)
+  SpanOrQuery     merged span stream
+  SpanNotQuery    include spans that do not overlap any exclude span
+  SpanFirstQuery  spans with end <= n
+
+Scoring matches SpanScorer.SetFreqCurrentDoc
+(/root/reference/src/Lucene.Net.Core/Search/Spans/SpanScorer.cs:72-87):
+freq += float32(1 / ((end - start) + 1)) per span, weight = f32-summed idfs
+of all terms in the tree, same BM25 tf curve as phrases.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..functions import similarity as sim
+from ..query import Query
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(Query):
+    field: str = "content"
+    term: str = ""
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    clauses: tuple = ()
+    slop: int = 0
+    in_order: bool = True
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(Query):
+    clauses: tuple = ()
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    include: Query = None
+    exclude: Query = None
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    match: Query = None
+    end: int = 1
+    field: str = "content"
+
+
+def span_terms(q) -> set[str]:
+    if isinstance(q, SpanTermQuery):
+        return {q.term}
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= span_terms(c)
+        return out
+    if isinstance(q, SpanNotQuery):
+        return span_terms(q.include) | span_terms(q.exclude)
+    if isinstance(q, SpanFirstQuery):
+        return span_terms(q.match)
+    raise TypeError(q)
+
+
+def _positions_by_doc(reader, term: str) -> dict[int, list[int]]:
+    docids, tfs, flat, occ = reader.positions(term)
+    return {
+        int(d): flat[occ[j] : occ[j + 1]].tolist() for j, d in enumerate(docids.tolist())
+    }
+
+
+def enumerate_spans(q, pos_maps: dict[str, dict[int, list[int]]], doc: int) -> list[tuple[int, int]]:
+    """Sorted (start, end) spans of q in one doc ([] when no match)."""
+    if isinstance(q, SpanTermQuery):
+        pl = pos_maps[q.term].get(doc, [])
+        return [(p, p + 1) for p in pl]
+    if isinstance(q, SpanOrQuery):
+        out: list[tuple[int, int]] = []
+        for c in q.clauses:
+            out.extend(enumerate_spans(c, pos_maps, doc))
+        return sorted(set(out))
+    if isinstance(q, SpanFirstQuery):
+        return [s for s in enumerate_spans(q.match, pos_maps, doc) if s[1] <= q.end]
+    if isinstance(q, SpanNotQuery):
+        inc = enumerate_spans(q.include, pos_maps, doc)
+        exc = enumerate_spans(q.exclude, pos_maps, doc)
+        return [
+            (s, e)
+            for s, e in inc
+            if not any(es < e and s < ee for es, ee in exc)  # overlap test
+        ]
+    if isinstance(q, SpanNearQuery):
+        sub = [enumerate_spans(c, pos_maps, doc) for c in q.clauses]
+        if any(not s for s in sub):
+            return []
+        return (
+            _near_ordered(sub, q.slop) if q.in_order else _near_unordered(sub, q.slop)
+        )
+    raise TypeError(q)
+
+
+def _near_ordered(sub: list[list[tuple[int, int]]], slop: int) -> list[tuple[int, int]]:
+    """Ordered near: for each span of the last clause, pick the latest valid
+    predecessor chain (shortest match), total gap <= slop."""
+    out = []
+    for last in sub[-1]:
+        end_limit = last[0]
+        chain_ok = True
+        first_start = None
+        gap = 0
+        nxt_start = last[0]
+        for clause in reversed(sub[:-1]):
+            # latest span ending at or before nxt_start
+            best = None
+            for s in clause:
+                if s[1] <= nxt_start and (best is None or s[1] > best[1] or (s[1] == best[1] and s[0] > best[0])):
+                    best = s
+            if best is None:
+                chain_ok = False
+                break
+            gap += nxt_start - best[1]
+            nxt_start = best[0]
+            first_start = best[0]
+        if chain_ok and gap <= slop:
+            out.append((first_start if first_start is not None else last[0], last[1]))
+    return sorted(set(out))
+
+
+def _near_unordered(sub: list[list[tuple[int, int]]], slop: int) -> list[tuple[int, int]]:
+    """Unordered near: one span per clause, window_width - sum(len) <= slop;
+    min-window sweep over the combined stream."""
+    import heapq
+
+    iters = [list(s) for s in sub]
+    idx = [0] * len(sub)
+    out = []
+    heap = [(iters[i][0][0], i) for i in range(len(sub))]
+    heapq.heapify(heap)
+    while True:
+        starts = [iters[i][idx[i]][0] for i in range(len(sub))]
+        ends = [iters[i][idx[i]][1] for i in range(len(sub))]
+        lens = [e - s for s, e in zip(starts, ends)]
+        w_start, w_end = min(starts), max(ends)
+        if (w_end - w_start) - sum(lens) <= slop:
+            out.append((w_start, w_end))
+        # advance the clause with the minimal start
+        i_min = int(np.argmin(starts))
+        idx[i_min] += 1
+        if idx[i_min] >= len(iters[i_min]):
+            break
+    return sorted(set(out))
+
+
+class SpanEvaluator:
+    """Evaluate a span query against one segment (positions index required)."""
+
+    def __init__(self, reader, global_stats: dict, k1: float = 1.2, b: float = 0.75):
+        self.reader = reader
+        self.stats = global_stats
+        self.k1 = np.float32(k1)
+        avgdl = sim.avg_field_length(global_stats["sum_ttf"], global_stats["max_doc"])
+        self.cache = sim.norm_cache(avgdl, self.k1, np.float32(b))
+
+    def evaluate(self, q) -> tuple[np.ndarray, np.ndarray]:
+        terms = sorted(span_terms(q))
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        pos_maps = {}
+        cand: set[int] | None = None
+        for t in terms:
+            pos_maps[t] = _positions_by_doc(self.reader, t)
+        # candidate docs: union for OR-rooted trees, pruned inside enumerate
+        cand = set()
+        for t in terms:
+            cand |= set(pos_maps[t].keys())
+        docs_out, freqs_out = [], []
+        for doc in sorted(cand):
+            spans = enumerate_spans(q, pos_maps, doc)
+            if not spans:
+                continue
+            freq = np.float32(0.0)
+            for s, e in spans:
+                freq = np.float32(freq + np.float32(1.0 / ((e - s) + 1.0)))
+            docs_out.append(doc)
+            freqs_out.append(float(freq))
+        if not docs_out:
+            return empty
+        docs = np.array(docs_out, dtype=np.int64)
+        freqs = np.array(freqs_out, dtype=np.float32)
+        idf_sum = np.float32(0.0)
+        for t in terms:
+            df = self.stats["df"].get(t, 0)
+            if df > 0:
+                idf_sum = np.float32(idf_sum + sim.idf(df, self.stats["max_doc"]))
+        w = np.float32(np.float32(idf_sum * np.float32(q.boost)) * (self.k1 + np.float32(1.0)))
+        scores = ((np.float32(w) * freqs) / (freqs + self.cache[self.reader.norms[docs]])).astype(np.float32)
+        return docs, scores
+
+
+def span_search(searcher, q, k: int = 10) -> list[tuple[int, float]]:
+    """Top-k span search over all segments of an in-process Searcher."""
+    from .search import merge_top_docs
+
+    terms = sorted(span_terms(q))
+    df = searcher._stats_for_terms(terms)
+    stats = {"max_doc": searcher.index.max_doc, "sum_ttf": searcher.index.sum_ttf, "df": df}
+    per_seg = []
+    for group in searcher.groups:
+        readers = group.readers if hasattr(group, "readers") else None
+        if readers is None:
+            raise ValueError("span_search requires use_actors=False")
+        for r in readers:
+            ev = SpanEvaluator(r, stats)
+            docs, scores = ev.evaluate(q)
+            order = np.lexsort((docs, -scores))[:k]
+            per_seg.append([(int(docs[i]) + r.doc_base, float(scores[i])) for i in order])
+    return merge_top_docs(per_seg, k)

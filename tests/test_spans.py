@@ -1,0 +1,106 @@
+"""Span queries: hand-derived span vectors + end-to-end search."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_net_ray.pipelines.build import build_index_from_table
+from lucene_net_ray.pipelines.search import Searcher
+from lucene_net_ray.pipelines.spans import (
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+    enumerate_spans,
+    span_search,
+)
+
+DOCS = [
+    "alpha beta gamma delta",      # 0: alpha..gamma ordered gap 1
+    "gamma beta alpha",            # 1: reversed order
+    "alpha gamma",                 # 2: adjacent ordered
+    "alpha x y z gamma",           # 3: gap 3
+    "beta delta epsilon",          # 4: neither
+    "alpha beta alpha gamma",      # 5: multiple alphas
+]
+
+
+@pytest.fixture(scope="module")
+def span_setup(tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("span_idx"))
+    build_index_from_table(
+        pa.table({"content": DOCS}), idx, target_rows_per_segment=3, index_options="positions"
+    )
+    return Searcher(idx, use_actors=False)
+
+
+def _pos_maps(searcher, terms):
+    from lucene_net_ray.pipelines.spans import _positions_by_doc
+
+    out = {}
+    for t in terms:
+        m = {}
+        for g in searcher.groups:
+            for r in g.readers:
+                for d, pl in _positions_by_doc(r, t).items():
+                    m[d + r.doc_base] = pl
+        out[t] = m
+    return out
+
+
+def test_span_term_spans(span_setup):
+    pm = _pos_maps(span_setup, ["alpha"])
+    q = SpanTermQuery(term="alpha")
+    assert enumerate_spans(q, pm, 0) == [(0, 1)]
+    assert enumerate_spans(q, pm, 5) == [(0, 1), (2, 3)]
+
+
+def test_span_near_ordered(span_setup):
+    pm = _pos_maps(span_setup, ["alpha", "gamma"])
+    q = SpanNearQuery(clauses=(SpanTermQuery(term="alpha"), SpanTermQuery(term="gamma")),
+                      slop=1, in_order=True)
+    assert enumerate_spans(q, pm, 0) == [(0, 3)]   # gap 1 ok
+    assert enumerate_spans(q, pm, 1) == []          # wrong order
+    assert enumerate_spans(q, pm, 2) == [(0, 2)]   # adjacent
+    assert enumerate_spans(q, pm, 3) == []          # gap 3 > slop 1
+    q3 = SpanNearQuery(clauses=(SpanTermQuery(term="alpha"), SpanTermQuery(term="gamma")),
+                       slop=3, in_order=True)
+    assert enumerate_spans(q3, pm, 3) == [(0, 5)]
+    # doc 5: latest-predecessor shrink picks alpha@2 for gamma@3
+    assert enumerate_spans(q, pm, 5) == [(2, 4)]
+
+
+def test_span_near_unordered(span_setup):
+    pm = _pos_maps(span_setup, ["alpha", "gamma"])
+    q = SpanNearQuery(clauses=(SpanTermQuery(term="alpha"), SpanTermQuery(term="gamma")),
+                      slop=1, in_order=False)
+    assert enumerate_spans(q, pm, 1) == [(0, 3)]   # reversed order ok unordered
+    assert enumerate_spans(q, pm, 3) == []
+
+
+def test_span_or_not_first(span_setup):
+    pm = _pos_maps(span_setup, ["alpha", "beta", "gamma"])
+    q_or = SpanOrQuery(clauses=(SpanTermQuery(term="alpha"), SpanTermQuery(term="beta")))
+    assert enumerate_spans(q_or, pm, 0) == [(0, 1), (1, 2)]
+    q_first = SpanFirstQuery(match=SpanTermQuery(term="beta"), end=2)
+    assert enumerate_spans(q_first, pm, 0) == [(1, 2)]   # beta@1 -> end 2 <= 2
+    assert enumerate_spans(q_first, pm, 4) == [(0, 1)]
+    near = SpanNearQuery(clauses=(SpanTermQuery(term="alpha"), SpanTermQuery(term="gamma")),
+                         slop=3, in_order=True)
+    q_not = SpanNotQuery(include=near, exclude=SpanTermQuery(term="beta"))
+    # doc 0 span (0,3) overlaps beta@1 -> excluded; doc 2 span survives
+    assert enumerate_spans(q_not, pm, 0) == []
+    assert enumerate_spans(q_not, pm, 2) == [(0, 2)]
+
+
+def test_span_search_end_to_end(span_setup):
+    q = SpanNearQuery(clauses=(SpanTermQuery(term="alpha"), SpanTermQuery(term="gamma")),
+                      slop=1, in_order=True)
+    hits = span_search(span_setup, q, k=10)
+    ids = [d for d, _ in hits]
+    assert set(ids) == {0, 2, 5}
+    assert all(s > 0 for _, s in hits)
+    # narrower spans (bigger slop factor) score higher at same norm class:
+    # doc 2 span width 2 (freq 1/3) vs doc 0 width 3 (freq 1/4); doc 2 is
+    # also shorter -> must outrank doc 0
+    assert ids[0] == 2
