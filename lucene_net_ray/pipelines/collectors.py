@@ -218,6 +218,120 @@ def suggest_terms(
     return ranked[:k]
 
 
+def highlight(
+    searcher: Searcher,
+    text: str,
+    q: Query,
+    *,
+    fragment_size: int = 10,
+    max_fragments: int = 2,
+    pre: str = "<b>",
+    post: str = "</b>",
+    analyzer: Analyzer | None = None,
+) -> list[str]:
+    """Highlighter analog (reference Highlighter/Highlight/Highlighter.cs:29):
+    re-analyze the text, score fixed-width token windows by the summed idf
+    weight of matching query terms, return the best fragments with matches
+    wrapped. fragment_size is in whitespace tokens."""
+    from ..functions.analysis import analyze_with_positions
+
+    analyzer = analyzer or Analyzer()
+    qterms = {t for t in _all_terms(q)}
+    df = searcher._stats_for_terms(sorted(qterms))
+    n = searcher.index.max_doc
+    weight = {t: float(sim.idf(df.get(t, 0), n)) if df.get(t, 0) else 0.1 for t in qterms}
+
+    raw = text.split()
+    # token -> analyzed terms per whitespace token (positions == ws index here
+    # only approximately; we match on analyzed terms of each ws token)
+    tok_terms = [set(analyzer(w)) for w in raw]
+    scores = np.zeros(max(len(raw) - fragment_size + 1, 1))
+    hit = [bool(ts & qterms) for ts in tok_terms]
+    for i in range(len(scores)):
+        scores[i] = sum(
+            weight[t] for j in range(i, min(i + fragment_size, len(raw))) for t in (tok_terms[j] & qterms)
+        )
+    order = np.argsort(-scores, kind="stable")
+    chosen: list[tuple[int, int]] = []
+    for i in order:
+        if scores[i] <= 0:
+            break
+        s, e = int(i), int(min(i + fragment_size, len(raw)))
+        if any(not (e <= cs or s >= ce) for cs, ce in chosen):
+            continue  # overlap with an already-chosen fragment
+        chosen.append((s, e))
+        if len(chosen) >= max_fragments:
+            break
+    chosen.sort()
+    frags = []
+    for s, e in chosen:
+        words = [
+            (pre + w + post) if hit[j] else w for j, w in enumerate(raw[s:e], start=s)
+        ]
+        frags.append(" ".join(words))
+    return frags
+
+
+def _all_terms(q: Query) -> set[str]:
+    from .scorer import query_terms
+
+    return query_terms(q)
+
+
+def knn_classify(
+    searcher: Searcher,
+    text: str,
+    *,
+    label_field: str,
+    k: int = 10,
+    max_query_terms: int = 25,
+) -> tuple[str, dict[str, int]]:
+    """KNearestNeighborClassifier analog (reference
+    Classification/KNearestNeighborClassifier.cs:35): MoreLikeThis query ->
+    top-k neighbours -> majority vote over their stored label column.
+    Returns (label, vote counts); ties break on label asc."""
+    q = more_like_this(searcher, text, max_query_terms=max_query_terms)
+    hits = searcher.search(q, k=k)
+    if not hits:
+        return "", {}
+    votes: Counter = Counter()
+    doc_ids = {d for d, _ in hits}
+    for group in searcher.groups:
+        readers = group.readers if hasattr(group, "readers") else []
+        for r in readers:
+            local = [d - r.doc_base for d in doc_ids if r.doc_base <= d < r.doc_base + r.doc_count]
+            if local:
+                vals = r.doc_values(label_field)
+                votes.update(str(vals[d]) for d in local)
+    label = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    return label, dict(votes)
+
+
+def function_rescore(
+    searcher: Searcher,
+    q: Query,
+    score_fn,
+    *,
+    fields: list[str] | None = None,
+    k: int = 10,
+    window: int = 100,
+) -> list[tuple[int, float]]:
+    """CustomScoreQuery / FunctionQuery analog (reference Search/Function/,
+    Queries/Function/ ValueSource tree): retrieve a candidate window by BM25,
+    rescore with a user numpy expression over (scores, {field: values}).
+
+    score_fn(scores: np.ndarray, values: dict[str, np.ndarray]) -> np.ndarray
+    """
+    fields = fields or []
+    rows = []
+    for gids, vals, scores in _matching_with_fields(searcher, q, fields):
+        new_scores = np.asarray(score_fn(scores, vals), dtype=np.float64)
+        order = np.lexsort((gids, -new_scores))[:window]
+        rows.extend((int(gids[i]), float(new_scores[i])) for i in order)
+    rows.sort(key=lambda h: (-h[1], h[0]))
+    return rows[:k]
+
+
 class MemoryIndex:
     """Single-document in-RAM index: percolate queries against one doc.
 

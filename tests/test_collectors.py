@@ -194,3 +194,47 @@ def test_classic_similarity_boolean_coord(setup):
     if both.size:
         i = np.searchsorted(docs, both[0])
         assert scores[i] > 0
+
+
+def test_highlight(setup):
+    corpus, searcher, oracle = setup
+    from lucene_net_ray.pipelines.collectors import highlight
+
+    text = "noise words here public query noise more filler tokens beyond the window public again"
+    frags = highlight(searcher, text, parse_query("public query"), fragment_size=4, max_fragments=2)
+    assert frags
+    assert any("<b>public</b>" in f and "<b>query</b>" in f for f in frags)
+    # fragments don't overlap and highlight only query terms
+    for f in frags:
+        assert "<b>noise</b>" not in f
+
+
+def test_knn_classify(setup):
+    corpus, searcher, oracle = setup
+    from lucene_net_ray.pipelines.collectors import knn_classify
+
+    # classify a text resembling a real doc; label = lang column
+    text = corpus.column("content")[5].as_py()
+    expected_lang = corpus.column("lang")[5].as_py()
+    label, votes = knn_classify(searcher, text, label_field="lang", k=5)
+    assert label in {"csharp", "python", "java", "markdown"}
+    assert sum(votes.values()) <= 5
+    # the most similar doc is the doc itself -> its lang gets at least a vote
+    assert votes.get(expected_lang, 0) >= 1
+
+
+def test_function_rescore(setup):
+    corpus, searcher, oracle = setup
+    from lucene_net_ray.pipelines.collectors import function_rescore
+
+    q = parse_query("public")
+    # rescore = bm25 * 0 + field_len  -> ranking by field length desc
+    hits = function_rescore(
+        searcher, q, lambda s, v: v["field_len"].astype(float), fields=["field_len"], k=5
+    )
+    match = _matching_docs(oracle, q)
+    expected = sorted(match, key=lambda d: (-oracle.lens[d], d))[:5]
+    assert [d for d, _ in hits] == expected
+    # boost-by-score identity keeps BM25 order
+    hits2 = function_rescore(searcher, q, lambda s, v: s.astype(np.float64), k=5)
+    assert [d for d, _ in hits2] == [d for d, _ in searcher.search(q, k=5)]
