@@ -210,28 +210,34 @@ def _analyze_cluster(
 
 @lru_cache(maxsize=1_000_000)
 def _analyze_cluster_positions(
-    cluster: str, stop_words: frozenset[str], max_token_length: int
+    text: str, stop_words: frozenset[str], max_token_length: int
 ) -> tuple[tuple[str, ...], tuple[int, ...], int]:
-    """(terms, relative_positions, positions_consumed) for one cluster.
+    """(terms, relative_positions, positions_consumed) for one
+    whitespace-free chunk (may contain several clusters / CJ chars).
 
     Every raw tokenizer token consumes one position (stopwords and overlong
     tokens included — their increments accumulate), so a kept term's position
     is the index of its raw token. Needed for phrase/span scoring.
     """
-    if len(cluster) == 1 and _CJ_RE.match(cluster):
-        return ((cluster,), (0,), 1)
     terms: list[str] = []
     rel: list[int] = []
     pos = 0
-    for tok, typ in _lex_cluster(cluster):
-        if typ == "<ACRONYM_DEP>":
-            tok, typ = tok[:-1], "<HOST>"
-        if len(tok) <= max_token_length:
-            term = _standard_filter(tok, typ).lower()
-            if term not in stop_words:
-                terms.append(term)
-                rel.append(pos)
-        pos += 1
+    for m in _CLUSTER_RE.finditer(text):
+        chunk = m.group()
+        if len(chunk) == 1 and _CJ_RE.match(chunk):
+            terms.append(chunk)
+            rel.append(pos)
+            pos += 1
+            continue
+        for tok, typ in _lex_cluster(chunk):
+            if typ == "<ACRONYM_DEP>":
+                tok, typ = tok[:-1], "<HOST>"
+            if len(tok) <= max_token_length:
+                term = _standard_filter(tok, typ).lower()
+                if term not in stop_words:
+                    terms.append(term)
+                    rel.append(pos)
+            pos += 1
     return tuple(terms), tuple(rel), pos
 
 

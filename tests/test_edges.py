@@ -1,0 +1,87 @@
+"""Edge cases + randomized engine-vs-oracle property test."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_net_ray.oracle import OracleIndex
+from lucene_net_ray.pipelines.build import build_index_from_table
+from lucene_net_ray.pipelines.search import Searcher
+from lucene_net_ray.query import BooleanClause, BooleanQuery, TermQuery, parse_query
+from lucene_net_ray.state.checkindex import check_index
+
+
+def test_stopword_only_and_empty_docs(tmp_path):
+    docs = ["the and of", "", "real content here", "a an", "   "]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": docs}), idx, target_rows_per_segment=10)
+    check_index(meta)
+    s = Searcher(meta, use_actors=False)
+    oracle = OracleIndex(docs)
+    assert s.count(TermQuery(term="content")) == 1
+    hits = s.search(TermQuery(term="content"), k=5)
+    expected = oracle.top_k(TermQuery(term="content"), 5)
+    assert [d for d, _ in hits] == [d for d, _ in expected]
+    assert np.float32(hits[0][1]) == np.float32(expected[0][1])
+    assert s.count(TermQuery(term="the")) == 0  # stopwords never indexed
+
+
+def test_unicode_and_cjk_content(tmp_path):
+    docs = ["naïve café résumé", "日本 語 テスト", "mixed 日本 content", "ascii only doc"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": docs}), idx, target_rows_per_segment=10)
+    check_index(meta)
+    s = Searcher(meta, use_actors=False)
+    oracle = OracleIndex(docs)
+    for term in ["naïve", "café", "日", "content", "mixed"]:
+        q = TermQuery(term=term)
+        assert s.count(q) == oracle.count(q), term
+        hits = s.search(q, k=5)
+        expected = oracle.top_k(q, 5)
+        assert [d for d, _ in hits] == [d for d, _ in expected], term
+        for (d1, s1), (d2, s2) in zip(hits, expected):
+            assert np.float32(s1) == np.float32(s2)
+
+
+def test_single_doc_corpus(tmp_path):
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": ["only doc"]}), idx)
+    s = Searcher(meta, use_actors=False)
+    assert s.search(TermQuery(term="doc"), k=5)[0][0] == 0
+
+
+VOCAB = ["aa", "bb", "cc", "dd", "the", "a", "x.y", "u_1", "don't", "A.B.", "z9"]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=25,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_random_corpora_engine_equals_oracle(tmp_path_factory, docs, qsel):
+    idx = str(tmp_path_factory.mktemp("hyp_idx"))
+    meta = build_index_from_table(pa.table({"content": docs}), idx, target_rows_per_segment=7)
+    s = Searcher(meta, use_actors=False)
+    oracle = OracleIndex(docs)
+    queries = [
+        TermQuery(term="aa"),
+        BooleanQuery(clauses=(BooleanClause(TermQuery(term="aa"), "MUST"),
+                              BooleanClause(TermQuery(term="bb"), "MUST"))),
+        BooleanQuery(clauses=(BooleanClause(TermQuery(term="cc"), "SHOULD"),
+                              BooleanClause(TermQuery(term="z9"), "SHOULD"))),
+        BooleanQuery(clauses=(BooleanClause(TermQuery(term="aa"), "MUST"),
+                              BooleanClause(TermQuery(term="dd"), "MUST_NOT"))),
+    ]
+    q = queries[qsel]
+    hits = s.search(q, k=10)
+    expected = oracle.top_k(q, 10)
+    assert [d for d, _ in hits] == [d for d, _ in expected]
+    for (d1, s1), (d2, s2) in zip(hits, expected):
+        assert np.float32(s1) == np.float32(s2)
+    assert s.count(q) == oracle.count(q)
