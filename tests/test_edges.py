@@ -85,3 +85,66 @@ def test_random_corpora_engine_equals_oracle(tmp_path_factory, docs, qsel):
     for (d1, s1), (d2, s2) in zip(hits, expected):
         assert np.float32(s1) == np.float32(s2)
     assert s.count(q) == oracle.count(q)
+
+
+# --- fast (Arrow ws-split + unique-token memo) vs slow (per-doc analyze)
+# build-path equivalence: the invariant whose CJK violation was a real bug
+
+GNARLY = ["foo", "don't", "U.S.A.", "x86_64", "a.b.c", "日本", "テスト", "the",
+          "(paren)", "semi;colon", "dash-ed", "", "café", "x" * 260, "1.2-a"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(GNARLY), min_size=0, max_size=8).map(" ".join),
+                min_size=1, max_size=10))
+def test_fast_build_path_equals_analyze(tmp_path_factory, docs):
+    import pyarrow.parquet as pq
+
+    from lucene_net_ray.functions.analysis import analyze
+    from lucene_net_ray.state.segment import SegmentReader, build_segment
+
+    td = str(tmp_path_factory.mktemp("fastslow"))
+    build_segment(pa.table({"content": docs}), seg_id=0, doc_base=0, out_dir=td,
+                  index_options="positions")
+    r = SegmentReader(td + "/seg000000")
+    docs_tbl = pq.read_table(td + "/seg000000/docs.parquet")
+    # field lengths match the reference analyzer chain doc by doc
+    for i, d in enumerate(docs):
+        assert docs_tbl.column("field_len")[i].as_py() == len(analyze(d)), d
+    # postings reconstruct each doc's term multiset
+    from collections import Counter
+    per_doc: dict[int, Counter] = {i: Counter() for i in range(len(docs))}
+    for t in r.terms:
+        dids, tfs = r.postings(str(t))
+        for did, tf in zip(dids.tolist(), tfs.tolist()):
+            per_doc[did][str(t)] = tf
+    for i, d in enumerate(docs):
+        assert per_doc[i] == Counter(analyze(d)), d
+
+
+def test_clean_corpus_pipeline(tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_net_ray.stages.clean import clean_corpus
+
+    texts = ["the good long content is here with words"] * 3 + [
+        "the unique document one is here to stay",
+        "the unique document two is here to stay",
+        "!!! ??? ...",  # no alphanumerics, no stopwords -> quality ~0
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts}),
+        str(src / "d.parquet"),
+    )
+    out = str(tmp_path / "cleaned")
+    res = clean_corpus(str(src), out, min_quality=0.1, dedup=True)
+    assert res["rows_in"] == 6
+    cleaned = ray.data.read_parquet(out).take_all()
+    ids = sorted(r["doc_id"] for r in cleaned)
+    # dup texts collapse to doc 0; punctuation-only doc dropped by quality
+    assert ids == [0, 3, 4]
+    assert res["rows_kept"] == 3
+    assert all("quality" in r for r in cleaned)
