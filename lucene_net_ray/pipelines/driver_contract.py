@@ -481,6 +481,27 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_clean_corpus_ids(sf_dir: str):
+    """End-to-end cleaning pipeline: kept (doc_id, quality) after a quality
+    floor + exact dedup keep-first."""
+    import shutil
+    import tempfile
+
+    from ..stages.clean import clean_corpus
+
+    out = tempfile.mkdtemp(prefix="lnr_clean_")
+    try:
+        clean_corpus(
+            os.path.join(sf_dir, "documents.parquet"), out, min_quality=0.3, dedup=True
+        )
+        t = pq.read_table(out, columns=["doc_id", "quality"])
+        dfr = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        dfr["quality"] = np.floor(dfr["quality"] * 1e6 + 0.5) / 1e6
+        return dfr
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_lang_id(sf_dir: str):
     from ..stages.textstats import lang_id_batch
 
@@ -550,6 +571,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "clean_corpus_ids": q_clean_corpus_ids,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "ann_brute_topk": q_ann_brute_topk,
@@ -654,6 +676,25 @@ j AS (SELECT doc_a, doc_b,
       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
       FROM co JOIN sizes sa ON sa.doc_id = co.doc_a JOIN sizes sb ON sb.doc_id = co.doc_b)
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.03 ORDER BY doc_a, doc_b
+""",
+        "clean_corpus_ids": f"""
+WITH f AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(regexp_extract_all(text, '[a-z0-9]+'), t -> t IN ({STOPS_SQL}))) AS BIGINT) AS n_stop,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_alpha
+  FROM documents),
+scored AS (
+  SELECT doc_id, text,
+    CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop * 1.0 / n_tokens END * 0.5
+    + least(n_tokens, 100) / 100.0 * 0.3
+    + CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_chars END * 0.2 AS quality
+  FROM f),
+qualified AS (SELECT * FROM scored WHERE quality >= 0.3),
+kept AS (SELECT min(doc_id) AS doc_id FROM qualified GROUP BY md5(text))
+SELECT q.doc_id, ROUND(q.quality, 6) AS quality
+FROM qualified q JOIN kept k ON q.doc_id = k.doc_id ORDER BY q.doc_id
 """,
         "lang_id": f"""
 WITH scores AS (SELECT doc_id, {lang_counts} FROM documents),
