@@ -126,6 +126,28 @@ def query_bench(index_dir: str, repeats: int = 5) -> dict:
     return lat
 
 
+def throughput_bench(index_dir: str, n_queries: int = 960) -> dict:
+    """Bulk-serving QPS via the queries-as-Dataset actor-pool evaluator."""
+    import ray.data
+
+    from lucene_net_ray.pipelines.search import evaluate_query_dataset
+    from lucene_net_ray.sources.corpus import reference_query_set
+
+    qset = [qs for _, qs in reference_query_set()]
+    rows = [
+        {"query_id": i, "query": qset[i % len(qset)]} for i in range(n_queries)
+    ]
+    qds = ray.data.from_items(rows)
+    # warm the actor pool (index load once per actor)
+    evaluate_query_dataset(index_dir, ray.data.from_items(rows[:16]), k=10,
+                           concurrency=(8, 8), batch_size=16).count()
+    t0 = time.perf_counter()
+    evaluate_query_dataset(index_dir, qds, k=10, concurrency=(8, 8), batch_size=32).count()
+    dt = time.perf_counter() - t0
+    return {"bulk_queries": n_queries, "bulk_qps": round(n_queries / dt, 1),
+            "bulk_sec": round(dt, 3)}
+
+
 def merge_bench(index_dir: str) -> dict:
     from lucene_net_ray.pipelines.merge import high_freq_terms, merge_index
     from lucene_net_ray.state.index import IndexMeta
@@ -178,6 +200,7 @@ def run_full() -> dict:
     total0 = time.perf_counter()
     b = build_bench(NUM_CPUS, warmup=True)
     lat = query_bench(b["index_dir"])
+    tp = throughput_bench(b["index_dir"])
     m = merge_bench(b["index_dir"])
     d = data_pipeline_bench(SF_DIR)
     total = time.perf_counter() - total0
@@ -190,6 +213,7 @@ def run_full() -> dict:
             "merge": m["merge_sec"],
             "term_stats": m["term_stats_sec"],
             **{f"q_{k}": v for k, v in lat.items()},
+            "bulk_eval": tp["bulk_sec"],
             **d,
         },
         "sf": SF_DIR,
@@ -197,6 +221,7 @@ def run_full() -> dict:
         "extra": {
             "bench_corpus_rows": BENCH_CORPUS_ROWS,
             "build_docs_per_sec": b["docs_per_sec"],
+            "bulk_qps": tp["bulk_qps"],
             "sum_ttf": b["sum_ttf"],
         },
     }
