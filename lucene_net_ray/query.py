@@ -339,6 +339,35 @@ def _parse_phrase(text: str, field: str, analyzer) -> Query | None:
     return PhraseQuery(field=field, terms=tuple(terms), slop=slop, positions=tuple(positions))
 
 
+def parse_multi_field(
+    s: str, fields: tuple[str, ...], default_field: str = "content", analyzer=None
+) -> Query:
+    """MultiFieldQueryParser analog (reference QueryParser/MultiFieldQueryParser.cs:19):
+    clauses left on the default field are expanded to a SHOULD disjunction of
+    the same clause over every listed field; explicit ``field:`` prefixes are
+    untouched."""
+    import dataclasses
+
+    q = parse_query(s, default_field=default_field, analyzer=analyzer)
+
+    def expand(node: Query) -> Query:
+        if isinstance(node, BooleanQuery):
+            return dataclasses.replace(
+                node,
+                clauses=tuple(
+                    BooleanClause(expand(c.query), c.occur) for c in node.clauses
+                ),
+            )
+        if getattr(node, "field", None) == default_field:
+            per_field = tuple(dataclasses.replace(node, field=f) for f in fields)
+            return BooleanQuery(
+                clauses=tuple(BooleanClause(p, SHOULD) for p in per_field)
+            )
+        return node
+
+    return expand(q)
+
+
 def _with_boost(q: Query, boost: float) -> Query:
     import dataclasses
 

@@ -138,3 +138,18 @@ def test_per_field_analyzers(tmp_path):
     assert s.search(TermQuery(field="code", term="foobar"), k=5)[0][0] == 1
     # standard analyzer lowercases: both docs match 'foobar'
     assert {d for d, _ in s.search(TermQuery(field="text", term="foobar"), k=5)} == {0, 1}
+
+
+def test_parse_multi_field_expansion(mf):
+    searcher, *_ = mf
+    from lucene_net_ray.query import parse_multi_field
+
+    # each MUST clause may match in EITHER field:
+    # alpha: titles {0,2} + bodies {0,4}; release: titles {0,4} + bodies {4}
+    q = parse_multi_field("+alpha +release", fields=("title", "body"))
+    hits = searcher.search(q, k=10)
+    assert {d for d, _ in hits} == {0, 4}
+    # explicit field prefixes are untouched
+    q2 = parse_multi_field("title:alpha", fields=("title", "body"))
+    from lucene_net_ray.query import TermQuery
+    assert isinstance(q2, TermQuery) and q2.field == "title"
