@@ -332,6 +332,25 @@ def function_rescore(
     return rows[:k]
 
 
+def suggest_completions(searcher: Searcher, prefix: str, k: int = 5) -> list[tuple[str, int]]:
+    """Prefix completion from the term dictionary ranked by global df
+    (AnalyzingSuggester-style payload = popularity; reference
+    Suggest/Suggest/Analyzing/AnalyzingSuggester.cs:88 — FST replaced by the
+    sorted term dict's prefix range)."""
+    from ..query import PrefixQuery
+    from .scorer import expand_multiterm
+
+    pq_ = PrefixQuery(prefix=prefix)
+    cands: set[str] = set()
+    for group in searcher.groups:
+        readers = group.readers if hasattr(group, "readers") else []
+        for r in readers:
+            cands.update(t for t, _ in expand_multiterm(r, pq_))
+    df = searcher._stats_for_terms(sorted(cands))
+    ranked = sorted(((t, df.get(t, 0)) for t in cands), key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
 class MemoryIndex:
     """Single-document in-RAM index: percolate queries against one doc.
 

@@ -238,3 +238,16 @@ def test_function_rescore(setup):
     # boost-by-score identity keeps BM25 order
     hits2 = function_rescore(searcher, q, lambda s, v: s.astype(np.float64), k=5)
     assert [d for d, _ in hits2] == [d for d, _ in searcher.search(q, k=5)]
+
+
+def test_suggest_completions(setup):
+    corpus, searcher, oracle = setup
+    from lucene_net_ray.pipelines.collectors import suggest_completions
+
+    out = suggest_completions(searcher, "ra", k=5)
+    assert out and all(t.startswith("ra") for t, _ in out)
+    # ranked by df desc; every df matches the oracle
+    dfs = [df for _, df in out]
+    assert dfs == sorted(dfs, reverse=True)
+    for t, df in out:
+        assert oracle.df[t] == df
