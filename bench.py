@@ -98,16 +98,18 @@ def build_bench(num_cpus: int, rows: int = BENCH_CORPUS_ROWS, warmup: bool = Fal
         target_rows_per_segment=max(1, rows // max(32, rows // 8000)),
     )
     dt = time.perf_counter() - t0
+    cb = meta.manifest.get("content_bytes", 0)
     return {
         "build_sec": round(dt, 3),
         "docs": meta.max_doc,
         "docs_per_sec": round(meta.max_doc / dt, 1),
+        "content_mb_per_sec": round(cb / 1e6 / dt, 2),
         "index_dir": out,
         "sum_ttf": meta.sum_ttf,
     }
 
 
-def query_bench(index_dir: str, repeats: int = 5) -> dict:
+def query_bench(index_dir: str, repeats: int = 9) -> dict:
     from lucene_net_ray.pipelines.search import Searcher
     from lucene_net_ray.query import parse_query
     from lucene_net_ray.sources.corpus import reference_query_set
@@ -116,6 +118,7 @@ def query_bench(index_dir: str, repeats: int = 5) -> dict:
     qset = [(n, parse_query(qs)) for n, qs in reference_query_set()]
     searcher.search(qset[0][1], k=10)  # warm actors / segment loads
     lat: dict[str, float] = {}
+    all_times: list[float] = []
     for name, q in qset:
         times = []
         for _ in range(repeats):
@@ -123,6 +126,10 @@ def query_bench(index_dir: str, repeats: int = 5) -> dict:
             searcher.search(q, k=10)
             times.append(time.perf_counter() - t0)
         lat[name] = round(statistics.median(times), 4)
+        all_times.extend(times)
+    all_times.sort()
+    lat["p50_all"] = round(all_times[len(all_times) // 2], 4)
+    lat["p95_all"] = round(all_times[int(len(all_times) * 0.95)], 4)
     return lat
 
 
@@ -221,6 +228,7 @@ def run_full() -> dict:
         "extra": {
             "bench_corpus_rows": BENCH_CORPUS_ROWS,
             "build_docs_per_sec": b["docs_per_sec"],
+            "build_content_mb_per_sec": b["content_mb_per_sec"],
             "bulk_qps": tp["bulk_qps"],
             "sum_ttf": b["sum_ttf"],
         },

@@ -79,6 +79,7 @@ def _build_segment_task(
                 "term_count": meta["term_count"],
                 "postings": meta["postings"],
                 "postings_bytes": meta["postings_bytes"],
+                "content_bytes": meta.get("content_bytes", 0),
                 "build_sec": meta["metrics"]["build_sec"],
             }
         )
@@ -140,6 +141,7 @@ def build_index(
         "content_column": content_column,
         "segments": seg_rows,
         "max_doc": int(sum(r["doc_count"] for r in seg_rows)),
+        "content_bytes": int(sum(r.get("content_bytes", 0) for r in seg_rows)),
         "sum_ttf": int(sum(r["sum_ttf"] for r in seg_rows)),
         "build_sec": round(time.perf_counter() - t0, 4),
     }

@@ -82,6 +82,7 @@ def build_segment(
     if isinstance(content_arr, pa.ChunkedArray):
         content_arr = content_arr.combine_chunks()
     n_docs = len(content_arr)
+    content_bytes = int(pc.sum(pc.binary_length(content_arr)).as_py() or 0)
 
     # --- analysis + inversion, allocation-light ---------------------------
     # Whitespace pre-split happens in Arrow (contiguous buffers); the Python
@@ -334,6 +335,7 @@ def build_segment(
         "term_count": int(n_terms),
         "postings": int(n_post),
         "postings_bytes": int(doc_cum[-1] + frq_cum[-1]) if n_post else 0,
+        "content_bytes": content_bytes,
         "index_options": index_options,
         "lineage": lineage or {},
         "metrics": {
