@@ -38,6 +38,7 @@ def _build_segment_task(
     content_column: str,
     stored_columns: tuple[str, ...],
     index_options: str = "freqs",
+    store_term_vectors: bool = False,
 ) -> pa.Table:
     """Stateless map_batches task: each input row describes one shard.
 
@@ -65,6 +66,7 @@ def _build_segment_task(
             content_column=content_column,
             stored_columns=stored_columns,
             index_options=index_options,
+            store_term_vectors=store_term_vectors,
             lineage={
                 "path": row["path"],
                 "row_groups": list(row["row_groups"]),
@@ -96,6 +98,7 @@ def build_index(
     target_rows_per_segment: int = 100_000,
     concurrency: int | None = None,
     index_options: str = "freqs",
+    store_term_vectors: bool = False,
 ) -> IndexMeta:
     """Build (or resume) an index from a Parquet corpus. Returns IndexMeta."""
     t0 = time.perf_counter()
@@ -126,6 +129,7 @@ def build_index(
             "content_column": content_column,
             "stored_columns": tuple(stored_columns),
             "index_options": index_options,
+            "store_term_vectors": store_term_vectors,
         },
         batch_size=None,
         batch_format="pyarrow",

@@ -171,6 +171,41 @@ def more_like_this(
     )
 
 
+def more_like_this_by_doc(
+    searcher: Searcher,
+    doc_id: int,
+    *,
+    max_query_terms: int = 25,
+    min_doc_freq: int = 1,
+    field: str = "content",
+) -> Query:
+    """MoreLikeThis.Like(docID) analog — requires store_term_vectors=True at
+    build; reads the doc's term vector instead of re-analyzing text."""
+    tf = None
+    for group in searcher.groups:
+        readers = group.readers if hasattr(group, "readers") else []
+        for r in readers:
+            if r.doc_base <= doc_id < r.doc_base + r.doc_count:
+                tf = r.term_vector(doc_id - r.doc_base)
+                break
+    if tf is None:
+        raise KeyError(f"doc {doc_id} not in index")
+    df = searcher._stats_for_terms(sorted(tf))
+    n = searcher.index.max_doc
+    scored = [
+        (float(sim.idf(df[t], n)) * c, t)
+        for t, c in tf.items()
+        if df.get(t, 0) >= min_doc_freq
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return BooleanQuery(
+        clauses=tuple(
+            BooleanClause(TermQuery(field=field, term=t), "SHOULD")
+            for _, t in scored[:max_query_terms]
+        )
+    )
+
+
 def common_terms_query(
     searcher: Searcher,
     terms: list[str],

@@ -60,6 +60,7 @@ def build_segment(
     stored_columns: tuple[str, ...] = (),
     lineage: dict | None = None,
     index_options: str = "freqs",  # "freqs" | "positions" (FieldInfo.IndexOptions analog)
+    store_term_vectors: bool = False,  # per-doc (term, tf) columns in docs.parquet
 ) -> dict:
     """Tokenize + invert one partition of the corpus and write a segment.
 
@@ -321,6 +322,24 @@ def build_segment(
         "field_len": pa.array(field_lens.astype(np.int32)),
         "sha256": pa.array(sha, type=pa.string()),
     }
+    if store_term_vectors and n_post:
+        # per-doc mini inverted index (TermVectorsFormat analog): re-sort the
+        # (term, doc, tf) triples by doc and emit list columns
+        tv_order = np.lexsort((codes, docs_sorted))
+        tv_docs = docs_sorted[tv_order]
+        tv_terms = codes[tv_order]
+        tv_tfs = tfs_sorted[tv_order]
+        counts_per_doc = np.bincount(tv_docs, minlength=n_docs).astype(np.int32)
+        offsets = np.concatenate(([0], np.cumsum(counts_per_doc))).astype(np.int32)
+        term_strs = uniq_terms.take(pa.array(tv_terms, type=pa.int64()))
+        docs_cols["tvec_terms"] = pa.ListArray.from_arrays(pa.array(offsets), term_strs)
+        docs_cols["tvec_tfs"] = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(tv_tfs, type=pa.int32())
+        )
+    elif store_term_vectors:
+        empty_off = pa.array(np.zeros(n_docs + 1, dtype=np.int32))
+        docs_cols["tvec_terms"] = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.string()))
+        docs_cols["tvec_tfs"] = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32()))
     for col in stored_columns:
         if col in table.column_names:
             docs_cols[col] = table.column(col)
@@ -337,6 +356,7 @@ def build_segment(
         "postings_bytes": int(doc_cum[-1] + frq_cum[-1]) if n_post else 0,
         "content_bytes": content_bytes,
         "index_options": index_options,
+        "store_term_vectors": store_term_vectors,
         "lineage": lineage or {},
         "metrics": {
             "build_sec": round(time.perf_counter() - t0, 4),
@@ -382,6 +402,15 @@ class SegmentReader:
         self._post = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r") \
             if os.path.getsize(os.path.join(seg_dir, "postings.bin")) else np.empty(0, dtype=np.uint8)
         self._docs_table = d
+
+    def term_vector(self, local_doc: int) -> dict[str, int]:
+        """Per-doc term->tf (requires store_term_vectors=True at build)."""
+        tbl = pq.read_table(
+            os.path.join(self.seg_dir, "docs.parquet"), columns=["tvec_terms", "tvec_tfs"]
+        )
+        terms = tbl.column("tvec_terms")[local_doc].as_py()
+        tfs = tbl.column("tvec_tfs")[local_doc].as_py()
+        return dict(zip(terms, tfs))
 
     def doc_values(self, field: str) -> "np.ndarray":
         """Stored docs-table column as numpy (cached) — DocValues analog."""

@@ -126,3 +126,40 @@ def test_delete_documents_livedocs(tmp_path):
     s2 = reopen(idx)
     assert s2.count(parse_query("quux")) == 0
     assert s2.count(q) == 0
+
+
+def test_term_vectors(tmp_path):
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from lucene_net_ray.functions.analysis import analyze
+    from lucene_net_ray.state.segment import SegmentReader
+
+    docs = ["alpha beta alpha", "gamma delta", "the only stopwords are the a an"]
+    idx = str(tmp_path / "idx")
+    build_index_from_table(
+        pa.table({"content": docs}), idx, target_rows_per_segment=10,
+        store_term_vectors=True,
+    )
+    from lucene_net_ray.state.index import IndexMeta
+
+    r = SegmentReader(IndexMeta(idx).segment_dirs[0])
+    for i, d in enumerate(docs):
+        assert r.term_vector(i) == dict(Counter(analyze(d))), d
+
+
+def test_mlt_by_doc(tmp_path):
+    import pyarrow as pa
+
+    from lucene_net_ray.pipelines.collectors import more_like_this_by_doc
+
+    docs = ["zyzzyva obsidian rare words", "zyzzyva obsidian rare tokens",
+            "totally different content here", "common common common words"]
+    idx = str(tmp_path / "idx")
+    build_index_from_table(pa.table({"content": docs}), idx, store_term_vectors=True)
+    s = Searcher(idx, use_actors=False)
+    q = more_like_this_by_doc(s, 0, max_query_terms=4)
+    hits = s.search(q, k=3)
+    # doc 0 itself ranks first; near-dup doc 1 next
+    assert [d for d, _ in hits][:2] == [0, 1]
