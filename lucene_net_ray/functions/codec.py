@@ -92,7 +92,8 @@ def encode_postings(
     """Encode one term's postings.
 
     docids: strictly increasing local docIDs (int64), tfs: int64 freqs,
-    norm_bytes_by_doc: uint8 array indexed by local docID (for min_normb).
+    norm_bytes_by_doc: uint8 array indexed by local docID (for min_normb;
+    byte315 encodes 1/sqrt(len), so max byte = min decoded length).
     Returns (doc_stream, frq_stream, blocks) where blocks is a dict of
     per-block numpy arrays (last_doc, doc_boff, frq_boff, max_tf, min_normb).
     """
@@ -118,12 +119,9 @@ def encode_postings(
         [tfs[s:e].max() for s, e in zip(block_starts, block_ends)], dtype=np.int64
     )
     if norm_bytes_by_doc is not None and n:
-        # the norm byte whose decoded length is smallest in the block gives the
-        # score upper bound; decoded length is monotone non-increasing in byte
-        # value, so "min decoded length" = max byte value... NOT true across the
-        # whole range (byte315 is monotone increasing in the encoded float =
-        # 1/sqrt(len), so larger byte => larger 1/sqrt(len) => SMALLER length).
-        # Hence min decoded length corresponds to MAX norm byte.
+        # byte315 encodes 1/sqrt(len): a larger byte means a smaller decoded
+        # length, so the block's MAX byte gives the min decoded length — the
+        # score-maximizing norm for the WAND upper bound
         nb = np.asarray(norm_bytes_by_doc, dtype=np.uint8)
         min_normb = np.array(
             [nb[docids[s:e]].max() for s, e in zip(block_starts, block_ends)],

@@ -14,11 +14,14 @@ On-disk layout (one directory per segment):
                    byte, field length, content sha256, stored id columns
   meta.json        doc_base, doc_count, sum_ttf, term_count, lineage, metrics
 
-The inversion itself is vectorized: tokens are flattened across the batch,
-grouped/counted with pyarrow's C++ group_by, sorted by (term, doc), and all
-delta/vByte/block computations run over the whole segment's postings at once
-(numpy reduceat over per-term block boundaries) — no per-row Python in the hot
-path beyond tokenization (which is memoized per cluster).
+The inversion is allocation-light and vectorized: Arrow splits whitespace
+tokens (contiguous buffers), the Python analyzer runs only on the UNIQUE
+whitespace tokens of the shard (dictionary-encoded, memoized across tasks),
+and all per-occurrence work — term-id expansion, (term, doc[, position])
+sorting, tf counting, delta/vByte/block math — is integer numpy (reduceat
+over per-term boundaries). A doc-at-a-time fallback path covers analyzers
+that cannot split on whitespace (keyword); both paths are asserted
+byte-identical by a hypothesis property test.
 """
 
 from __future__ import annotations
