@@ -163,3 +163,37 @@ def test_mlt_by_doc(tmp_path):
     hits = s.search(q, k=3)
     # doc 0 itself ranks first; near-dup doc 1 next
     assert [d for d, _ in hits][:2] == [0, 1]
+
+
+def test_split_index_round_trip(tmp_path):
+    from lucene_net_ray.pipelines.maintenance import split_index
+    from lucene_net_ray.state.checkindex import check_index
+
+    corpus = generate_corpus(120, seed=12)
+    contents = corpus.column("content").to_pylist()
+    idx = str(tmp_path / "idx")
+    build_index_from_table(corpus, idx, target_rows_per_segment=30)  # 4 segments
+    parts = split_index(idx, [str(tmp_path / "p0"), str(tmp_path / "p1")])
+    assert [p.max_doc for p in parts] == [60, 60]
+    for p in parts:
+        check_index(p)
+    # each part searches exactly its slice (vs per-slice oracle)
+    for pi, p in enumerate(parts):
+        oracle = OracleIndex(contents[pi * 60 : (pi + 1) * 60])
+        s = Searcher(p, use_actors=False)
+        q = parse_query("public")
+        hits = s.search(q, k=5)
+        expected = oracle.top_k(q, 5)
+        assert [d for d, _ in hits] == [d for d, _ in expected]
+        for (d1, s1), (d2, s2) in zip(hits, expected):
+            assert np.float32(s1) == np.float32(s2)
+    # add_indexes(split parts) reconstructs the original
+    from lucene_net_ray.pipelines.maintenance import add_indexes
+
+    rejoined = add_indexes(str(tmp_path / "rejoined"), *[p.index_dir for p in parts])
+    full_oracle = OracleIndex(contents)
+    s = Searcher(rejoined, use_actors=False)
+    q = parse_query("query token")
+    hits = s.search(q, k=10)
+    expected = full_oracle.top_k(q, 10)
+    assert [d for d, _ in hits] == [d for d, _ in expected]
