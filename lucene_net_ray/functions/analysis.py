@@ -308,11 +308,36 @@ class Analyzer:
         if self.kind == "standard":
             return _analyze_cluster_positions(ws_token, self.stop_words, self.max_token_length)
         if self.kind == "whitespace":
+            # pc.utf8_split_whitespace emits '' for leading/trailing whitespace;
+            # str.split() (the reference WhitespaceTokenizer analog) never does,
+            # so empty ws tokens contribute nothing — no term, no position.
+            if not ws_token:
+                return (), (), 0
             return (ws_token,), (0,), 1
         if self.kind == "simple":
             terms = tuple(m.group().lower() for m in self._simple_re.finditer(ws_token))
             return terms, tuple(range(len(terms))), len(terms)
         raise NotImplementedError(f"positions unsupported for analyzer kind {self.kind!r}")
+
+    def analyze_text_positions(self, text: str) -> tuple[list[str], list[int]]:
+        """(terms, absolute positions) for a full text under this analyzer.
+
+        Positions count raw tokens (stopwords/overlong included), matching the
+        index-side position assignment of the fast build path, so phrase
+        queries parsed with any analyzer line up with segments built with the
+        same analyzer (QueryParserBase.GetFieldQuery position semantics).
+        """
+        if self.kind == "keyword":
+            return [text], [0]
+        terms: list[str] = []
+        positions: list[int] = []
+        base = 0
+        for ws_tok in text.split():
+            ts, rels, consumed = self.analyze_positions(ws_tok)
+            terms.extend(ts)
+            positions.extend(base + r for r in rels)
+            base += consumed
+        return terms, positions
 
     def config(self) -> dict:
         return {

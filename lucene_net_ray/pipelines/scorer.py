@@ -172,6 +172,27 @@ def query_terms(q: Query) -> set[str]:
     return set()
 
 
+def query_fields(q: Query) -> set[str]:
+    """All index fields referenced by term-bearing leaves of a query tree
+    (used by Searcher to reject queries against fields the index lacks —
+    a parsed 'title:foo' must not silently search the content postings)."""
+    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery)):
+        return {q.field}
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= query_fields(c.query)
+        return out
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for d in q.disjuncts:
+            out |= query_fields(d)
+        return out
+    if isinstance(q, (ConstantScoreQuery, FilteredQuery)):
+        return query_fields(q.query)
+    return set()
+
+
 def expand_multiterm(reader: SegmentReader, q: Query) -> list[tuple[str, float]]:
     """Matching (term, boost) pairs from this segment's term dict.
 
@@ -474,6 +495,10 @@ class SegmentScorer:
         shoulds = [c.query for c in q.clauses if c.occur == "SHOULD"]
         nots = [c.query for c in q.clauses if c.occur == "MUST_NOT"]
         msm = q.min_should_match
+        if msm > len(shoulds):
+            # Lucene matches nothing when minNrShouldMatch exceeds the optional
+            # clause count (BooleanQuery.cs: scorer can never satisfy the bound)
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
         must_evals = [self.evaluate(m) for m in musts]
         should_evals = [self.evaluate(s) for s in shoulds]

@@ -28,7 +28,7 @@ import ray
 from ..query import Query
 from ..state.index import IndexMeta
 from ..state.segment import SegmentReader
-from .scorer import SegmentScorer, expand_multiterm, query_terms
+from .scorer import SegmentScorer, expand_multiterm, query_fields, query_terms
 
 
 class _SegmentGroup:
@@ -181,6 +181,7 @@ class Searcher:
         n = max(1, min(num_actors, len(seg_dirs)))
         groups = [seg_dirs[i::n] for i in range(n)]
         self.use_actors = use_actors
+        self.field = self.index.manifest.get("content_column", "content")
         self._df_cache: dict[str, int] = {}
         from ..state.deletes import load_deleted
 
@@ -225,6 +226,15 @@ class Searcher:
             return node
 
         q = rewrite(q)
+        # a parsed 'title:foo' must not silently search this index's single
+        # content field; the parser's default field name 'content' is accepted
+        # as an alias for whatever column the index was built over
+        unknown = query_fields(q) - {self.field, "content"}
+        if unknown:
+            raise ValueError(
+                f"query references field(s) {sorted(unknown)} but this index "
+                f"only has {self.field!r} (use MultiFieldSearcher for multi-field docs)"
+            )
         terms = sorted(query_terms(q))
         missing = [t for t in terms if t not in self._df_cache]
         if missing:  # the index is immutable: global df is cacheable forever

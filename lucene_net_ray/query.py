@@ -319,23 +319,16 @@ def _parse_atom(text: str, default_field: str, analyzer) -> Query | None:
 
 
 def _parse_phrase(text: str, field: str, analyzer) -> Query | None:
-    from .functions.analysis import analyze_with_positions
-
     slop = 0
     m = re.match(r'^"(.*)"(?:~(\d+))?$', text)
     body = m.group(1)
     if m.group(2):
         slop = int(m.group(2))
-    terms, incrs = analyze_with_positions(body)
+    terms, positions = analyzer.analyze_text_positions(body)
     if not terms:
         return None
     if len(terms) == 1:
         return TermQuery(field=field, term=terms[0])
-    positions = []
-    pos = -1
-    for inc in incrs:
-        pos += inc
-        positions.append(pos)
     return PhraseQuery(field=field, terms=tuple(terms), slop=slop, positions=tuple(positions))
 
 

@@ -122,6 +122,77 @@ def test_fast_build_path_equals_analyze(tmp_path_factory, docs):
         assert per_doc[i] == Counter(analyze(d)), d
 
 
+def test_whitespace_analyzer_no_empty_terms(tmp_path):
+    """pc.utf8_split_whitespace emits '' for leading/trailing whitespace; the
+    fast build path must not index it (ADVICE r1: '' term with df=1, norm off
+    by one field-length)."""
+    from lucene_net_ray.state.segment import SegmentReader, build_segment
+
+    docs = [" x  y ", "x y", "  ", "z"]
+    td = str(tmp_path)
+    build_segment(
+        pa.table({"content": docs}), seg_id=0, doc_base=0, out_dir=td,
+        analyzer=__import__("lucene_net_ray.functions.analysis", fromlist=["Analyzer"]).Analyzer(kind="whitespace"),
+    )
+    r = SegmentReader(td + "/seg000000")
+    assert "" not in set(r.terms.tolist())
+    import pyarrow.parquet as pq
+    lens = pq.read_table(td + "/seg000000/docs.parquet", columns=["field_len"]).column("field_len").to_pylist()
+    assert lens == [len(d.split()) for d in docs]
+
+
+def test_phrase_parse_respects_analyzer(tmp_path):
+    """ADVICE r1: quoted phrases must analyze with the passed analyzer, not
+    the standard chain (whitespace keeps case + stopwords)."""
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.query import PhraseQuery, parse_query
+
+    q = parse_query('"The Quick FOX"', analyzer=Analyzer(kind="whitespace"))
+    assert isinstance(q, PhraseQuery)
+    assert q.terms == ("The", "Quick", "FOX")
+    # standard chain still lowercases and drops the stopword, with a gap
+    q2 = parse_query('"The Quick FOX"')
+    assert q2.terms == ("quick", "fox")
+    assert q2.term_positions() == (1, 2)
+
+
+def test_msm_exceeding_should_count_matches_nothing(tmp_path):
+    """ADVICE r1: minNrShouldMatch > optional clause count matches nothing."""
+    docs = ["alpha beta", "alpha gamma", "beta gamma"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": docs}), idx)
+    s = Searcher(meta, use_actors=False)
+    q = BooleanQuery(
+        clauses=(
+            BooleanClause(TermQuery(term="alpha"), "MUST"),
+            BooleanClause(TermQuery(term="beta"), "SHOULD"),
+        ),
+        min_should_match=2,
+    )
+    assert s.count(q) == 0
+    assert s.search(q, k=5) == []
+    # msm == shoulds still works
+    q_ok = BooleanQuery(
+        clauses=(
+            BooleanClause(TermQuery(term="alpha"), "MUST"),
+            BooleanClause(TermQuery(term="beta"), "SHOULD"),
+        ),
+        min_should_match=1,
+    )
+    assert s.count(q_ok) == 1
+
+
+def test_unknown_field_raises(tmp_path):
+    """ADVICE r1: 'title:foo' must not silently search the content field."""
+    docs = ["alpha beta"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": docs}), idx)
+    s = Searcher(meta, use_actors=False)
+    with pytest.raises(ValueError, match="title"):
+        s.search(parse_query("title:alpha"), k=5)
+    assert s.count(TermQuery(field="content", term="alpha")) == 1
+
+
 def test_clean_corpus_pipeline(tmp_path):
     import pyarrow.parquet as pq
     import ray.data
