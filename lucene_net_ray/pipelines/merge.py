@@ -8,17 +8,33 @@ concatenation of its per-segment lists in segment order — no re-sort, just an
 O(1) splice of each chunk's first vByte delta (codec.splice_first_delta) and a
 block-directory rebase.
 
-Skew handling (head terms like 'public'/'import' with df ~ corpus size):
-the shuffle key is (term, bucket) with bucket = seg_id // bucket_size, so no
-reduce task ever holds more than ``bucket_size`` segments' worth of one term's
-postings. Head terms stay SHARDED on disk as multiple chunk rows — the reader
-and block-max WAND consume them chunk-/block-wise anyway, so there is no
-level-2 concatenation at all. This is the explicit design answer to "a head
-posting list must never sit in one reduce task" (SURVEY.md §4 skew row).
+Physical plan (round 2 — scale-safe serving):
+  map side    one task per segment emits (term, bucket, blobs, blocks) rows.
+              Blobs are ZERO-COPY Arrow LargeBinary slices of the mmap'd
+              postings file (offsets reused from the term dict — no per-term
+              Python loop), first-docids decoded by a vectorized varint scan.
+  shuffle     ``sort(term, bucket, seg_id)`` — Ray Data's sort range-
+              partitions on sampled term boundaries, so output blocks are
+              DISJOINT TERM RANGES in global order (the TieredMergePolicy
+              budget is the bucket_size cap on chunk width).
+  reduce      consecutive (term, bucket) runs within each sorted block are
+              spliced into one chunk row; runs crossing block boundaries stay
+              as separate chunk rows (the reader concatenates chunks in
+              (bucket, first_seg) order, which is docID order).
+  write       one Parquet part file per output block + a parts manifest with
+              per-file [term_min, term_max] — the reader binary-searches the
+              manifest and reads ONLY matching row groups per term, so serving
+              memory is O(1 part), never O(index).
 
-Global term statistics (df/ttf summed across segments) fall out of the same
-pipeline for free and are also available separately via ``global_term_stats``
-(small rows only, no blobs).
+Skew handling (head terms like 'public'/'import' with df ~ corpus size):
+the key is (term, bucket) with bucket = seg_id // bucket_size, so no reduce
+row ever holds more than ``bucket_size`` segments' worth of one term's
+postings; head terms stay SHARDED as multiple chunk rows and are consumed
+chunk-wise. This is the explicit answer to "a head posting list must never
+sit in one reduce task" (SURVEY.md §4 skew row).
+
+Global term statistics (df/ttf summed across segments) use the same map side
+without blobs via ``global_term_stats`` (small rows only).
 """
 
 from __future__ import annotations
@@ -38,76 +54,119 @@ from ..state.index import IndexMeta, write_index_manifest
 from ..state.segment import SegmentReader
 
 
+def _blob_array(buf: np.ndarray, offs: np.ndarray, lens: np.ndarray) -> pa.LargeBinaryArray:
+    """Zero-copy LargeBinaryArray of per-term stream slices.
+
+    Relies on the segment layout invariant that each stream family is
+    contiguous in term order (offs[i] + lens[i] == offs[i+1]), so the term
+    dict's offset arrays double as Arrow binary offsets into the mmap'd file.
+    """
+    n = offs.size
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        assert np.array_equal(offs[1:], offs[:-1] + lens[:-1]), "streams not contiguous"
+        offsets[:n] = offs
+        offsets[n] = offs[-1] + lens[-1]
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(offsets), pa.py_buffer(buf)]
+    )
+
+
+def _first_varints(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Vectorized decode of the FIRST vByte value at each offset (the first
+    doc-delta of each term's stream = its first local docID)."""
+    out = np.zeros(offs.size, dtype=np.uint64)
+    active = np.arange(offs.size)
+    k = 0
+    while active.size:
+        b = buf[offs[active] + k]
+        out[active] |= (b & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * k)
+        active = active[(b & 0x80) != 0]
+        k += 1
+    return out.astype(np.int64)
+
+
+def _empty_blob_array(n: int) -> pa.LargeBinaryArray:
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(np.zeros(n + 1, dtype=np.int64)), pa.py_buffer(np.empty(0, dtype=np.uint8))],
+    )
+
+
 def _segment_term_rows(batch: pa.Table, *, with_blobs: bool, bucket_size: int = 8) -> pa.Table:
-    """flat_map one segment-descriptor row -> one row per term in the segment."""
+    """flat_map one segment-descriptor row -> one row per term in the segment.
+
+    Fully vectorized: blobs are zero-copy slices, first/last docids come from
+    a vectorized varint scan and the block directory's list offsets.
+    """
     out_tables = []
     for row in batch.to_pylist():
         seg_dir = row["seg_dir"]
         r = SegmentReader(seg_dir)
         n = len(r.terms)
-        terms_list = list(r.terms)
+        if n == 0:
+            continue
+        terms_arr = r._terms
         cols: dict = {
-            "term": pa.array(terms_list, type=pa.string()),
+            "term": terms_arr,
             "seg_id": pa.array(np.full(n, row["seg_id"], dtype=np.int64)),
             "bucket": pa.array(np.full(n, row["seg_id"] // bucket_size, dtype=np.int64)),
-            # coarse shuffle key: one map_groups UDF call per (term,bucket)
-            # group would dominate at real vocab sizes; hash terms into a
-            # bounded number of groups and split exact runs inside the UDF
-            "coarse": pa.array(
-                np.array([zlib.crc32(t.encode()) & 0x7FF for t in terms_list], dtype=np.int64)
-            ),
             "df": pa.array(r.df_array.astype(np.int64)),
             "ttf": pa.array(r.ttf_array.astype(np.int64)),
         }
+        if not with_blobs:
+            # stats-only path keeps a coarse bounded groupby key
+            cols["coarse"] = pa.array(
+                np.array(
+                    [zlib.crc32(t.encode()) & 0x7FF for t in r.terms], dtype=np.int64
+                )
+            )
         if with_blobs:
             post = r._post
-            has_pos = r.has_positions
-            doc_blobs, frq_blobs, pos_blobs = [], [], []
-            first_docs = np.empty(n, dtype=np.int64)
-            last_docs = np.empty(n, dtype=np.int64)
-            tbl = pq.read_table(os.path.join(seg_dir, "terms.parquet"))
-            blk_last = tbl.column("blk_last_doc")
-            blk_doc_boff = tbl.column("blk_doc_boff")
-            blk_frq_boff = tbl.column("blk_frq_boff")
-            blk_max_tf = tbl.column("blk_max_tf")
-            blk_min_normb = tbl.column("blk_min_normb")
-            for i in range(n):
-                do, dl = r._doc_off[i], r._doc_len[i]
-                fo, fl = r._frq_off[i], r._frq_len[i]
-                doc_blobs.append(post[do : do + dl].tobytes())
-                frq_blobs.append(post[fo : fo + fl].tobytes())
-                if has_pos:
-                    po, pl = r._pos_off[i], r._pos_len[i]
-                    pos_blobs.append(post[po : po + pl].tobytes())
-                else:
-                    pos_blobs.append(b"")
-                lasts = blk_last[i].as_py()
-                last_docs[i] = lasts[-1]
-                # first docid = first delta of the stream
-                first_docs[i] = int(codec.vbyte_decode(post[do : do + min(dl, 10)])[0])
+            doc_off = r._doc_off.astype(np.int64)
+            doc_len = r._doc_len.astype(np.int64)
             base = row["doc_base"]
+            first_docs = _first_varints(post, doc_off)
+            blk_last = pq.read_table(
+                os.path.join(seg_dir, "terms.parquet"), columns=["blk_last_doc"]
+            ).column("blk_last_doc").combine_chunks()
+            if isinstance(blk_last, pa.ChunkedArray):
+                blk_last = blk_last.combine_chunks()
+            blk_offs = blk_last.offsets.to_numpy()
+            blk_flat = blk_last.flatten().to_numpy()
+            last_docs = blk_flat[blk_offs[1:] - 1]
+            if r.has_positions:
+                pos_arr = _blob_array(post, r._pos_off.astype(np.int64), r._pos_len.astype(np.int64))
+            else:
+                pos_arr = _empty_blob_array(n)
             cols.update(
                 {
-                    "doc_blob": pa.array(doc_blobs, type=pa.large_binary()),
-                    "frq_blob": pa.array(frq_blobs, type=pa.large_binary()),
-                    "pos_blob": pa.array(pos_blobs, type=pa.large_binary()),
+                    "doc_blob": _blob_array(post, doc_off, doc_len),
+                    "frq_blob": _blob_array(post, r._frq_off.astype(np.int64), r._frq_len.astype(np.int64)),
+                    "pos_blob": pos_arr,
                     "first_doc": pa.array(first_docs + base),
                     "last_doc": pa.array(last_docs + base),
                     "blk_last_doc": _rebase_list(blk_last, base),
-                    "blk_doc_boff": blk_doc_boff.combine_chunks(),
-                    "blk_frq_boff": blk_frq_boff.combine_chunks(),
-                    "blk_max_tf": blk_max_tf.combine_chunks(),
-                    "blk_min_normb": blk_min_normb.combine_chunks(),
+                    "blk_doc_boff": _list_col(r, "blk_doc_boff"),
+                    "blk_frq_boff": _list_col(r, "blk_frq_boff"),
+                    "blk_max_tf": _list_col(r, "blk_max_tf"),
+                    "blk_min_normb": _list_col(r, "blk_min_normb"),
                 }
             )
         out_tables.append(pa.table(cols))
     return pa.concat_tables(out_tables) if out_tables else pa.table({})
 
 
-def _rebase_list(chunked, base: int):
-    arr = chunked.combine_chunks()
+def _list_col(r: SegmentReader, name: str):
+    arr = r._blocks_tbl.column(name).combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    return arr
+
+
+def _rebase_list(chunked, base: int):
+    arr = chunked.combine_chunks() if isinstance(chunked, pa.ChunkedArray) else chunked
     flat = pa.compute.add(arr.flatten(), base)
     return pa.ListArray.from_arrays(arr.offsets, flat)
 
@@ -138,10 +197,13 @@ def high_freq_terms(index: IndexMeta, k: int = 20) -> ray.data.Dataset:
     return stats.sort(["df", "term"], descending=[True, False]).limit(k)
 
 
-def _merge_term_group(group: pa.Table) -> pa.Table:
-    """One coarse group: split into exact (term, bucket) runs, merge each."""
-    rows_all = group.to_pylist()
-    rows_all.sort(key=lambda x: (x["term"], x["bucket"], x["seg_id"]))
+def _merge_sorted_batch(batch: pa.Table) -> pa.Table:
+    """Splice consecutive (term, bucket) runs of a SORTED block into chunk
+    rows. The sort guarantees blocks are disjoint term ranges; a run that
+    crosses a block boundary simply yields one chunk row per side."""
+    if batch.num_rows == 0:
+        return batch
+    rows_all = batch.to_pylist()  # already (term, bucket, seg_id)-sorted
     outs = []
     i = 0
     while i < len(rows_all):
@@ -212,18 +274,33 @@ def _merge_one_run(rows: list[dict]) -> pa.Table:
 
 
 def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -> str:
-    """Compact a segmented index into a term-partitioned merged index.
+    """Compact a segmented index into a term-range-partitioned merged index.
 
     ForceMerge analog (/root/reference/src/Lucene.Net.Core/Index/IndexWriter.cs:2099)
     with TieredMergePolicy's bounded-inputs-per-merge idea expressed as the
     (term, bucket) shuffle key. Output under ``out_dir``:
-      parts/part-*.parquet   chunked term entries (term, bucket, blobs, blocks)
+      parts/*.parquet        chunk rows (term, bucket, blobs, blocks), sorted
+                             by term; each file covers a disjoint term range
       docs/docs-*.parquet    per-source-segment doc tables (global docIDs)
-      manifest.json
+      manifest.json          includes the per-part [term_min, term_max] index
     Postings in the merged index carry GLOBAL docIDs.
+
+    Raises if the source index has un-expunged delete tombstones: a
+    concatenative merge would resurrect deleted docs. Run
+    ``maintenance.expunge_deletes`` first (IndexWriter.ForceMergeDeletes
+    analog), then merge the expunged index.
     """
     index = index if isinstance(index, IndexMeta) else IndexMeta(index)
-    os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
+    from ..state.deletes import load_deleted
+
+    if load_deleted(index.index_dir).size:
+        raise ValueError(
+            f"index {index.index_dir} has delete tombstones; run "
+            "expunge_deletes() before merge_index() (a concatenative merge "
+            "would resurrect deleted docs)"
+        )
+    parts_dir = os.path.join(out_dir, "parts")
+    os.makedirs(parts_dir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, "docs"), exist_ok=True)
 
     seg_rows = [
@@ -237,8 +314,31 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
         batch_format="pyarrow",
         batch_size=None,
     )
-    merged = term_rows.groupby("coarse").map_groups(_merge_term_group, batch_format="pyarrow")
-    merged.write_parquet(os.path.join(out_dir, "parts"))
+    merged = term_rows.sort(["term", "bucket", "seg_id"]).map_batches(
+        _merge_sorted_batch, batch_format="pyarrow", batch_size=None
+    )
+    merged.write_parquet(parts_dir)
+
+    # per-part term-range manifest: rows within each file are sorted, so
+    # min/max = first/last row of the (column-pruned) term column
+    parts_meta = []
+    for f in sorted(os.listdir(parts_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(parts_dir, f), columns=["term"])
+        if t.num_rows == 0:
+            os.remove(os.path.join(parts_dir, f))
+            continue
+        col = t.column("term")
+        parts_meta.append(
+            {
+                "file": f,
+                "term_min": col[0].as_py(),
+                "term_max": col[-1].as_py(),
+                "rows": t.num_rows,
+            }
+        )
+    parts_meta.sort(key=lambda p: (p["term_min"], p["term_max"]))
 
     # docs: copy per-segment doc tables, already global docIDs
     for d in index.segment_dirs:
@@ -248,7 +348,7 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
     write_index_manifest(
         out_dir,
         {
-            "version": 1,
+            "version": 2,
             "kind": "merged",
             "max_doc": index.max_doc,
             "sum_ttf": index.sum_ttf,
@@ -257,6 +357,7 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
             "source": index.index_dir,
             "analyzer": index.manifest.get("analyzer"),
             "segments": index.manifest["segments"],
+            "parts": parts_meta,
         },
     )
     return out_dir
@@ -271,91 +372,213 @@ def _doc_base(index: IndexMeta, seg_id: int) -> int:
     raise KeyError(seg_id)
 
 
-class MergedIndexReader:
-    """Facade over a merged (term-partitioned, chunked) index.
+class _LazyNorms:
+    """Global norm-byte accessor backed by per-segment docs files.
 
-    Exposes the SegmentReader interface the scorer needs — postings() returns
+    Supports numpy fancy indexing by GLOBAL docid without ever materializing
+    the full norms array: per-segment slices load lazily and live in a
+    bounded cache (at cluster scale an actor serves a segment subset, so its
+    cache holds only its own segments)."""
+
+    def __init__(self, files: list[str], bases: np.ndarray, counts: np.ndarray, max_cached: int = 64):
+        self._files = files
+        self._bases = bases
+        self._counts = counts
+        self._max_cached = max_cached
+        self._cache: dict[int, np.ndarray] = {}
+
+    def _load(self, s: int) -> np.ndarray:
+        arr = self._cache.get(s)
+        if arr is None:
+            arr = pq.read_table(self._files[s], columns=["norm"]).column("norm").to_numpy()
+            if len(self._cache) >= self._max_cached:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[s] = arr
+        return arr
+
+    def __getitem__(self, docids) -> np.ndarray:
+        docids = np.asarray(docids, dtype=np.int64)
+        segs = np.searchsorted(self._bases, docids, side="right") - 1
+        out = np.empty(docids.shape, dtype=np.uint8)
+        for s in np.unique(segs):
+            m = segs == s
+            out[m] = self._load(int(s))[docids[m] - self._bases[s]]
+        return out
+
+
+class MergedIndexReader:
+    """Scale-safe facade over a merged (term-range-partitioned) index.
+
+    Exposes the SegmentReader surface the scorer needs — postings() returns
     GLOBAL docids (doc_base 0, norms indexed globally) — so SegmentScorer
-    works unchanged. Head terms may be several chunk rows; they are decoded
-    chunk-wise and concatenated (already globally docid-ordered by bucket).
+    works unchanged. Per-term access binary-searches the parts manifest and
+    reads ONLY the matching row groups of the matching part file(s)
+    (Parquet term-column statistics prune inside a file), so resident state
+    is O(parts manifest + one part's rows), never O(index). Head terms are
+    several chunk rows, concatenated in (bucket, first_seg) = docID order.
     """
+
+    _BLOB_COLS = ["term", "bucket", "first_seg", "df", "ttf", "doc_blob", "frq_blob", "pos_blob"]
 
     def __init__(self, out_dir: str):
         with open(os.path.join(out_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
+        self.out_dir = out_dir
         parts_dir = os.path.join(out_dir, "parts")
-        files = sorted(
-            os.path.join(parts_dir, f) for f in os.listdir(parts_dir) if f.endswith(".parquet")
-        )
-        self._tbl = pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
-            [("term", "ascending"), ("bucket", "ascending")]
-        )
-        self._term_np = np.asarray(self._tbl.column("term").to_pylist(), dtype=object)
-        self._df = self._tbl.column("df").to_numpy()
-        self._ttf = self._tbl.column("ttf").to_numpy()
+        parts = self.manifest.get("parts")
+        if parts is None:  # pre-manifest fallback: derive ranges on open
+            parts = []
+            for fn in sorted(os.listdir(parts_dir)):
+                if fn.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(parts_dir, fn), columns=["term"])
+                    if t.num_rows:
+                        parts.append(
+                            {"file": fn, "term_min": t.column("term")[0].as_py(),
+                             "term_max": t.column("term")[-1].as_py(), "rows": t.num_rows}
+                        )
+        self._parts = parts
+        self._part_paths = [os.path.join(parts_dir, p["file"]) for p in parts]
+        self._tmin = [p["term_min"] for p in parts]
+        self._tmax = [p["term_max"] for p in parts]
+        self._rg_index: dict[int, tuple] = {}  # part idx -> (rg_mins, rg_maxs)
+        self._terms_cache: np.ndarray | None = None
+
+        segs = self.manifest["segments"]
         docs_dir = os.path.join(out_dir, "docs")
-        dfiles = sorted(os.path.join(docs_dir, f) for f in os.listdir(docs_dir))
-        docs = pa.concat_tables([pq.read_table(f) for f in dfiles]).sort_by("doc_id")
-        self.norms = docs.column("norm").to_numpy()
+        self._docs_files = [
+            os.path.join(docs_dir, f"seg{r['seg_id']:06d}.parquet") for r in segs
+        ]
+        counts = np.array([r["doc_count"] for r in segs], dtype=np.int64)
+        bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        self.norms = _LazyNorms(self._docs_files, bases, counts)
         self.doc_base = 0
         self.doc_count = self.manifest["max_doc"]
         self.sum_ttf = self.manifest["sum_ttf"]
+        # metrics for scale tests: how many part files each lookup touched
+        self.files_read = 0
 
+    # -- part-file navigation ----------------------------------------------
+    def _candidate_parts(self, term: str) -> list[int]:
+        return [
+            i
+            for i in range(len(self._parts))
+            if self._tmin[i] <= term <= self._tmax[i]
+        ]
+
+    def _row_groups_for(self, i: int, term: str) -> list[int]:
+        idx = self._rg_index.get(i)
+        if idx is None:
+            md = pq.ParquetFile(self._part_paths[i]).metadata
+            mins, maxs = [], []
+            tcol = None
+            for c in range(md.row_group(0).num_columns):
+                if md.row_group(0).column(c).path_in_schema == "term":
+                    tcol = c
+                    break
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(tcol).statistics
+                mins.append(st.min if st else None)
+                maxs.append(st.max if st else None)
+            idx = (mins, maxs)
+            self._rg_index[i] = idx
+        mins, maxs = idx
+        return [
+            rg
+            for rg in range(len(mins))
+            if mins[rg] is None or (mins[rg] <= term and term <= maxs[rg])
+        ]
+
+    def _rows_for_term(self, term: str, columns: list[str]) -> pa.Table | None:
+        tables = []
+        for i in self._candidate_parts(term):
+            rgs = self._row_groups_for(i, term)
+            if not rgs:
+                continue
+            self.files_read += 1
+            pf = pq.ParquetFile(self._part_paths[i])
+            t = pf.read_row_groups(rgs, columns=columns)
+            t = t.filter(pa.compute.equal(t.column("term"), term))
+            if t.num_rows:
+                tables.append(t)
+        if not tables:
+            return None
+        t = pa.concat_tables(tables)
+        if t.num_rows > 1:
+            t = t.sort_by([("bucket", "ascending"), ("first_seg", "ascending")])
+        return t
+
+    # -- SegmentReader surface ----------------------------------------------
     @property
     def terms(self) -> np.ndarray:
-        # unique sorted terms (chunk rows repeat a term); fine for expansion scans
-        return np.unique(self._term_np)
+        """Unique sorted vocabulary. Loaded lazily (column-pruned, no blobs)
+        and cached — used only by multi-term expansions; the scale path for a
+        10^12-doc corpus is `terms_in_range` against the parts manifest."""
+        if self._terms_cache is None:
+            cols = [
+                pq.read_table(p, columns=["term"]).column("term").to_numpy(zero_copy_only=False)
+                for p in self._part_paths
+            ]
+            allt = np.concatenate(cols) if cols else np.empty(0, dtype=object)
+            self._terms_cache = np.unique(allt)
+        return self._terms_cache
 
-    def _row_range(self, term: str) -> tuple[int, int]:
-        lo = int(np.searchsorted(self._term_np, term, side="left"))
-        hi = int(np.searchsorted(self._term_np, term, side="right"))
-        return lo, hi
+    def terms_in_range(self, lo: str, hi: str) -> np.ndarray:
+        """Sorted unique terms in [lo, hi] reading only covering parts."""
+        out = []
+        for i in range(len(self._parts)):
+            if self._tmax[i] < lo or self._tmin[i] > hi:
+                continue
+            col = pq.read_table(self._part_paths[i], columns=["term"]).column("term").to_numpy(zero_copy_only=False)
+            sel = col[(col >= lo) & (col <= hi)]
+            if sel.size:
+                out.append(sel)
+        return np.unique(np.concatenate(out)) if out else np.empty(0, dtype=object)
 
     def term_stats(self, term: str) -> tuple[int, int]:
-        lo, hi = self._row_range(term)
-        if lo == hi:
+        t = self._rows_for_term(term, ["term", "bucket", "first_seg", "df", "ttf"])
+        if t is None:
             return 0, 0
-        return int(self._df[lo:hi].sum()), int(self._ttf[lo:hi].sum())
+        return int(pa.compute.sum(t.column("df")).as_py()), int(pa.compute.sum(t.column("ttf")).as_py())
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        lo, hi = self._row_range(term)
-        if lo == hi:
+        t = self._rows_for_term(term, self._BLOB_COLS)
+        if t is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         doc_parts, tf_parts = [], []
-        for i in range(lo, hi):
-            db = self._tbl.column("doc_blob")[i].as_py()
-            fb = self._tbl.column("frq_blob")[i].as_py()
-            d, t = codec.decode_postings(db, fb)
+        for i in range(t.num_rows):
+            d, tf = codec.decode_postings(
+                t.column("doc_blob")[i].as_py(), t.column("frq_blob")[i].as_py()
+            )
             doc_parts.append(d)
-            tf_parts.append(t)
+            tf_parts.append(tf)
         return np.concatenate(doc_parts), np.concatenate(tf_parts)
 
     @property
     def has_positions(self) -> bool:
-        return "pos_blob" in self._tbl.column_names and self.manifest.get("index_options") == "positions"
+        return self.manifest.get("index_options") == "positions"
 
     def positions(self, term: str):
         """(docids, tfs, flat_positions, occ_offsets) — see SegmentReader."""
         if not self.has_positions:
             raise ValueError("merged index was built without positions")
-        lo, hi = self._row_range(term)
+        t = self._rows_for_term(term, self._BLOB_COLS)
         e = np.empty(0, dtype=np.int64)
-        if lo == hi:
+        if t is None:
             return e, e, e, np.zeros(1, dtype=np.int64)
         doc_parts, tf_parts, flat_parts = [], [], []
-        for i in range(lo, hi):
-            d, t = codec.decode_postings(
-                self._tbl.column("doc_blob")[i].as_py(), self._tbl.column("frq_blob")[i].as_py()
+        for i in range(t.num_rows):
+            d, tf = codec.decode_postings(
+                t.column("doc_blob")[i].as_py(), t.column("frq_blob")[i].as_py()
             )
             deltas = codec.vbyte_decode(
-                np.frombuffer(self._tbl.column("pos_blob")[i].as_py(), dtype=np.uint8)
+                np.frombuffer(t.column("pos_blob")[i].as_py(), dtype=np.uint8)
             ).astype(np.int64)
-            occ = np.concatenate(([0], np.cumsum(t)))
+            occ = np.concatenate(([0], np.cumsum(tf)))
             flat = np.cumsum(deltas)
             if d.size > 1:
-                flat -= np.repeat(np.concatenate(([0], flat[occ[1:-1] - 1])), t)
+                flat -= np.repeat(np.concatenate(([0], flat[occ[1:-1] - 1])), tf)
             doc_parts.append(d)
-            tf_parts.append(t)
+            tf_parts.append(tf)
             flat_parts.append(flat)
         docids = np.concatenate(doc_parts)
         tfs = np.concatenate(tf_parts)

@@ -7,13 +7,16 @@ statistics keep using maxDoc until the deletes are merged away, so idf/avgdl
 are UNCHANGED by deletion (authentic Lucene behavior — deleted docs still
 count in docFreq until expunged).
 
-Merged (compacted) indexes do not consult tombstones — merge before
-deleting, or re-issue the deletes against the merged index.
+Merged (compacted) indexes do not consult tombstones — ``merge_index``
+refuses to run while tombstones exist; run
+``pipelines.maintenance.expunge_deletes`` first (ForceMergeDeletes analog:
+drops tombstoned docs with dense docID remap and shrunken stats), then merge
+the expunged index.
 
 Here deletes live in ``{index}/deletes/gen_{N:06d}.parquet`` (one global
 doc_id column per generation, atomic rename; generations accumulate like
 .del files). Readers union all generations into a live mask applied at
-match time. Compaction/expunge (docID remap on merge) is future work.
+match time.
 """
 
 from __future__ import annotations

@@ -221,6 +221,98 @@ def build_segment(
     sha = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in content_arr.to_pylist()]
     norms = encode_norm_array(field_lens)
 
+    enc = write_terms_and_postings(
+        tmp_dir,
+        uniq_terms=uniq_terms,
+        codes=codes,
+        docs_sorted=docs_sorted,
+        tfs_sorted=tfs_sorted,
+        pos_deltas=pos_deltas,
+        norms=norms,
+    )
+    n_terms = enc["term_count"]
+    n_post = enc["postings"]
+
+    # --- docs.parquet -----------------------------------------------------
+    docs_cols = {
+        "doc_id": pa.array(doc_base + np.arange(n_docs, dtype=np.int64)),
+        "norm": pa.array(norms, type=pa.uint8()),
+        "field_len": pa.array(field_lens.astype(np.int32)),
+        "sha256": pa.array(sha, type=pa.string()),
+    }
+    if store_term_vectors and n_post:
+        # per-doc mini inverted index (TermVectorsFormat analog): re-sort the
+        # (term, doc, tf) triples by doc and emit list columns
+        tv_order = np.lexsort((codes, docs_sorted))
+        tv_docs = docs_sorted[tv_order]
+        tv_terms = codes[tv_order]
+        tv_tfs = tfs_sorted[tv_order]
+        counts_per_doc = np.bincount(tv_docs, minlength=n_docs).astype(np.int32)
+        offsets = np.concatenate(([0], np.cumsum(counts_per_doc))).astype(np.int32)
+        term_strs = uniq_terms.take(pa.array(tv_terms, type=pa.int64()))
+        docs_cols["tvec_terms"] = pa.ListArray.from_arrays(pa.array(offsets), term_strs)
+        docs_cols["tvec_tfs"] = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(tv_tfs, type=pa.int32())
+        )
+    elif store_term_vectors:
+        empty_off = pa.array(np.zeros(n_docs + 1, dtype=np.int32))
+        docs_cols["tvec_terms"] = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.string()))
+        docs_cols["tvec_tfs"] = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32()))
+    for col in stored_columns:
+        if col in table.column_names:
+            docs_cols[col] = table.column(col)
+    pq.write_table(pa.table(docs_cols), os.path.join(tmp_dir, "docs.parquet"))
+
+    meta = {
+        "seg_id": seg_id,
+        "name": seg_name,
+        "doc_base": int(doc_base),
+        "doc_count": int(n_docs),
+        "sum_ttf": int(field_lens.sum()),
+        "term_count": int(n_terms),
+        "postings": int(n_post),
+        "postings_bytes": enc["postings_bytes"],
+        "content_bytes": content_bytes,
+        "index_options": index_options,
+        "store_term_vectors": store_term_vectors,
+        "lineage": lineage or {},
+        "metrics": {
+            "build_sec": round(time.perf_counter() - t0, 4),
+            "tokens": int(field_lens.sum()),
+        },
+        "analyzer": analyzer.config(),
+    }
+    _atomic_write_json(os.path.join(tmp_dir, "meta.json"), meta)
+    if os.path.exists(final_dir):  # lost a race with a retry of the same task
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    else:
+        os.replace(tmp_dir, final_dir)
+    return meta
+
+
+def write_terms_and_postings(
+    tmp_dir: str,
+    *,
+    uniq_terms: pa.Array,
+    codes: np.ndarray,
+    docs_sorted: np.ndarray,
+    tfs_sorted: np.ndarray,
+    pos_deltas: np.ndarray | None,
+    norms: np.ndarray,
+) -> dict:
+    """Encode term-major posting arrays into terms.parquet + postings.bin.
+
+    Inputs are term-major sorted: codes[i] is the (term-rank) of posting i,
+    non-decreasing; docs_sorted/tfs_sorted are the posting's local docID/freq;
+    pos_deltas (optional) is the per-occurrence position-delta stream aligned
+    with the postings (first delta of each posting is the absolute position).
+    Shared by the segment builder and by expunge-deletes (which re-encodes a
+    segment minus its tombstoned docs). Returns {"term_count", "postings",
+    "postings_bytes"}.
+    """
+    n_post = codes.size
     if n_post:
         starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
     else:
@@ -318,63 +410,11 @@ def build_segment(
     )
     pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
 
-    # --- docs.parquet -----------------------------------------------------
-    docs_cols = {
-        "doc_id": pa.array(doc_base + np.arange(n_docs, dtype=np.int64)),
-        "norm": pa.array(norms, type=pa.uint8()),
-        "field_len": pa.array(field_lens.astype(np.int32)),
-        "sha256": pa.array(sha, type=pa.string()),
-    }
-    if store_term_vectors and n_post:
-        # per-doc mini inverted index (TermVectorsFormat analog): re-sort the
-        # (term, doc, tf) triples by doc and emit list columns
-        tv_order = np.lexsort((codes, docs_sorted))
-        tv_docs = docs_sorted[tv_order]
-        tv_terms = codes[tv_order]
-        tv_tfs = tfs_sorted[tv_order]
-        counts_per_doc = np.bincount(tv_docs, minlength=n_docs).astype(np.int32)
-        offsets = np.concatenate(([0], np.cumsum(counts_per_doc))).astype(np.int32)
-        term_strs = uniq_terms.take(pa.array(tv_terms, type=pa.int64()))
-        docs_cols["tvec_terms"] = pa.ListArray.from_arrays(pa.array(offsets), term_strs)
-        docs_cols["tvec_tfs"] = pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(tv_tfs, type=pa.int32())
-        )
-    elif store_term_vectors:
-        empty_off = pa.array(np.zeros(n_docs + 1, dtype=np.int32))
-        docs_cols["tvec_terms"] = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.string()))
-        docs_cols["tvec_tfs"] = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32()))
-    for col in stored_columns:
-        if col in table.column_names:
-            docs_cols[col] = table.column(col)
-    pq.write_table(pa.table(docs_cols), os.path.join(tmp_dir, "docs.parquet"))
-
-    meta = {
-        "seg_id": seg_id,
-        "name": seg_name,
-        "doc_base": int(doc_base),
-        "doc_count": int(n_docs),
-        "sum_ttf": int(field_lens.sum()),
+    return {
         "term_count": int(n_terms),
         "postings": int(n_post),
         "postings_bytes": int(doc_cum[-1] + frq_cum[-1]) if n_post else 0,
-        "content_bytes": content_bytes,
-        "index_options": index_options,
-        "store_term_vectors": store_term_vectors,
-        "lineage": lineage or {},
-        "metrics": {
-            "build_sec": round(time.perf_counter() - t0, 4),
-            "tokens": int(field_lens.sum()),
-        },
-        "analyzer": analyzer.config(),
     }
-    _atomic_write_json(os.path.join(tmp_dir, "meta.json"), meta)
-    if os.path.exists(final_dir):  # lost a race with a retry of the same task
-        import shutil
-
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-    else:
-        os.replace(tmp_dir, final_dir)
-    return meta
 
 
 class SegmentReader:

@@ -128,6 +128,108 @@ def test_delete_documents_livedocs(tmp_path):
     assert s2.count(q) == 0
 
 
+def _sha_of(index, doc_ids):
+    """Map global docIDs -> content sha256 via the docs tables (docIDs are
+    ephemeral across expunge/merge, shas are the stable identity)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    for d in index.segment_dirs:
+        t = pq.read_table(os.path.join(d, "docs.parquet"), columns=["doc_id", "sha256"])
+        for i, s in zip(t.column("doc_id").to_pylist(), t.column("sha256").to_pylist()):
+            out[i] = s
+    return [out[i] for i in doc_ids]
+
+
+def test_expunge_deletes(tmp_path):
+    from lucene_net_ray.pipelines.maintenance import expunge_deletes
+    from lucene_net_ray.pipelines.merge import MergedSearcher, merge_index
+    from lucene_net_ray.query import TermQuery
+    from lucene_net_ray.state.deletes import delete_by_query, load_deleted
+
+    corpus = generate_corpus(100, seed=21)
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(corpus, idx, target_rows_per_segment=30, index_options="positions")
+    s0 = Searcher(idx, use_actors=False)
+    doomed = {d for d, _ in s0.scored_docs(TermQuery(term="zyzzyva"))}
+    assert doomed
+    df_pub_before = s0._stats_for_terms(["public"])["public"]
+    n_del = delete_by_query(idx, TermQuery(term="zyzzyva"))
+    assert n_del == len(doomed)
+    s_del = reopen(idx)
+    live_pub = s_del.scored_docs(parse_query("public"))
+
+    # merging a tombstoned index must refuse (would resurrect deletes)
+    import pytest
+
+    with pytest.raises(ValueError, match="expunge"):
+        merge_index(idx, str(tmp_path / "bad_merged"))
+
+    exp = expunge_deletes(idx, str(tmp_path / "expunged"))
+    check_index(exp)
+    assert exp.max_doc == 100 - n_del
+    assert load_deleted(exp.index_dir).size == 0
+    s1 = Searcher(exp, use_actors=False)
+    assert s1.count(TermQuery(term="zyzzyva")) == 0
+    # docFreq shrinks to the live corpus (authentic post-expunge stats)
+    df_pub_after = s1._stats_for_terms(["public"])["public"]
+    n_doomed_with_pub = sum(1 for d, _ in s0.scored_docs(TermQuery(term="public")) if d in doomed)
+    assert df_pub_after == df_pub_before - n_doomed_with_pub
+    # same live docs match (compared by content sha — docIDs were remapped)
+    exp_hits = s1.scored_docs(parse_query("public"))
+    assert sorted(_sha_of(exp, [d for d, _ in exp_hits])) == sorted(
+        _sha_of(meta, [d for d, _ in live_pub])
+    )
+    # phrase/position streams survive the rewrite
+    assert s1.count(parse_query('"public static"')) == len(
+        {d for d, _ in s1.scored_docs(parse_query('"public static"'))}
+    )
+    # expunged index merges cleanly and serves identically
+    merged_dir = merge_index(exp, str(tmp_path / "merged"))
+    ms = MergedSearcher(merged_dir)
+    for qs in ["public", "+public +query", "query token score"]:
+        q = parse_query(qs)
+        assert ms.search(q, k=10) == s1.search(q, k=10), qs
+
+
+def test_update_documents(tmp_path):
+    from lucene_net_ray.pipelines.maintenance import update_documents
+
+    docs = pa.table(
+        {
+            "doc_key": ["a", "b", "c", "d"],
+            "content": [
+                "original alpha content",
+                "original beta content",
+                "original gamma content",
+                "original delta content",
+            ],
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index_from_table(docs, idx, target_rows_per_segment=2, stored_columns=("doc_key",))
+    s0 = Searcher(idx, use_actors=False)
+    assert s0.count(parse_query("beta")) == 1
+    res = update_documents(
+        idx,
+        pa.table({"doc_key": ["b"], "content": ["replacement epsilon content"]}),
+        "doc_key",
+    )
+    assert res == {"deleted": 1, "added": 1}
+    s1 = reopen(idx)
+    assert s1.count(parse_query("beta")) == 0  # old version tombstoned
+    assert s1.count(parse_query("epsilon")) == 1  # replacement visible
+    assert s1.count(parse_query("alpha")) == 1  # untouched docs intact
+    assert s1.index.max_doc == 5  # tombstones linger until expunge
+    # updating the same key again replaces the replacement
+    update_documents(idx, pa.table({"doc_key": ["b"], "content": ["second zeta version"]}), "doc_key")
+    s2 = reopen(idx)
+    assert s2.count(parse_query("epsilon")) == 0
+    assert s2.count(parse_query("zeta")) == 1
+
+
 def test_term_vectors(tmp_path):
     from collections import Counter
 
