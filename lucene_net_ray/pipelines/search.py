@@ -77,6 +77,11 @@ class _SegmentGroup:
         merged.sort(key=lambda h: (-h[1], h[0]))
         return merged[:k]
 
+    def top_k_many(self, items: list[tuple[Query, dict]], k: int) -> list[list[tuple[int, float]]]:
+        """Evaluate many (query, stats) pairs in ONE actor round-trip — the
+        bulk-serving path's amortization of per-call overhead."""
+        return [self.top_k(q, stats, k) for q, stats in items]
+
     def count(self, q: Query, stats: dict) -> int:
         import numpy as _np
 
@@ -122,17 +127,23 @@ def merge_top_docs(per_shard: list[list[tuple[int, float]]], k: int) -> list[tup
 class QueryEvalStage:
     """Actor-pool map_batches stage: evaluate a Dataset of query strings.
 
-    Each actor opens the FULL index once in __init__ (term dicts in RAM,
-    postings mmap'd) and evaluates every query in a batch end-to-end —
-    queries-as-data, the bulk-serving dual of the per-query Searcher
-    (SURVEY.md §3.3 "Queries-as-Dataset"). Global stats come from the
-    index manifest + per-term lookups, cached across batches.
+    Round-2 sharded design: the stage actors hold NO index. A fixed group of
+    SegmentGroupActor handles (each owning a DISJOINT segment slice — memory
+    per actor = 1/G of the index) is created once and shared by every stage
+    actor; each query batch is scattered to all groups in one remote call per
+    group (``top_k_many``) and gathered/merged per query. This reuses the
+    per-query Searcher's group topology for the bulk path, replacing the
+    round-1 design that replicated the FULL index into every stage actor.
+    Global stats are per-term lookups, cached across batches per stage actor.
     """
 
-    def __init__(self, index_dir: str, k: int = 10):
+    def __init__(self, index_dir: str, k: int = 10, group_handles: list | None = None):
         from ..state.index import IndexMeta
 
-        self.searcher = Searcher(IndexMeta(index_dir), use_actors=False)
+        if group_handles is not None:
+            self.searcher = Searcher(IndexMeta(index_dir), groups=group_handles)
+        else:  # in-process fallback (tests / no shared actors)
+            self.searcher = Searcher(IndexMeta(index_dir), use_actors=False)
         self.k = k
 
     def __call__(self, batch):
@@ -140,17 +151,27 @@ class QueryEvalStage:
 
         from ..query import parse_query
 
-        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        parsed = []
         for row in batch.to_pylist():
             try:
-                q = parse_query(row["query"])
+                parsed.append((row["query_id"], parse_query(row["query"])))
             except Exception:
                 continue
-            for rank, (doc, score) in enumerate(self.searcher.search(q, k=self.k), 1):
-                out["query_id"].append(row["query_id"])
-                out["rank"].append(rank)
-                out["doc_id"].append(doc)
-                out["score"].append(float(score))
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        if parsed:
+            # warm the df cache with ONE stats gather for the whole batch
+            terms = sorted({t for _, q in parsed for t in query_terms(q)})
+            if terms:
+                self.searcher._stats_for_terms(terms)
+            hits_by_name = self.searcher.batch_search(
+                [(str(qid), q) for qid, q in parsed], k=self.k
+            )
+            for qid, _q in parsed:
+                for rank, (doc, score) in enumerate(hits_by_name[str(qid)], 1):
+                    out["query_id"].append(qid)
+                    out["rank"].append(rank)
+                    out["doc_id"].append(doc)
+                    out["score"].append(float(score))
         return pa.table(
             {
                 "query_id": pa.array(out["query_id"], type=pa.int64()),
@@ -161,11 +182,29 @@ class QueryEvalStage:
         )
 
 
-def evaluate_query_dataset(index_dir: str, queries_ds, *, k: int = 10, concurrency=(1, 8), batch_size: int = 64):
-    """queries Dataset (query_id, query) -> hits Dataset (query_id, rank, doc_id, score)."""
+def evaluate_query_dataset(
+    index_dir: str,
+    queries_ds,
+    *,
+    k: int = 10,
+    concurrency=(1, 8),
+    batch_size: int = 64,
+    num_groups: int = 4,
+    share_groups: bool = True,
+):
+    """queries Dataset (query_id, query) -> hits Dataset (query_id, rank, doc_id, score).
+
+    With share_groups (default) the index lives in ``num_groups`` shared
+    segment-group actors (1/G of the index each); the map_batches actors are
+    lightweight dispatchers, so index size is bounded by a worker's share,
+    not replicated per dispatcher."""
+    fn_kwargs = {"index_dir": index_dir, "k": k}
+    if share_groups:
+        driver_searcher = Searcher(IndexMeta(index_dir), num_actors=num_groups, use_actors=True)
+        fn_kwargs["group_handles"] = driver_searcher.groups
     return queries_ds.map_batches(
         QueryEvalStage,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        fn_constructor_kwargs=fn_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -175,21 +214,34 @@ def evaluate_query_dataset(index_dir: str, queries_ds, *, k: int = 10, concurren
 class Searcher:
     """IndexSearcher analog. use_actors=False runs in-process (tests)."""
 
-    def __init__(self, index: IndexMeta | str, num_actors: int = 4, use_actors: bool = True):
+    def __init__(
+        self,
+        index: IndexMeta | str,
+        num_actors: int = 4,
+        use_actors: bool = True,
+        groups: list | None = None,
+    ):
+        """``groups`` adopts EXISTING SegmentGroupActor handles (shared
+        topology — e.g. the bulk-eval dispatchers all talk to one fixed group
+        set) instead of creating new actors."""
         self.index = index if isinstance(index, IndexMeta) else IndexMeta(index)
-        seg_dirs = self.index.segment_dirs
-        n = max(1, min(num_actors, len(seg_dirs)))
-        groups = [seg_dirs[i::n] for i in range(n)]
-        self.use_actors = use_actors
         self.field = self.index.manifest.get("content_column", "content")
         self._df_cache: dict[str, int] = {}
+        if groups is not None:
+            self.use_actors = True
+            self.groups = groups
+            return
+        seg_dirs = self.index.segment_dirs
+        n = max(1, min(num_actors, len(seg_dirs)))
+        seg_groups = [seg_dirs[i::n] for i in range(n)]
+        self.use_actors = use_actors
         from ..state.deletes import load_deleted
 
         deleted = load_deleted(self.index.index_dir).tolist()
         if use_actors:
-            self.groups = [SegmentGroupActor.remote(g, deleted) for g in groups]
+            self.groups = [SegmentGroupActor.remote(g, deleted) for g in seg_groups]
         else:
-            self.groups = [_SegmentGroup(g, deleted) for g in groups]
+            self.groups = [_SegmentGroup(g, deleted) for g in seg_groups]
 
     # --- the global stats pass (one term-dict gather per query) -----------
     def _rewrite_and_stats(self, q: Query) -> tuple[Query, dict]:
@@ -291,20 +343,18 @@ class Searcher:
         return out
 
     def batch_search(self, queries: list[tuple[str, Query]], k: int = 10) -> dict[str, list[tuple[int, float]]]:
-        """Evaluate many queries with one stats gather + one actor round-trip each way."""
+        """Evaluate many queries with ONE top_k_many round-trip per group
+        (amortizes actor-call overhead over the whole batch)."""
         rewritten = []
         for name, q in queries:
             rq, stats = self._rewrite_and_stats(q)
             rewritten.append((name, rq, stats))
+        items = [(rq, stats) for _name, rq, stats in rewritten]
         out = {}
         if self.use_actors:
-            futures = {
-                name: [g.top_k.remote(rq, stats, k, None) for g in self.groups]
-                for name, rq, stats in rewritten
-            }
-            for name, futs in futures.items():
-                out[name] = merge_top_docs(ray.get(futs), k)
+            per_group = ray.get([g.top_k_many.remote(items, k) for g in self.groups])
         else:
-            for name, rq, stats in rewritten:
-                out[name] = merge_top_docs([g.top_k(rq, stats, k, None) for g in self.groups], k)
+            per_group = [g.top_k_many(items, k) for g in self.groups]
+        for i, (name, _rq, _stats) in enumerate(rewritten):
+            out[name] = merge_top_docs([pg[i] for pg in per_group], k)
         return out

@@ -15,7 +15,6 @@ verified in tests for recall against brute force, not exactness.
 
 from __future__ import annotations
 
-import heapq
 import math
 
 import numpy as np
@@ -84,16 +83,28 @@ def brute_force_topk(
 
     partials = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
 
-    # tiny reduce: k rows per (query, batch) -> global k per query
-    out: list[dict] = []
-    per_q: dict[int, list] = {}
-    for row in partials.iter_rows():
-        per_q.setdefault(row["query_id"], []).append((row["cosine"], -row["vec_id"]))
-    for qid in sorted(per_q):
-        best = heapq.nlargest(k, per_q[qid])
-        for rank, (sim, nid) in enumerate(best, 1):
-            out.append({"query_id": qid, "rank": rank, "vec_id": -nid, "cosine": _round6(sim)})
-    return out
+    # distributed reduce: k rows per (query, batch) -> global k per query via
+    # groupby(query_id).map_groups; the driver only collects the nq*k result
+    final = partials.groupby("query_id").map_groups(
+        lambda g: _topk_group(g, k), batch_format="pyarrow"
+    )
+    rows = sorted(final.take_all(), key=lambda r: (r["query_id"], r["rank"]))
+    return rows
+
+
+def _topk_group(group: pa.Table, k: int) -> pa.Table:
+    """Global top-k of one query's partial hits (ties by vec_id asc)."""
+    sims = group.column("cosine").to_numpy()
+    ids = group.column("vec_id").to_numpy()
+    idx = np.lexsort((ids, -sims))[:k]
+    return pa.table(
+        {
+            "query_id": group.column("query_id").take(pa.array(idx)),
+            "rank": pa.array(np.arange(1, idx.size + 1, dtype=np.int64)),
+            "vec_id": pa.array(ids[idx], type=pa.int64()),
+            "cosine": pa.array([_round6(float(s)) for s in sims[idx]], type=pa.float64()),
+        }
+    )
 
 
 class LshIndexStage:
@@ -146,29 +157,49 @@ def lsh_topk(
         return batch.filter(mask)
 
     sub = bucketed.map_batches(keep_wanted, batch_format="pyarrow")
-    out: list[dict] = []
+
+    # score candidates batch-wise against the broadcast query matrix (each
+    # query only sees rows of its own bucket), then reduce distributed —
+    # the round-1 take_all() gathered the whole candidate set on the driver,
+    # which dies on skewed buckets at corpus scale
     qn = _normalize(q)
-    rows = sub.take_all()  # bucket-filtered side is small by construction
-    if not rows:
-        return out
-    sub_tbl = pa.Table.from_pylist(rows)
-    vecs = _normalize(_as_matrix(sub_tbl.column(vec_column)))
-    ids = sub_tbl.column(id_column).to_numpy()
-    buckets = sub_tbl.column("bucket").to_numpy()
-    for qi in range(q.shape[0]):
-        mask = buckets == qkeys[qi]
-        if not mask.any():
-            continue
-        sims = vecs[mask] @ qn[qi]
-        bids = ids[mask]
-        idx = np.lexsort((bids, -sims))[:k]
-        for rank, j in enumerate(idx, 1):
-            out.append(
+    qn_ref = ray.put(qn)
+    qkeys_list = [int(x) for x in qkeys]
+
+    def score_candidates(batch: pa.Table) -> pa.Table:
+        qmat = ray.get(qn_ref)
+        if batch.num_rows == 0 or id_column not in batch.column_names:
+            return pa.table(
                 {
-                    "query_id": qi,
-                    "rank": rank,
-                    "vec_id": int(bids[j]),
-                    "cosine": _round6(float(sims[j])),
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
                 }
             )
-    return out
+        vecs = _normalize(_as_matrix(batch.column(vec_column)))
+        ids = batch.column(id_column).to_numpy()
+        buckets = batch.column("bucket").to_numpy()
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(qmat.shape[0]):
+            m = buckets == qkeys_list[qi]
+            if not m.any():
+                continue
+            sims = vecs[m] @ qmat[qi]
+            bids = ids[m]
+            idx = np.lexsort((bids, -sims))[: min(k, sims.size)]  # local top-k
+            out_q.extend([qi] * idx.size)
+            out_id.extend(bids[idx].tolist())
+            out_sim.extend(sims[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+    partials = sub.map_batches(score_candidates, batch_format="pyarrow", batch_size=4096)
+    final = partials.groupby("query_id").map_groups(
+        lambda g: _topk_group(g, k), batch_format="pyarrow"
+    )
+    return sorted(final.take_all(), key=lambda r: (r["query_id"], r["rank"]))

@@ -2,10 +2,18 @@
 
 read_parquet -> quality scoring (map_batches) -> quality filter -> exact-dedup
 keep-first -> partitioned parquet write. Everything streams through the object
-store with backpressure; nothing materializes the corpus. The dedup keep-set
-is the one keyed exchange (hash groupby on the text fingerprint); the keep
-decision joins back map-side via a broadcast of kept ids at test scale (hash
-join at petabyte scale — same note as stages/dedup.py).
+store with backpressure; nothing materializes the corpus ANYWHERE (round-2
+fix: the dedup keep-set used to be take_all()'d to the driver and re-broadcast
+— O(distinct docs) driver memory; winner selection is now fully distributed).
+
+Dedup plan: rows are keyed by a coarse stable hash of their text fingerprint
+(crc32 & mask — NOT Python hash(), whose per-process salt breaks cross-worker
+grouping) and shuffled once by ``groupby(coarse)``; because coarse is a
+function of the text hash, every duplicate set lands in one group, where a
+vectorized sort-by-(hash, id) + first-of-run filter keeps the min-id winner
+WITH all its columns. No join, no driver-side keep-set. ``coarse_groups``
+bounds both the per-group task memory (corpus/2^k) and the per-group UDF-call
+count — size it so a group fits a worker (2^10 here; ~2^20 at 100 TB).
 
 Output is one file per input block (``write_parquet`` default), so a failed
 run re-writes only missing partitions when re-executed with the same input.
@@ -13,7 +21,9 @@ run re-writes only missing partitions when re-executed with the same input.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -29,11 +39,9 @@ def clean_corpus(
     id_column: str = "doc_id",
     min_quality: float = 0.0,
     dedup: bool = True,
+    coarse_groups: int = 1024,
 ) -> dict:
     """Returns {"rows_in", "rows_kept", "out_dir"}."""
-    from .dedup import exact_dedup
-    from .textstats import quality_score_batch
-
     ds = ray.data.read_parquet(input_path)
     rows_in = ds.count()
 
@@ -47,22 +55,31 @@ def clean_corpus(
         )
 
     if dedup:
-        kept = exact_dedup(
-            scored.select_columns([id_column, text_column]),
-            text_column=text_column,
-            id_column=id_column,
-        )
-        keep_ids = np.sort(
-            np.asarray([r["kept_doc_id"] for r in kept.take_all()], dtype=np.int64)
-        )
-        keep_ref = ray.put(keep_ids)  # broadcast once; hash join at PB scale
+        mask = coarse_groups - 1
 
-        def keep_only(batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_column).to_numpy()
-            mask = np.isin(ids, ray.get(keep_ref), assume_unique=False)
-            return batch.filter(pa.array(mask))
+        def add_keys(batch: pa.Table) -> pa.Table:
+            hashes = [
+                hashlib.md5(t.encode()).hexdigest()
+                for t in batch.column(text_column).to_pylist()
+            ]
+            coarse = np.array(
+                [zlib.crc32(h.encode()) & mask for h in hashes], dtype=np.int64
+            )
+            return batch.append_column(
+                "__th", pa.array(hashes, type=pa.string())
+            ).append_column("__coarse", pa.array(coarse))
 
-        scored = scored.map_batches(keep_only, batch_format="pyarrow")
+        def keep_first(group: pa.Table) -> pa.Table:
+            t = group.sort_by([("__th", "ascending"), (id_column, "ascending")])
+            th = np.asarray(t.column("__th").to_pylist(), dtype=object)
+            first = np.concatenate(([True], th[1:] != th[:-1]))
+            return t.filter(pa.array(first)).drop_columns(["__th", "__coarse"])
+
+        scored = (
+            scored.map_batches(add_keys, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(keep_first, batch_format="pyarrow")
+        )
 
     os.makedirs(out_dir, exist_ok=True)
     scored.write_parquet(out_dir)

@@ -299,3 +299,35 @@ def test_split_index_round_trip(tmp_path):
     hits = s.search(q, k=10)
     expected = full_oracle.top_k(q, 10)
     assert [d for d, _ in hits] == [d for d, _ in expected]
+
+
+def test_bulk_eval_sharded_partition_invariance(tmp_path):
+    """Round-2 scale fix: bulk eval shards the index across a fixed group of
+    shared actors (1/G of the index each) instead of replicating the full
+    index per stage actor — results must be invariant to both the
+    segmentation and the group count."""
+    import ray.data
+
+    from lucene_net_ray.pipelines.search import evaluate_query_dataset
+
+    corpus = generate_corpus(200, seed=31)
+    idx_a = str(tmp_path / "a")  # 2 segments
+    idx_b = str(tmp_path / "b")  # 7 segments
+    build_index_from_table(corpus, idx_a, target_rows_per_segment=100)
+    build_index_from_table(corpus, idx_b, target_rows_per_segment=30)
+    queries = [
+        {"query_id": 0, "query": "public"},
+        {"query_id": 1, "query": "+public +query"},
+        {"query_id": 2, "query": "query token score"},
+        {"query_id": 3, "query": "zyzzyva"},
+    ]
+
+    def run(idx, groups):
+        qds = ray.data.from_items(queries)
+        hits = evaluate_query_dataset(idx, qds, k=8, concurrency=(1, 2), num_groups=groups).take_all()
+        return sorted((h["query_id"], h["rank"], h["doc_id"], np.float32(h["score"])) for h in hits)
+
+    base = run(idx_a, 1)
+    assert base
+    assert run(idx_a, 3) == base  # group-count invariant
+    assert run(idx_b, 4) == base  # segmentation invariant
