@@ -7,14 +7,15 @@ The driver calls ray.init() itself BEFORE importing this module; nothing here
   index over the documents table (tokenize -> per-partition segments ->
   checkpointed build) and serve the reference query set through the
   actor-pool BM25 searcher; returns one row per (query, rank) hit.
-- queries(): 26 callables, one per implemented operator/pipeline
+- queries(): one callable per implemented operator/pipeline
   (SURVEY.md §2 + the training-data operators); see
   lucene_net_ray/pipelines/driver_contract.py.
-- oracle_sql(): DuckDB-equivalent SQL for 21 of them, producing
+- oracle_sql(): DuckDB-equivalent SQL for most of them, producing
   identically-named columns and values (byte315 norm quantization embedded as
-  a length-bucket VALUES table). Approximate / stateful operators (minhash,
-  simhash, LSH ANN, multimodal stubs, fingerprint) intentionally have no SQL
-  entry -> rows-only check.
+  a length-bucket VALUES table). Approximate / stateful / offline-blocked
+  operators (minhash, simhash, LSH ANN, multimodal stubs, fingerprint,
+  Porter-stemmed index — DuckDB's stem() needs the unavailable fts
+  extension) intentionally have no SQL entry -> rows-only check.
 """
 
 from __future__ import annotations

@@ -189,13 +189,21 @@ def analyze_with_positions(
 
 @lru_cache(maxsize=1_000_000)
 def _analyze_cluster(
-    cluster: str, stop_words: frozenset[str], max_token_length: int
+    cluster: str,
+    stop_words: frozenset[str],
+    max_token_length: int,
+    fold: bool = False,
+    stem: bool = False,
 ) -> tuple[str, ...]:
-    """Fully-processed terms of one cluster (StandardFilter + lowercase + stop
-    + length cutoff), memoized — the whole filter chain runs once per distinct
-    cluster, so the indexing hot path is findall + dict hits + list extend."""
+    """Fully-processed terms of one cluster (StandardFilter + lowercase +
+    [ASCIIFolding] + stop + [PorterStem] + length cutoff), memoized — the
+    whole filter chain runs once per distinct cluster, so the indexing hot
+    path is findall + dict hits + list extend. Filter order matches the
+    reference EnglishAnalyzer: fold after lowercase, stop before stem."""
     if len(cluster) == 1 and _CJ_RE.match(cluster):
         return (cluster,)  # CJ single-char token, never a stopword
+    if fold or stem:
+        from .stem import ascii_fold, porter_stem
     out = []
     for tok, typ in _lex_cluster(cluster):
         if typ == "<ACRONYM_DEP>":
@@ -203,14 +211,23 @@ def _analyze_cluster(
         if len(tok) > max_token_length:
             continue
         term = _standard_filter(tok, typ).lower()
-        if term not in stop_words:
-            out.append(term)
+        if fold:
+            term = ascii_fold(term)
+        if term in stop_words:
+            continue
+        if stem:
+            term = porter_stem(term)
+        out.append(term)
     return tuple(out)
 
 
 @lru_cache(maxsize=1_000_000)
 def _analyze_cluster_positions(
-    text: str, stop_words: frozenset[str], max_token_length: int
+    text: str,
+    stop_words: frozenset[str],
+    max_token_length: int,
+    fold: bool = False,
+    stem: bool = False,
 ) -> tuple[tuple[str, ...], tuple[int, ...], int]:
     """(terms, relative_positions, positions_consumed) for one
     whitespace-free chunk (may contain several clusters / CJ chars).
@@ -219,6 +236,8 @@ def _analyze_cluster_positions(
     tokens included — their increments accumulate), so a kept term's position
     is the index of its raw token. Needed for phrase/span scoring.
     """
+    if fold or stem:
+        from .stem import ascii_fold, porter_stem
     terms: list[str] = []
     rel: list[int] = []
     pos = 0
@@ -234,7 +253,11 @@ def _analyze_cluster_positions(
                 tok, typ = tok[:-1], "<HOST>"
             if len(tok) <= max_token_length:
                 term = _standard_filter(tok, typ).lower()
+                if fold:
+                    term = ascii_fold(term)
                 if term not in stop_words:
+                    if stem:
+                        term = porter_stem(term)
                     terms.append(term)
                     rel.append(pos)
             pos += 1
@@ -275,8 +298,12 @@ def analyze(
 class Analyzer:
     """Configurable analyzer (tokenizer chain as a picklable callable).
 
-    kind: 'standard' (default), 'whitespace', 'simple' (letter runs,
-    lowercased), or 'keyword' (whole input, unchanged).
+    kind: 'standard' (default), 'english' (standard chain + PorterStemFilter,
+    the EnglishAnalyzer analog — reference
+    Analysis.Common/Analysis/En/PorterStemFilter.cs:26), 'whitespace',
+    'simple' (letter runs, lowercased), or 'keyword' (whole input, unchanged).
+    ascii_fold inserts an ASCIIFoldingFilter after lowercasing (reference
+    Analysis.Common/Analysis/Miscellaneous/ASCIIFoldingFilter.cs).
     """
 
     def __init__(
@@ -284,17 +311,29 @@ class Analyzer:
         kind: str = "standard",
         stop_words: frozenset[str] | None = ENGLISH_STOP_WORDS,
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+        ascii_fold: bool = False,
     ):
-        if kind not in ("standard", "whitespace", "simple", "keyword"):
+        if kind not in ("standard", "english", "whitespace", "simple", "keyword"):
             raise ValueError(f"unknown analyzer kind: {kind}")
         self.kind = kind
         self.stop_words = stop_words if stop_words is not None else frozenset()
         self.max_token_length = max_token_length
+        self.fold = ascii_fold
+        self.stem = kind == "english"
         self._simple_re = re.compile(rf"{_L}+")
 
     def __call__(self, text: str) -> list[str]:
-        if self.kind == "standard":
-            return analyze(text, self.stop_words, self.max_token_length)
+        if self.kind in ("standard", "english"):
+            if not self.fold and not self.stem:
+                return analyze(text, self.stop_words, self.max_token_length)
+            tokens: list[str] = []
+            for chunk in _CLUSTER_RE.findall(text):
+                tokens.extend(
+                    _analyze_cluster(
+                        chunk, self.stop_words, self.max_token_length, self.fold, self.stem
+                    )
+                )
+            return tokens
         if self.kind == "whitespace":
             return text.split()
         if self.kind == "simple":
@@ -305,8 +344,10 @@ class Analyzer:
         """(terms, relative positions, positions consumed) for one
         whitespace-delimited token — the position-aware unit of the fast
         indexing path (every raw token consumes one position)."""
-        if self.kind == "standard":
-            return _analyze_cluster_positions(ws_token, self.stop_words, self.max_token_length)
+        if self.kind in ("standard", "english"):
+            return _analyze_cluster_positions(
+                ws_token, self.stop_words, self.max_token_length, self.fold, self.stem
+            )
         if self.kind == "whitespace":
             # pc.utf8_split_whitespace emits '' for leading/trailing whitespace;
             # str.split() (the reference WhitespaceTokenizer analog) never does,
@@ -344,4 +385,5 @@ class Analyzer:
             "kind": self.kind,
             "stop_words": sorted(self.stop_words),
             "max_token_length": self.max_token_length,
+            "ascii_fold": self.fold,
         }

@@ -417,6 +417,41 @@ def q_prefix_doc_count(sf_dir: str):
     return pd.DataFrame({"n": [np.int64(n)]})
 
 
+def q_regexp_doc_count(sf_dir: str):
+    """RegexpQuery through the real engine: docs containing any term matching
+    the anchored regex (constant-score rewrite over the sorted term dict)."""
+    from ..query import RegexpQuery
+    from .search import Searcher
+
+    meta, _ = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    n = s.count(RegexpQuery(pattern="sp[a-z]*k"))
+    return pd.DataFrame({"n": [np.int64(n)]})
+
+
+def q_stemmed_term_df(sf_dir: str):
+    """EnglishAnalyzer (Porter-stemmed) index over the documents table:
+    top-100 stemmed terms by df. Rows-only check (DuckDB's stem() lives in
+    the fts extension, unavailable offline); the stemmer itself is verified
+    against the Porter paper's vectors in tests/test_analysis_chains.py."""
+    from .build import build_index
+    from .merge import global_term_stats
+
+    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join("/tmp", "lnr_index_cache_en", slug)
+    os.makedirs(out, exist_ok=True)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            content_column="text",
+            analyzer_kind="english",
+            target_rows_per_segment=2000,
+        )
+    stats = global_term_stats(IndexMeta(out))
+    return stats.sort(["df", "term"], descending=[True, False]).limit(100)
+
+
 def q_facet_lang_counts(sf_dir: str):
     ds = _documents_ds(sf_dir)
 
@@ -563,6 +598,8 @@ QUERIES = {
     "dismax_topk": q_dismax_topk,
     "bool_not_count": q_bool_not_count,
     "prefix_doc_count": q_prefix_doc_count,
+    "regexp_doc_count": q_regexp_doc_count,
+    "stemmed_term_df": q_stemmed_term_df,
     "facet_lang_counts": q_facet_lang_counts,
     "group_top2_per_lang": q_group_top2_per_lang,
     "sort_top15_longest": q_sort_top15_longest,
@@ -638,6 +675,10 @@ SELECT count(*) AS n FROM (
         "prefix_doc_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(DISTINCT doc_id) AS n FROM toks WHERE tok LIKE 'sp%'
+""",
+        "regexp_doc_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(DISTINCT doc_id) AS n FROM toks WHERE regexp_matches(tok, '^(?:sp[a-z]*k)$')
 """,
         "facet_lang_counts": f"""
 WITH {_TOKS_CTE}

@@ -382,6 +382,7 @@ def add_documents(
         kind=cfg.get("kind", "standard"),
         stop_words=frozenset(cfg.get("stop_words", [])),
         max_token_length=cfg.get("max_token_length", 255),
+        ascii_fold=cfg.get("ascii_fold", False),
     )
     new_id = 1 + max(r["seg_id"] for r in src.manifest["segments"]) if src.manifest["segments"] else 0
     meta = build_segment(

@@ -97,11 +97,12 @@ class MultiFieldSegmentScorer(SegmentScorer):
             FuzzyQuery,
             PhraseQuery,
             PrefixQuery,
+            RegexpQuery,
             TermRangeQuery,
             WildcardQuery,
         )
 
-        if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, PhraseQuery)):
+        if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, PhraseQuery, RegexpQuery)):
             ctx = self._ctx(q.field)
             if ctx is None:
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)

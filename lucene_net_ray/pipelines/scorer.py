@@ -35,6 +35,7 @@ from ..query import (
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -176,7 +177,7 @@ def query_fields(q: Query) -> set[str]:
     """All index fields referenced by term-bearing leaves of a query tree
     (used by Searcher to reject queries against fields the index lacks —
     a parsed 'title:foo' must not silently search the content postings)."""
-    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery)):
+    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
         return {q.field}
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
@@ -216,6 +217,16 @@ def expand_multiterm(reader: SegmentReader, q: Query) -> list[tuple[str, float]]
         hi = np.searchsorted(terms, head + "\U0010FFFF") if head else len(terms)
         rx = re.compile(re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".") + r"\Z")
         return [(t, 1.0) for t in terms[lo:hi] if rx.match(t)]
+    if isinstance(q, RegexpQuery):
+        # literal-prefix range scan (RegexpQuery.cs:49 automaton-walk analog):
+        # only the dict range sharing the pattern's literal head is scanned,
+        # then the compiled regex (anchored both ends) filters it
+        head_m = re.match(r"^[^\\.\[\]()*+?{|^$]*", q.pattern)
+        head = head_m.group() if head_m else ""
+        lo = np.searchsorted(terms, head) if head else 0
+        hi = np.searchsorted(terms, head + "\U0010FFFF") if head else len(terms)
+        rx = re.compile(r"(?:" + q.pattern + r")\Z")
+        return [(t, 1.0) for t in terms[lo:hi] if rx.match(t)][: q.max_expansions]
     if isinstance(q, FuzzyQuery):
         out = []
         base = q.term
@@ -348,7 +359,7 @@ class SegmentScorer:
         if isinstance(q, ConstantScoreQuery):
             docids, _ = self.evaluate(q.query)
             return docids, np.full(docids.size, np.float32(q.boost), dtype=np.float32)
-        if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery)):
+        if isinstance(q, (PrefixQuery, TermRangeQuery, WildcardQuery, RegexpQuery)):
             # ConstantScoreAutoRewrite semantics: matching docs score = boost
             expansions = expand_multiterm(self.reader, q)
             if not expansions:

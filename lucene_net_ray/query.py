@@ -104,6 +104,20 @@ class WildcardQuery(Query):
 
 
 @dataclass(frozen=True)
+class RegexpQuery(Query):
+    """Regexp over the term dictionary, anchored at both ends like the
+    reference (/root/reference/src/Lucene.Net.Core/Search/RegexpQuery.cs:49 —
+    'Comparisons are fast' because the automaton only walks matching dict
+    ranges; here: literal-prefix range scan + compiled-regex filter, the same
+    plan as WildcardQuery). Pattern syntax is the Python ``re`` subset rather
+    than Lucene's RegExp class; both anchor the whole term."""
+
+    field: str = "content"
+    pattern: str = ""
+    max_expansions: int = 1024
+
+
+@dataclass(frozen=True)
 class FuzzyQuery(Query):
     field: str = "content"
     term: str = ""
@@ -153,6 +167,7 @@ _TOKEN_RE = re.compile(
         (?P<plus>\+) | (?P<minus>-) |
         (?P<range>\[[^\]]*\ TO\ [^\]]*\]) |
         (?P<phrase>"[^"]*"(?:~\d+)?) |
+        (?P<regex>[^\s()+\-/]*:?/[^/]+/) |
         (?P<atom>[^\s()+\-][^\s()]*)
     )""",
     re.VERBOSE,
@@ -240,6 +255,12 @@ def parse_query(s: str, default_field: str = "content", analyzer=None) -> Query:
                 q = _parse_phrase(text, default_field, analyzer)
                 if q is None:
                     continue
+            elif kind == "regex":
+                _, text = advance()
+                field = default_field
+                if not text.startswith("/"):
+                    field, text = text.split(":", 1)
+                q = RegexpQuery(field=field, pattern=text[1:-1])
             elif kind in ("atom", "range"):
                 _, text = advance()
                 q = _parse_atom(text, default_field, analyzer)

@@ -1,0 +1,116 @@
+"""EnglishAnalyzer chain: PorterStemFilter + ASCIIFoldingFilter analogs.
+
+Porter conformance vectors are full-pipeline outputs for the example words in
+Porter's 1980 paper (the paper lists per-step illustrations; these are the
+end-to-end stems, cross-checked against the canonical implementation)."""
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_net_ray.functions.analysis import Analyzer
+from lucene_net_ray.functions.stem import ascii_fold, porter_stem
+from lucene_net_ray.pipelines.build import build_index_from_table
+from lucene_net_ray.pipelines.search import Searcher
+from lucene_net_ray.query import parse_query
+
+PORTER_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky", "relational": "relat",
+    "conditional": "condit", "rational": "ration", "valenci": "valenc",
+    "hesitanci": "hesit", "digitizer": "digit", "radicalli": "radic",
+    "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "hopeful": "hope", "goodness": "good", "revival": "reviv",
+    "allowance": "allow", "inference": "infer", "airliner": "airlin",
+    "gyroscopic": "gyroscop", "adjustable": "adjust", "defensible": "defens",
+    "irritant": "irrit", "replacement": "replac", "adjustment": "adjust",
+    "dependent": "depend", "adoption": "adopt", "communism": "commun",
+    "activate": "activ", "angulariti": "angular", "homologous": "homolog",
+    "effective": "effect", "bowdlerize": "bowdler", "probate": "probat",
+    "rate": "rate", "cease": "ceas", "controll": "control", "roll": "roll",
+    # full-pipeline results where the paper's per-step illustration differs
+    "differentli": "differ", "electriciti": "electr", "electrical": "electr",
+}
+
+
+def test_porter_vectors():
+    for w, expected in PORTER_VECTORS.items():
+        assert porter_stem(w) == expected, (w, porter_stem(w), expected)
+
+
+def test_ascii_folding():
+    assert ascii_fold("naïve") == "naive"
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("résumé") == "resume"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("œuvre") == "oeuvre"
+    assert ascii_fold("łódź") == "lodz"
+    assert ascii_fold("ascii stays") == "ascii stays"
+    assert ascii_fold("日本") == "日本"  # non-Latin untouched
+
+
+def test_english_analyzer_chain():
+    an = Analyzer(kind="english")
+    # stopwords removed BEFORE stemming (so 'this' is dropped, not stemmed)
+    assert an("the cats were motoring happily") == ["cat", "were", "motor", "happili"]
+    # standard grammar still applies (possessive, acronym)
+    assert an("O'Reilly's U.S.A. trains") == ["o'reilli", "usa", "train"]
+
+
+def test_fold_analyzer():
+    an = Analyzer(ascii_fold=True)
+    assert an("naïve café résumé") == ["naive", "cafe", "resume"]
+    both = Analyzer(kind="english", ascii_fold=True)
+    assert both("caresses naïvely") == ["caress", "naiv"]
+
+
+def test_english_index_and_search(tmp_path):
+    docs = [
+        "the motoring enthusiast was driving",
+        "motors and engines galore",
+        "completely unrelated text here",
+        "she motored happily onward",
+    ]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(
+        pa.table({"content": docs}), idx, analyzer_kind="english", target_rows_per_segment=2
+    )
+    s = Searcher(meta, use_actors=False)
+    an = Analyzer(kind="english")
+    # query analyzed with the same chain: 'motoring' -> 'motor' matches
+    # motoring / motors / motored docs
+    q = parse_query("motoring", analyzer=an)
+    assert s.count(q) == 3
+    hits = s.search(q, k=5)
+    assert {d for d, _ in hits} == {0, 1, 3}
+    # fast build path == per-doc analyze (field lengths)
+    import pyarrow.parquet as pq
+
+    from lucene_net_ray.state.index import IndexMeta
+
+    lens = []
+    for d in IndexMeta(idx).segment_dirs:
+        lens.extend(pq.read_table(d + "/docs.parquet", columns=["field_len"]).column("field_len").to_pylist())
+    assert lens == [len(an(t)) for t in docs]
+
+
+def test_english_positions_phrase(tmp_path):
+    docs = ["the cats were motoring fast", "motoring cats arrive"]
+    idx = str(tmp_path / "idx")
+    build_index_from_table(
+        pa.table({"content": docs}), idx, analyzer_kind="english",
+        index_options="positions", target_rows_per_segment=10,
+    )
+    s = Searcher(idx, use_actors=False)
+    an = Analyzer(kind="english")
+    # stemmed phrase with a stopword gap: 'cats were motoring' -> cat _ motor
+    q = parse_query('"cats were motoring"', analyzer=an)
+    assert s.count(q) == 1
+    assert s.search(q, k=2)[0][0] == 0

@@ -219,3 +219,23 @@ def test_clean_corpus_pipeline(tmp_path):
     assert ids == [0, 3, 4]
     assert res["rows_kept"] == 3
     assert all("quality" in r for r in cleaned)
+
+
+def test_regexp_query(tmp_path):
+    """RegexpQuery: anchored regex over the term dict, constant-score rewrite
+    (reference Search/RegexpQuery.cs:49)."""
+    from lucene_net_ray.query import PrefixQuery, RegexpQuery
+
+    docs = ["spark spork talk", "spk speak walking", "nothing here", "spook spk zoo"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": docs}), idx, target_rows_per_segment=2)
+    s = Searcher(meta, use_actors=False)
+    assert s.count(RegexpQuery(pattern="sp[a-z]*k")) == 3  # docs 0,1,3
+    assert s.count(RegexpQuery(pattern="z.*")) == 1
+    assert s.count(RegexpQuery(pattern="sp.*")) == s.count(PrefixQuery(prefix="sp"))
+    # anchored: 'alk' matches nothing even though walk/talk contain it
+    assert s.count(RegexpQuery(pattern="alk")) == 0
+    # parser syntax + boolean composition
+    assert s.count(parse_query("+/sp[a-z]*k/ -zoo")) == 2
+    hits = s.search(RegexpQuery(pattern="sp[a-z]*k", boost=2.5), k=5)
+    assert all(np.float32(sc) == np.float32(2.5) for _, sc in hits)  # constant score
