@@ -452,6 +452,33 @@ def q_stemmed_term_df(sf_dir: str):
     return stats.sort(["df", "term"], descending=[True, False]).limit(100)
 
 
+def q_semi_join_orders(sf_dir: str):
+    """JoinUtil-style semi-join: orders whose customer is in nation 1
+    (from side gathered via Ray aggregate, broadcast membership filter)."""
+    from .joins import semi_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).filter(expr="c_nationkey == 1")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    return semi_join(orders, "o_custkey", cust, "c_custkey")
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Anti-join: customers with no order above 450k (non-empty at any sf)."""
+    from .joins import semi_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 450000")
+    return semi_join(cust, "c_custkey", orders, "o_custkey", negate=True)
+
+
 def q_facet_lang_counts(sf_dir: str):
     ds = _documents_ds(sf_dir)
 
@@ -600,6 +627,8 @@ QUERIES = {
     "prefix_doc_count": q_prefix_doc_count,
     "regexp_doc_count": q_regexp_doc_count,
     "stemmed_term_df": q_stemmed_term_df,
+    "semi_join_orders": q_semi_join_orders,
+    "anti_join_customers": q_anti_join_customers,
     "facet_lang_counts": q_facet_lang_counts,
     "group_top2_per_lang": q_group_top2_per_lang,
     "sort_top15_longest": q_sort_top15_longest,
@@ -675,6 +704,14 @@ SELECT count(*) AS n FROM (
         "prefix_doc_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(DISTINCT doc_id) AS n FROM toks WHERE tok LIKE 'sp%'
+""",
+        "semi_join_orders": """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)
+""",
+        "anti_join_customers": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
 """,
         "regexp_doc_count": f"""
 WITH {_TOKS_CTE}

@@ -152,6 +152,84 @@ class ClassicSegmentScorer:
         return [(int(docs[i]) + self.reader.doc_base, float(scores[i])) for i in order]
 
 
+class LMSegmentScorer:
+    """Language-model similarities (LM-Dirichlet / LM-Jelinek-Mercer) through
+    the Similarity extension seam — same index, same norms, different SimScorer
+    (reference Similarities/LMDirichletSimilarity.cs, LMJelinekMercerSimilarity.cs).
+
+    Supports TermQuery and flat BooleanQuery of term clauses; scores sum like
+    the BM25 path (queryNorm/coord are 1 for SimilarityBase subclasses).
+    global_stats needs "max_doc", "sum_ttf" and per-term "ttf" (not df).
+    """
+
+    def __init__(
+        self,
+        reader: SegmentReader,
+        global_stats: dict,
+        *,
+        model: str = "dirichlet",
+        mu: float = 2000.0,
+        lam: float = 0.1,
+    ):
+        from ..functions import similarity_lm as lm
+
+        if model not in ("dirichlet", "jelinek_mercer"):
+            raise ValueError(model)
+        self.lm = lm
+        self.reader = reader
+        self.stats = global_stats
+        self.model = model
+        self.mu = mu
+        self.lam = lam
+
+    def score_term(self, term: str, boost: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
+        docids, tfs = self.reader.postings(term)
+        if docids.size == 0:
+            return docids, np.empty(0, dtype=np.float32)
+        ttf = self.stats["ttf"].get(term, 0)
+        nb = self.reader.norms[docids]
+        if self.model == "dirichlet":
+            s = self.lm.lm_dirichlet_scores(tfs, nb, ttf, self.stats["sum_ttf"], boost, self.mu)
+        else:
+            s = self.lm.lm_jelinek_mercer_scores(tfs, nb, ttf, self.stats["sum_ttf"], boost, self.lam)
+        return docids, s
+
+    def evaluate(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
+        if isinstance(q, TermQuery):
+            return self.score_term(q.term, q.boost)
+        if isinstance(q, BooleanQuery):
+            musts = [c.query for c in q.clauses if c.occur == "MUST"]
+            shoulds = [c.query for c in q.clauses if c.occur == "SHOULD"]
+            nots = [c.query for c in q.clauses if c.occur == "MUST_NOT"]
+            evals = [self.evaluate(c) for c in musts + shoulds]
+            if not evals:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            docs = np.unique(np.concatenate([d for d, _ in evals]))
+            if musts:
+                for d, _ in evals[: len(musts)]:
+                    docs = np.intersect1d(docs, d, assume_unique=True)
+            acc = np.zeros(docs.size, dtype=np.float64)
+            for d, s in evals:
+                ix = np.searchsorted(docs, d)
+                valid = (ix < docs.size) & (docs[np.minimum(ix, max(docs.size - 1, 0))] == d) if docs.size else np.zeros(d.size, bool)
+                np.add.at(acc, ix[valid], s[valid].astype(np.float64))
+            scores = acc.astype(np.float32)
+            for nq in nots:
+                nd, _ = self.evaluate(nq)
+                if nd.size and docs.size:
+                    keep = ~np.isin(docs, nd, assume_unique=True)
+                    docs, scores = docs[keep], scores[keep]
+            return docs, scores
+        raise NotImplementedError(f"LM scorer: {type(q).__name__}")
+
+    def top_k(self, q: Query, k: int) -> list[tuple[int, float]]:
+        docs, scores = self.evaluate(q)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]) + self.reader.doc_base, float(scores[i])) for i in order]
+
+
 def query_terms(q: Query) -> set[str]:
     """All literal terms referenced by a query tree (for the global stats pass)."""
     if isinstance(q, TermQuery):

@@ -114,3 +114,44 @@ def test_english_positions_phrase(tmp_path):
     q = parse_query('"cats were motoring"', analyzer=an)
     assert s.count(q) == 1
     assert s.search(q, k=2)[0][0] == 0
+
+
+def test_lm_dirichlet_hand_vectors(tmp_path):
+    """LM-Dirichlet parity with a hand-computed reference formula
+    (LMDirichletSimilarity.cs): boost*(ln(1+tf/(mu*p_c)) + ln(mu/(dl+mu)))
+    clipped at 0, p_c=(ttf+1)/(T+1), dl = byte315-decoded length."""
+    import math
+
+    from lucene_net_ray.functions.norms import NORM_TABLE
+    from lucene_net_ray.pipelines.scorer import LMSegmentScorer
+    from lucene_net_ray.state.index import IndexMeta
+    from lucene_net_ray.state.segment import SegmentReader
+
+    docs = ["alpha beta alpha gamma", "beta beta delta", "alpha epsilon zeta eta"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": docs}), idx, target_rows_per_segment=10)
+    reader = SegmentReader(IndexMeta(idx).segment_dirs[0])
+    T = meta.sum_ttf
+    stats = {"max_doc": meta.max_doc, "sum_ttf": T, "ttf": {"alpha": 3, "beta": 3}}
+    sc = LMSegmentScorer(reader, stats, model="dirichlet", mu=2000.0)
+    dids, scores = sc.score_term("alpha")
+    assert dids.tolist() == [0, 2]
+    for did, tf in zip(dids.tolist(), (2, 1)):
+        dl = float(NORM_TABLE[reader.norms[did]])
+        p_c = (3 + 1.0) / (T + 1.0)
+        exp = max(0.0, np.float32(math.log(1 + tf / (2000.0 * p_c)) + math.log(2000.0 / (dl + 2000.0))))
+        got = float(scores[dids.tolist().index(did)])
+        assert np.float32(got) == np.float32(exp), (did, got, exp)
+    # jelinek-mercer variant and boolean sum
+    from lucene_net_ray.query import BooleanClause, BooleanQuery, TermQuery
+
+    jm = LMSegmentScorer(reader, stats, model="jelinek_mercer", lam=0.1)
+    d_j, s_j = jm.score_term("beta")
+    assert d_j.tolist() == [0, 1]
+    assert all(s > 0 for s in s_j.tolist())
+    q = BooleanQuery(clauses=(BooleanClause(TermQuery(term="alpha"), "MUST"),
+                              BooleanClause(TermQuery(term="beta"), "SHOULD")))
+    docs_b, scores_b = sc.evaluate(q)
+    assert docs_b.tolist() == [0, 2]
+    # doc 0 gets alpha+beta, doc 2 alpha only
+    assert scores_b[0] > scores_b[1]
