@@ -1,0 +1,171 @@
+"""Analysis-chain extensions: SynonymFilter / ShingleFilter / NGramTokenizer.
+
+References (semantics, not mechanics — the reference drives these through
+FST/state-machine token streams, ours are pure list transforms):
+  SynonymFilter  /root/reference/src/Lucene.Net.Analysis.Common/Analysis/Synonym/SynonymFilter.cs:106
+                 (matched input terms are replaced/augmented by synonym terms
+                 injected at the same position)
+  ShingleFilter  /root/reference/src/Lucene.Net.Analysis.Common/Analysis/Shingle/ShingleFilter.cs:48
+                 (word n-grams joined by a separator, optionally keeping the
+                 unigrams)
+  NGramTokenizer /root/reference/src/Lucene.Net.Analysis.Common/Analysis/Ngram/NGramTokenizer.cs:66
+                 and EdgeNGramTokenizer (character n-grams of the stream)
+
+``ChainAnalyzer`` composes a base Analyzer with term-sequence filters and is
+pluggable anywhere an Analyzer is (build_segment / build_index take the
+instance — it pickles into the Ray tasks). It deliberately routes the segment
+builder onto the doc-at-a-time path: shingles/synonyms cross whitespace
+boundaries, so the per-ws-token memo of the fast path does not apply.
+
+Known divergence, stated: injected synonym terms and shingles COUNT toward
+field length here (norms), whereas the reference's DiscountOverlaps would
+exclude posIncr-0 injected tokens from BM25's length. Phrase positions are
+unsupported for chain analyzers (like the keyword kind).
+"""
+
+from __future__ import annotations
+
+from .analysis import Analyzer
+
+
+class SynonymFilter:
+    """Single-term synonym expansion/replacement.
+
+    synonyms: term -> list of synonym terms. include_original=True appends
+    the synonyms after the matched term (SynonymMap keepOrig); False replaces
+    it."""
+
+    def __init__(self, synonyms: dict[str, list[str]], include_original: bool = True):
+        self.synonyms = {k: list(v) for k, v in synonyms.items()}
+        self.include_original = include_original
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in terms:
+            syns = self.synonyms.get(t)
+            if syns is None:
+                out.append(t)
+            elif self.include_original:
+                out.append(t)
+                out.extend(syns)
+            else:
+                out.extend(syns)
+        return out
+
+    def config(self) -> dict:
+        return {
+            "filter": "synonym",
+            "n": len(self.synonyms),
+            "include_original": self.include_original,
+        }
+
+
+class ShingleFilter:
+    """Word n-grams (shingles) of the term stream."""
+
+    def __init__(
+        self,
+        min_size: int = 2,
+        max_size: int = 2,
+        separator: str = " ",
+        output_unigrams: bool = True,
+    ):
+        if min_size < 2 or max_size < min_size:
+            raise ValueError("shingle sizes must satisfy 2 <= min <= max")
+        self.min_size = min_size
+        self.max_size = max_size
+        self.separator = separator
+        self.output_unigrams = output_unigrams
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        out: list[str] = []
+        n = len(terms)
+        for i in range(n):
+            if self.output_unigrams:
+                out.append(terms[i])
+            for size in range(self.min_size, self.max_size + 1):
+                if i + size <= n:
+                    out.append(self.separator.join(terms[i : i + size]))
+        return out
+
+    def config(self) -> dict:
+        return {
+            "filter": "shingle",
+            "min_size": self.min_size,
+            "max_size": self.max_size,
+            "output_unigrams": self.output_unigrams,
+        }
+
+
+class ChainAnalyzer:
+    """Base analyzer + ordered term-sequence filters; Analyzer-compatible."""
+
+    kind = "chain"
+
+    def __init__(self, base: Analyzer | None = None, filters: tuple = ()):
+        self.base = base or Analyzer()
+        self.filters = tuple(filters)
+        self.stop_words = self.base.stop_words
+        self.max_token_length = self.base.max_token_length
+
+    def __call__(self, text: str) -> list[str]:
+        terms = self.base(text)
+        for f in self.filters:
+            terms = f(terms)
+        return terms
+
+    def analyze_positions(self, ws_token: str):
+        raise NotImplementedError("positions unsupported for chain analyzers")
+
+    def config(self) -> dict:
+        return {
+            "kind": "chain",
+            "base": self.base.config(),
+            "filters": [f.config() for f in self.filters],
+        }
+
+
+class NGramAnalyzer:
+    """Character n-gram tokenizer over the whole input stream
+    (NGramTokenizer semantics: every substring of length min..max, in
+    position order; edge=True restricts to prefixes — EdgeNGramTokenizer)."""
+
+    kind = "ngram"
+
+    def __init__(self, min_gram: int = 2, max_gram: int = 3, lowercase: bool = True, edge: bool = False):
+        if min_gram < 1 or max_gram < min_gram:
+            raise ValueError("ngram sizes must satisfy 1 <= min <= max")
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.lowercase = lowercase
+        self.edge = edge
+        self.stop_words = frozenset()
+        self.max_token_length = max_gram
+
+    def __call__(self, text: str) -> list[str]:
+        if self.lowercase:
+            text = text.lower()
+        out: list[str] = []
+        n = len(text)
+        if self.edge:
+            for size in range(self.min_gram, self.max_gram + 1):
+                if size <= n:
+                    out.append(text[:size])
+            return out
+        for i in range(n):
+            for size in range(self.min_gram, self.max_gram + 1):
+                if i + size <= n:
+                    out.append(text[i : i + size])
+        return out
+
+    def analyze_positions(self, ws_token: str):
+        raise NotImplementedError("positions unsupported for ngram analyzers")
+
+    def config(self) -> dict:
+        return {
+            "kind": "ngram",
+            "min_gram": self.min_gram,
+            "max_gram": self.max_gram,
+            "lowercase": self.lowercase,
+            "edge": self.edge,
+        }

@@ -39,6 +39,7 @@ def _build_segment_task(
     stored_columns: tuple[str, ...],
     index_options: str = "freqs",
     store_term_vectors: bool = False,
+    analyzer_obj=None,
 ) -> pa.Table:
     """Stateless map_batches task: each input row describes one shard.
 
@@ -52,7 +53,7 @@ def _build_segment_task(
     # concurrent tasks (measured 6-10x per-task slowdown); pin it to 1
     if pa.cpu_count() != 1:
         pa.set_cpu_count(1)
-    analyzer = Analyzer(kind=analyzer_kind)
+    analyzer = analyzer_obj if analyzer_obj is not None else Analyzer(kind=analyzer_kind)
     metas = []
     for row in batch.to_pylist():
         needed = sorted({content_column, *stored_columns})  # prune at the read
@@ -95,12 +96,17 @@ def build_index(
     content_column: str = "content",
     stored_columns: tuple[str, ...] = (),
     analyzer_kind: str = "standard",
+    analyzer: object | None = None,
     target_rows_per_segment: int = 100_000,
     concurrency: int | None = None,
     index_options: str = "freqs",
     store_term_vectors: bool = False,
 ) -> IndexMeta:
-    """Build (or resume) an index from a Parquet corpus. Returns IndexMeta."""
+    """Build (or resume) an index from a Parquet corpus. Returns IndexMeta.
+
+    ``analyzer`` accepts a configured Analyzer / ChainAnalyzer / NGramAnalyzer
+    INSTANCE (pickled into the build tasks) — for chains the simple
+    ``analyzer_kind`` string cannot express; it overrides analyzer_kind."""
     t0 = time.perf_counter()
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
     shards = plan_shards(input_path, target_rows=target_rows_per_segment)
@@ -126,6 +132,7 @@ def build_index(
         fn_kwargs={
             "out_dir": out_dir,
             "analyzer_kind": analyzer_kind,
+            "analyzer_obj": analyzer,
             "content_column": content_column,
             "stored_columns": tuple(stored_columns),
             "index_options": index_options,
@@ -141,7 +148,7 @@ def build_index(
     manifest = {
         "version": 1,
         "index_options": index_options,
-        "analyzer": Analyzer(kind=analyzer_kind).config(),
+        "analyzer": (analyzer.config() if analyzer is not None else Analyzer(kind=analyzer_kind).config()),
         "content_column": content_column,
         "segments": seg_rows,
         "max_doc": int(sum(r["doc_count"] for r in seg_rows)),

@@ -505,6 +505,54 @@ def q_group_top2_per_lang(sf_dir: str):
     return ds.groupby("lang").map_groups(top2, batch_format="pyarrow")
 
 
+def q_drill_sideways(sf_dir: str):
+    """DrillSideways over (lang, length bucket): filters lang='en' &
+    bucket='long'; each dimension's counts drop its own filter. Output:
+    one row per (dim, value) with its sideways count."""
+    from .facets import drill_sideways
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pa.compute.if_else(
+            pa.compute.greater_equal(batch.column("n_chars"), 300), "long", "short"
+        )
+        return batch.append_column("len_bucket", b)
+
+    ds = _documents_ds(sf_dir).map_batches(bucketize, batch_format="pyarrow")
+    res = drill_sideways(ds, {"lang": "en", "len_bucket": "long"})
+    rows = []
+    for dim, counts in res["facets"].items():
+        for r in counts.take_all():
+            rows.append({"dim": dim, "value": r[dim], "n_docs": np.int64(r["n_docs"])})
+    return pd.DataFrame(rows, columns=["dim", "value", "n_docs"]).sort_values(
+        ["dim", "value"]
+    ).reset_index(drop=True)
+
+
+def q_taxonomy_counts(sf_dir: str):
+    """Taxonomy rollup counts over synthetic lang/bucket paths."""
+    from .facets import taxonomy_counts
+
+    def pathize(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        chars = batch.column("n_chars").to_pylist()
+        paths = [f"{l}/{'long' if c >= 300 else 'short'}" for l, c in zip(langs, chars)]
+        return batch.append_column("path", pa.array(paths, type=pa.string()))
+
+    ds = _documents_ds(sf_dir).map_batches(pathize, batch_format="pyarrow")
+    return taxonomy_counts(ds, "path")
+
+
+def q_nb_classify(sf_dir: str):
+    """Naive Bayes trained on (text, lang), applied back to the corpus.
+    Rows-only (model scoring has no faithful SQL expression)."""
+    from ..stages.classify import classify_dataset, train_naive_bayes
+
+    ds = _documents_ds(sf_dir)
+    model = train_naive_bayes(ds, text_column="text", label_column="lang")
+    out = classify_dataset(ds, model, text_column="text")
+    return out.select_columns(["doc_id", "lang", "pred_label"])
+
+
 def q_sort_top15_longest(sf_dir: str):
     ds = _documents_ds(sf_dir).select_columns(["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(15)
@@ -632,6 +680,9 @@ QUERIES = {
     "facet_lang_counts": q_facet_lang_counts,
     "group_top2_per_lang": q_group_top2_per_lang,
     "sort_top15_longest": q_sort_top15_longest,
+    "drill_sideways_counts": q_drill_sideways,
+    "taxonomy_counts": q_taxonomy_counts,
+    "nb_classify": q_nb_classify,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_pairs": q_minhash_pairs,
@@ -735,6 +786,26 @@ SELECT lang, doc_id, n_terms FROM ranked WHERE rn <= 2 ORDER BY lang, doc_id
 """,
         "sort_top15_longest": """
 SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 15
+""",
+        "drill_sideways_counts": """
+WITH d AS (SELECT lang, CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS len_bucket
+           FROM documents)
+SELECT dim, value, n_docs FROM (
+  SELECT 'lang' AS dim, lang AS value, count(*) AS n_docs
+  FROM d WHERE len_bucket = 'long' GROUP BY lang
+  UNION ALL
+  SELECT 'len_bucket' AS dim, len_bucket AS value, count(*) AS n_docs
+  FROM d WHERE lang = 'en' GROUP BY len_bucket
+) ORDER BY dim, value
+""",
+        "taxonomy_counts": """
+WITH d AS (SELECT lang || '/' || CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS p
+           FROM documents)
+SELECT path, count(*) AS n_docs FROM (
+  SELECT split_part(p, '/', 1) AS path FROM d
+  UNION ALL
+  SELECT p AS path FROM d
+) GROUP BY path ORDER BY path
 """,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_dups

@@ -1,0 +1,71 @@
+"""Hierarchical facets + drill-down / drill-sideways over Ray Datasets.
+
+Reference semantics (SURVEY.md §2.7 Faceting row):
+  taxonomy counts  /root/reference/src/Lucene.Net.Facet/Taxonomy/FastTaxonomyFacetCounts.cs
+                   — a doc labeled with path a/b/c increments a, a/b and
+                   a/b/c (rollup along the taxonomy).
+  DrillDownQuery   /root/reference/src/Lucene.Net.Facet/DrillDownQuery.cs:53
+                   — base query AND one filter per dimension.
+  DrillSideways    /root/reference/src/Lucene.Net.Facet/DrillSideways.cs
+                   — per dimension, facet counts are computed with every
+                   OTHER dimension's filter applied but that dimension's own
+                   filter removed (so the UI can show the sibling values).
+
+All of it is map_batches filters + groupby counts — the natural Ray Data
+expression; nothing materializes, the only exchanges are the tiny per-value
+count aggregates.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def taxonomy_counts(
+    ds: ray.data.Dataset, path_column: str, *, sep: str = "/"
+) -> ray.data.Dataset:
+    """(path, n_docs) for EVERY prefix level of the slash-separated paths."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column(path_column).to_pylist():
+            if not p:
+                continue
+            parts = p.split(sep)
+            for i in range(1, len(parts) + 1):
+                out.append({"path": sep.join(parts[:i])})
+        return pa.Table.from_pylist(out) if out else pa.table({"path": pa.array([], type=pa.string())})
+
+    counts = ds.map_batches(expand, batch_format="pyarrow").groupby("path").count()
+    return counts.rename_columns({"count()": "n_docs"})
+
+
+def drill_down(ds: ray.data.Dataset, filters: dict[str, object]) -> ray.data.Dataset:
+    """AND of per-dimension equality filters (DrillDownQuery analog)."""
+    out = ds
+    for col, val in filters.items():
+        out = out.map_batches(
+            lambda b, c=col, v=val: b.filter(pc.equal(b.column(c), v)),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+def drill_sideways(
+    ds: ray.data.Dataset, filters: dict[str, object], *, dims: list[str] | None = None
+) -> dict:
+    """{"hits": drill-down count, "facets": {dim: Dataset(value, n_docs)}}.
+
+    Each dimension's counts apply every OTHER dimension's filter but not its
+    own, so sibling values of the selected one stay visible."""
+    dims = dims if dims is not None else list(filters)
+    hits = drill_down(ds, filters).count()
+    facets = {}
+    for dim in dims:
+        others = {c: v for c, v in filters.items() if c != dim}
+        sub = drill_down(ds, others) if others else ds
+        counts = sub.groupby(dim).count().rename_columns({"count()": "n_docs"})
+        facets[dim] = counts
+    return {"hits": hits, "facets": facets}

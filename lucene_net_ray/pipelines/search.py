@@ -31,6 +31,16 @@ from ..state.segment import SegmentReader
 from .scorer import SegmentScorer, expand_multiterm, query_fields, query_terms
 
 
+class TimeExceededError(Exception):
+    """TimeLimitingCollector.TimeExceededException analog: carries the hits
+    collected before the budget ran out (reference
+    Search/TimeLimitingCollector.cs; greedy mode returns them instead)."""
+
+    def __init__(self, partial: list):
+        super().__init__(f"time limit exceeded after {len(partial)} hits")
+        self.partial = partial
+
+
 class _SegmentGroup:
     """In-process group of segments (shared by local searcher and actors).
 
@@ -68,14 +78,62 @@ class _SegmentGroup:
                 seen.setdefault(t, b)
         return sorted(seen.items())
 
-    def top_k(self, q: Query, stats: dict, k: int, search_after=None) -> list[tuple[int, float]]:
+    def top_k(
+        self, q: Query, stats: dict, k: int, search_after=None, budget: dict | None = None
+    ) -> list[tuple[int, float]]:
+        """budget: {"time_limit_s": float|None, "early_docs": int|None,
+        "greedy": bool} — TimeLimitingCollector / EarlyTerminating analogs.
+        The time check runs between segments (our collection unit); greedy
+        returns the partial hits, non-greedy raises TimeExceededError."""
+        import time as _time
+
+        deadline = None
+        early_docs = None
+        greedy = False
+        if budget:
+            if budget.get("time_limit_s") is not None:
+                deadline = _time.monotonic() + budget["time_limit_s"]
+            early_docs = budget.get("early_docs")
+            greedy = bool(budget.get("greedy"))
         merged: list[tuple[int, float]] = []
         for r, dels in zip(self.readers, self.deleted_local):
-            merged.extend(
-                SegmentScorer(r, stats).top_k(q, k, search_after, exclude_local=dels)
-            )
+            if deadline is not None and _time.monotonic() > deadline:
+                merged.sort(key=lambda h: (-h[1], h[0]))
+                if greedy:
+                    return merged[:k]
+                raise TimeExceededError(merged[:k])
+            if early_docs is not None:
+                merged.extend(
+                    self._early_top_k(r, dels, q, stats, k, search_after, early_docs)
+                )
+            else:
+                merged.extend(
+                    SegmentScorer(r, stats).top_k(q, k, search_after, exclude_local=dels)
+                )
         merged.sort(key=lambda h: (-h[1], h[0]))
         return merged[:k]
+
+    @staticmethod
+    def _early_top_k(r, dels, q, stats, k, search_after, early_docs):
+        """EarlyTerminatingSortingCollector semantics: per segment, only the
+        FIRST ``early_docs`` matching docs (docID order) are collected."""
+        import numpy as _np
+
+        scorer = SegmentScorer(r, stats)
+        docs, scores = scorer.evaluate(q)
+        if dels.size and docs.size:
+            keep = ~_np.isin(docs, dels, assume_unique=True)
+            docs, scores = docs[keep], scores[keep]
+        docs, scores = docs[:early_docs], scores[:early_docs]  # docID-ordered
+        if search_after is not None:
+            a_score = _np.float32(search_after[0])
+            a_doc = search_after[1] - r.doc_base
+            m = (scores < a_score) | ((scores == a_score) & (docs > a_doc))
+            docs, scores = docs[m], scores[m]
+        if docs.size == 0:
+            return []
+        order = _np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]) + r.doc_base, float(scores[i])) for i in order]
 
     def top_k_many(self, items: list[tuple[Query, dict]], k: int) -> list[list[tuple[int, float]]]:
         """Evaluate many (query, stats) pairs in ONE actor round-trip — the
@@ -318,12 +376,38 @@ class Searcher:
             self._df_cache.update(agg)
         return {t: self._df_cache[t] for t in terms}
 
-    def search(self, q: Query, k: int = 10, search_after: tuple[float, int] | None = None) -> list[tuple[int, float]]:
+    def search(
+        self,
+        q: Query,
+        k: int = 10,
+        search_after: tuple[float, int] | None = None,
+        *,
+        time_limit_s: float | None = None,
+        early_terminate_docs: int | None = None,
+        greedy: bool = False,
+    ) -> list[tuple[int, float]]:
+        """time_limit_s / early_terminate_docs: per-group collection budgets
+        (TimeLimitingCollector / EarlyTerminatingSortingCollector analogs).
+        A non-greedy timeout raises TimeExceededError with the partial hits."""
         q, stats = self._rewrite_and_stats(q)
+        budget = None
+        if time_limit_s is not None or early_terminate_docs is not None:
+            budget = {
+                "time_limit_s": time_limit_s,
+                "early_docs": early_terminate_docs,
+                "greedy": greedy,
+            }
         if self.use_actors:
-            per = ray.get([g.top_k.remote(q, stats, k, search_after) for g in self.groups])
+            try:
+                per = ray.get(
+                    [g.top_k.remote(q, stats, k, search_after, budget) for g in self.groups]
+                )
+            except ray.exceptions.RayTaskError as e:
+                if isinstance(e.cause, TimeExceededError):
+                    raise e.cause from None
+                raise
         else:
-            per = [g.top_k(q, stats, k, search_after) for g in self.groups]
+            per = [g.top_k(q, stats, k, search_after, budget) for g in self.groups]
         return merge_top_docs(per, k)
 
     def count(self, q: Query) -> int:

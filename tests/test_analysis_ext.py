@@ -1,0 +1,71 @@
+"""Synonym / Shingle / NGram analysis extensions (pluggable chain)."""
+
+import pyarrow as pa
+
+from lucene_net_ray.functions.analysis import Analyzer
+from lucene_net_ray.functions.analysis_ext import (
+    ChainAnalyzer,
+    NGramAnalyzer,
+    ShingleFilter,
+    SynonymFilter,
+)
+from lucene_net_ray.pipelines.build import build_index_from_table
+from lucene_net_ray.pipelines.search import Searcher
+from lucene_net_ray.query import TermQuery, parse_query
+
+
+def test_synonym_filter():
+    syn = SynonymFilter({"fast": ["quick", "rapid"], "car": ["auto"]})
+    assert syn(["the", "fast", "car"]) == ["the", "fast", "quick", "rapid", "car", "auto"]
+    rep = SynonymFilter({"fast": ["quick"]}, include_original=False)
+    assert rep(["fast", "dog"]) == ["quick", "dog"]
+
+
+def test_shingle_filter():
+    sh = ShingleFilter(min_size=2, max_size=3)
+    assert sh(["a", "b", "c"]) == ["a", "a b", "a b c", "b", "b c", "c"]
+    no_uni = ShingleFilter(min_size=2, max_size=2, output_unigrams=False)
+    assert no_uni(["a", "b", "c"]) == ["a b", "b c"]
+
+
+def test_ngram_analyzer():
+    ng = NGramAnalyzer(min_gram=2, max_gram=3)
+    assert ng("AbC") == ["ab", "abc", "bc"]
+    edge = NGramAnalyzer(min_gram=1, max_gram=3, edge=True)
+    assert edge("Spark") == ["s", "sp", "spa"]
+
+
+def test_chain_analyzer_index_and_search(tmp_path):
+    """Synonym-expanded index: querying either the original term or a synonym
+    hits the same docs (SynonymFilter.cs keepOrig semantics)."""
+    chain = ChainAnalyzer(
+        base=Analyzer(),
+        filters=(SynonymFilter({"fast": ["quick"]}), ShingleFilter(min_size=2, max_size=2)),
+    )
+    docs = ["the fast car", "a slow bicycle", "fast trains move"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(
+        pa.table({"content": docs}), idx, analyzer=chain, target_rows_per_segment=10
+    )
+    s = Searcher(meta, use_actors=False)
+    assert s.count(TermQuery(term="fast")) == 2
+    assert s.count(TermQuery(term="quick")) == 2  # injected synonym indexed
+    assert s.count(TermQuery(term="fast quick")) == 2  # shingle over injection
+    assert s.count(TermQuery(term="slow bicycle")) == 1  # plain shingle
+    # manifest records the chain config for add_documents compatibility
+    assert s.index.manifest["analyzer"]["kind"] == "chain"
+
+
+def test_ngram_index_substring_search(tmp_path):
+    """NGram index: substring matching via gram terms (the NGramTokenizer
+    use-case: infix search without wildcards)."""
+    ng = NGramAnalyzer(min_gram=3, max_gram=3)
+    docs = ["sparkling", "parquet", "nothing"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(
+        pa.table({"content": docs}), idx, analyzer=ng, target_rows_per_segment=10
+    )
+    s = Searcher(meta, use_actors=False)
+    assert s.count(TermQuery(term="par")) == 2  # sPARkling + PARquet
+    assert s.count(TermQuery(term="kli")) == 1
+    assert s.count(TermQuery(term="zzz")) == 0

@@ -1,0 +1,68 @@
+"""Naive Bayes classifier + taxonomy facets / drill-sideways."""
+
+import pyarrow as pa
+import ray.data
+
+from lucene_net_ray.pipelines.facets import drill_down, drill_sideways, taxonomy_counts
+from lucene_net_ray.stages.classify import classify_dataset, nb_log_scores, train_naive_bayes
+
+
+def test_naive_bayes_train_and_classify():
+    train_rows = (
+        [{"text": "goal striker football match pitch", "label": "sport"}] * 5
+        + [{"text": "election vote parliament policy", "label": "politics"}] * 5
+        + [{"text": "match replay striker goal", "label": "sport"}] * 2
+    )
+    ds = ray.data.from_items(train_rows)
+    model = train_naive_bayes(ds)
+    assert model["n_docs"] == 12
+    assert set(model["classes"]) == {"sport", "politics"}
+    assert model["classes"]["sport"]["doc_count"] == 7
+    # priors reflect doc counts
+    import math
+    assert abs(model["classes"]["sport"]["log_prior"] - math.log(7 / 12)) < 1e-12
+
+    test_ds = ray.data.from_items(
+        [
+            {"text": "the striker scored a goal"},
+            {"text": "parliament passed the policy vote"},
+        ]
+    )
+    preds = [r["pred_label"] for r in classify_dataset(test_ds, model).take_all()]
+    assert preds == ["sport", "politics"]
+    # hand-check one score: laplace smoothing over vocab
+    s = nb_log_scores(model, ["goal"])
+    assert s["sport"] > s["politics"]
+
+
+def test_taxonomy_counts():
+    rows = [
+        {"path": "lang/en/us"},
+        {"path": "lang/en/gb"},
+        {"path": "lang/de"},
+        {"path": ""},
+    ]
+    ds = ray.data.from_items(rows)
+    got = {r["path"]: r["n_docs"] for r in taxonomy_counts(ds, "path").take_all()}
+    assert got == {
+        "lang": 3, "lang/en": 2, "lang/en/us": 1, "lang/en/gb": 1, "lang/de": 1,
+    }
+
+
+def test_drill_down_and_sideways():
+    rows = []
+    for lang in ("en", "de"):
+        for size in ("short", "long"):
+            for i in range((2 if lang == "en" else 1) * (3 if size == "long" else 1)):
+                rows.append({"lang": lang, "size": size})
+    ds = ray.data.from_items(rows)
+    filters = {"lang": "en", "size": "long"}
+    assert drill_down(ds, filters).count() == 6
+    res = drill_sideways(ds, filters)
+    assert res["hits"] == 6
+    # lang facet: size filter applied, own lang filter removed
+    lang_counts = {r["lang"]: r["n_docs"] for r in res["facets"]["lang"].take_all()}
+    assert lang_counts == {"en": 6, "de": 3}
+    # size facet: lang filter applied, own size filter removed
+    size_counts = {r["size"]: r["n_docs"] for r in res["facets"]["size"].take_all()}
+    assert size_counts == {"long": 6, "short": 2}

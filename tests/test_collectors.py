@@ -251,3 +251,39 @@ def test_suggest_completions(setup):
     assert dfs == sorted(dfs, reverse=True)
     for t, df in out:
         assert oracle.df[t] == df
+
+
+def test_time_limiting_and_early_terminating(tmp_path):
+    """TimeLimitingCollector / EarlyTerminatingSortingCollector analogs."""
+    import pytest
+
+    from lucene_net_ray.pipelines.search import Searcher, TimeExceededError
+    from lucene_net_ray.query import TermQuery
+
+    import pyarrow as pa
+
+    docs = ["filler doc"] * 5 + ["target once"] + ["filler doc"] * 3 + [
+        "target target target heavy"
+    ]
+    idx = str(tmp_path / "idx")
+    from lucene_net_ray.pipelines.build import build_index_from_table
+
+    build_index_from_table(pa.table({"content": docs}), idx, target_rows_per_segment=20)
+    s = Searcher(idx, use_actors=False)
+    q = TermQuery(term="target")
+    full = s.search(q, k=5)
+    assert [d for d, _ in full] == [9, 5]  # heavy doc first
+
+    # early termination after the FIRST matching doc (docID order): only
+    # doc 5 is collected, the better doc 9 is never reached
+    early = s.search(q, k=5, early_terminate_docs=1)
+    assert [d for d, _ in early] == [5]
+
+    # a zero time budget trips before any segment is collected
+    with pytest.raises(TimeExceededError) as ei:
+        s.search(q, k=5, time_limit_s=-1.0)
+    assert ei.value.partial == []
+    # greedy mode returns the partial result instead of raising
+    assert s.search(q, k=5, time_limit_s=-1.0, greedy=True) == []
+    # a generous budget behaves identically to no budget
+    assert s.search(q, k=5, time_limit_s=60.0) == full
