@@ -167,9 +167,23 @@ def merge_bench(index_dir: str) -> dict:
     t1 = time.perf_counter()
     top = high_freq_terms(IndexMeta(index_dir), k=10).take_all()
     stats_sec = time.perf_counter() - t1
+    # serving from the merged (term-range-partitioned) index: per-term pruned
+    # row-group reads, O(1 part) resident memory
+    from lucene_net_ray.pipelines.merge import MergedSearcher
+    from lucene_net_ray.query import parse_query
+
+    ms = MergedSearcher(out)
+    mqs = [parse_query(s) for s in ("public", "merge public", "+public +static")]
+    ms.search(mqs[0], k=10)  # warm footer/manifest caches
+    times = []
+    for q in mqs * 3:
+        t2 = time.perf_counter()
+        ms.search(q, k=10)
+        times.append(time.perf_counter() - t2)
     return {
         "merge_sec": round(merge_sec, 3),
         "term_stats_sec": round(stats_sec, 3),
+        "merged_query_p50": round(statistics.median(times), 4),
         "top_df_term": top[0]["term"] if top else None,
     }
 

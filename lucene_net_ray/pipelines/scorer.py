@@ -42,13 +42,17 @@ from ..query import (
 )
 from ..state.segment import SegmentReader
 
-# postings-size threshold above which auto mode switches to block-max WAND.
-# Below it, one vectorized decode+score pass beats the per-zone sweep by a
-# wide margin (measured: 5-head-term OR over 200k docs = ~30ms exhaustive vs
-# ~300ms WAND — uniform synthetic scores barely prune). WAND pays off when
-# the candidate set dwarfs k AND block maxima vary (the 100TB head-term
-# regime, df in the hundreds of millions).
-WAND_MIN_DF = 5_000_000
+# df threshold above which auto mode uses block-max WAND for SINGLE-TERM
+# queries. Measured at the design regime (tools/bench_wand.py, synthetic
+# segments with pareto tfs and realistic norm spread, 2M and 10M docs):
+#   term df=10k  0.24x   df=100k  1.2x   df=500k  2.6x   df=2M  3.7x
+# -> crossover just under 100k; 150k leaves margin for flatter tf
+# distributions. Multi-term disjunctions stay EXHAUSTIVE in auto mode: the
+# exhaustive path is ONE vectorized decode+score, and measured WAND loses on
+# every OR shape (0.23-0.86x) because sparse terms' blocks smear across the
+# dense terms' zone grid and saturated head-term block maxima leave no
+# pruning headroom. mode="wand" still forces the disjunction path.
+WAND_MIN_DF = 150_000
 
 
 class ClassicSegmentScorer:
@@ -228,6 +232,57 @@ class LMSegmentScorer:
             return []
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]) + self.reader.doc_base, float(scores[i])) for i in order]
+
+
+class DFRSegmentScorer(LMSegmentScorer):
+    """DFR similarity (reference Similarities/DFRSimilarity.cs) reusing the
+    LM scorer's boolean algebra. global_stats needs per-term "df" AND "ttf"
+    maps plus max_doc/sum_ttf."""
+
+    def __init__(self, reader: SegmentReader, global_stats: dict, **cfg):
+        from ..functions import similarity_dfr as dfr
+
+        self.dfr = dfr
+        self.reader = reader
+        self.stats = global_stats
+        self.cfg = cfg
+        self.avgdl = global_stats["sum_ttf"] / global_stats["max_doc"]
+
+    def score_term(self, term: str, boost: float = 1.0):
+        docids, tfs = self.reader.postings(term)
+        if docids.size == 0:
+            return docids, np.empty(0, dtype=np.float32)
+        s = self.dfr.dfr_scores(
+            tfs,
+            self.reader.norms[docids],
+            df=self.stats["df"].get(term, 0),
+            ttf=self.stats["ttf"].get(term, 0),
+            max_doc=self.stats["max_doc"],
+            avgdl=self.avgdl,
+            boost=boost,
+            **self.cfg,
+        )
+        return docids, s
+
+
+class IBSegmentScorer(DFRSegmentScorer):
+    """Information-based similarity (reference Similarities/IBSimilarity.cs)."""
+
+    def score_term(self, term: str, boost: float = 1.0):
+        docids, tfs = self.reader.postings(term)
+        if docids.size == 0:
+            return docids, np.empty(0, dtype=np.float32)
+        s = self.dfr.ib_scores(
+            tfs,
+            self.reader.norms[docids],
+            df=self.stats["df"].get(term, 0),
+            ttf=self.stats["ttf"].get(term, 0),
+            max_doc=self.stats["max_doc"],
+            avgdl=self.avgdl,
+            boost=boost,
+            **self.cfg,
+        )
+        return docids, s
 
 
 def query_terms(q: Query) -> set[str]:

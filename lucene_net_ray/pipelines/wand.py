@@ -3,12 +3,20 @@
 Strictly result-preserving (SURVEY.md §7.2.6): per-128-doc-block metadata
 (max_tf, min_normb — codec.encode_postings) gives a true upper bound on any
 doc's score inside the block (similarity.block_max_score). The docid axis is
-cut into zones at the union of all terms' block boundaries; a zone whose
-summed per-term bounds cannot beat the current k-th score is skipped without
-decoding. Safe w.r.t. Lucene's tie rules: a doc scoring exactly the heap-min
-cannot enter the heap anyway (TopScoreDocCollector.cs:47-59), so pruning at
-``bound <= threshold`` loses nothing; zones are visited in increasing docid
-order, matching the in-order collector's smaller-docID-wins behavior.
+cut into zones at the union of all terms' block boundaries.
+
+Round-2 scheme (the round-1 per-zone Python sweep lost to one vectorized
+decode below ~5M summed df): all zone bounds are computed VECTORIZED up
+front (one searchsorted per term over the zone array), zones are visited in
+DESCENDING bound order, and the scan stops at the first zone whose bound is
+strictly below the current k-th score — everything after it is smaller by
+construction. Correctness under any visit order: the heap is totally ordered
+by (score, -docid), so the final top-k is the unique global top-k under
+Lucene's (score desc, docID asc) rule no matter the processing order
+(TopScoreDocCollector's in-order rejection of equal scores selects exactly
+this set). Bounds are rounded UP one float32 ulp before comparing, and the
+stop condition is strict (<), so a zone that could contain an equal-score
+smaller-docid winner is never skipped.
 
 Blocks are decoded lazily and at most once per term (postings_block_range).
 """
@@ -20,7 +28,7 @@ import heapq
 import numpy as np
 
 from ..functions import similarity as sim
-from ..state.segment import BLOCK_SIZE, SegmentReader
+from ..state.segment import SegmentReader
 
 
 def wand_top_k(
@@ -51,81 +59,88 @@ def wand_top_k(
                 "w": np.float32(w),
                 "blocks": blocks,
                 "last": blocks["last_doc"],
-                "ub": ub,
+                "ub": ub.astype(np.float64),
                 "cache_blk": {},  # block idx -> (docids, tfs)
             }
         )
     if not terms:
         return []
 
-    # zone boundaries: union of all block last-docs (zone = (prev, b])
+    # zone boundaries: union of all block last-docs (zone z = (lo[z], hi[z]])
     bounds = np.unique(np.concatenate([t["last"] for t in terms]))
+    zone_lo = np.concatenate(([0], bounds[:-1] + 1))
+    n_zones = bounds.size
+
+    # vectorized per-zone bound: for each term, the covering block per zone
+    zone_bound = np.zeros(n_zones, dtype=np.float64)
+    covers = []  # per term: (block idx per zone, valid mask)
+    for t in terms:
+        bi = np.searchsorted(t["last"], zone_lo)
+        valid = bi < t["last"].size
+        zone_bound[valid] += t["ub"][bi[valid]]
+        covers.append((bi, valid))
+    # one-ulp-up float32 rounding: the real score is f32(f64 sum of f32 term
+    # scores) and must never exceed the bound we prune against
+    safe_bounds = np.nextafter(zone_bound.astype(np.float32), np.float32(np.inf))
+
+    order = np.argsort(-safe_bounds, kind="stable")  # descending bound
+
     heap: list[tuple[np.float32, int]] = []  # (score, -docid) min-heap of top-k
-
-    def threshold() -> np.float32:
-        return heap[0][0] if len(heap) >= k else np.float32(-np.inf)
-
     a_score = np.float32(search_after[0]) if search_after else None
     a_doc = (search_after[1] - reader.doc_base) if search_after else None
 
-    zone_lo = 0  # first docid of current zone
-    for e in bounds:
-        # per-term covering block index and bound sum (float64, then rounded
-        # UP one ulp in float32 — the real score is f32(f64 sum of f32 term
-        # scores) and must never exceed a bound we prune against)
-        zone_bound = 0.0
-        cover: list[tuple[dict, int]] = []
-        for t in terms:
-            bi = int(np.searchsorted(t["last"], zone_lo))
-            if bi >= t["last"].size:
-                continue  # term exhausted before this zone
-            cover.append((t, bi))
-            zone_bound += float(t["ub"][bi])
-        safe_bound = np.nextafter(np.float32(zone_bound), np.float32(np.inf))
-        if cover and (len(heap) < k or safe_bound > threshold()):
-            # decode covering blocks (cached), restrict to zone, accumulate
-            zone_docs: list[np.ndarray] = []
-            zone_scores: list[np.ndarray] = []
-            for t, bi in cover:
-                blk = t["cache_blk"].get(bi)
-                if blk is None:
-                    docids, tfs, _ = reader.postings_block_range(t["ti"], bi, bi + 1, t["blocks"])
-                    blk = (docids, tfs)
-                    t["cache_blk"][bi] = blk
-                docids, tfs = blk
-                m = (docids >= zone_lo) & (docids <= e)
-                if not m.any():
-                    continue
-                d = docids[m]
-                s = sim.score_tf(tfs[m], norms[d], t["w"], cache)
-                zone_docs.append(d)
-                zone_scores.append(s)
-            if zone_docs:
-                if len(zone_docs) == 1:
-                    uniq, final = zone_docs[0], zone_scores[0]
-                else:
-                    alld = np.concatenate(zone_docs)
-                    alls = np.concatenate(zone_scores)
-                    uniq = np.unique(alld)
-                    acc = np.zeros(uniq.size, dtype=np.float64)
-                    np.add.at(acc, np.searchsorted(uniq, alld), alls.astype(np.float64))
-                    final = acc.astype(np.float32)
-                if a_score is not None:
-                    keep = (final < a_score) | ((final == a_score) & (uniq > a_doc))
-                    uniq, final = uniq[keep], final[keep]
-                if len(heap) >= k:
-                    # vectorized pre-filter: only strict improvements can enter
-                    # (equal-to-min never displaces: smaller docIDs came first)
-                    cand = np.flatnonzero(final > heap[0][0])
-                else:
-                    cand = np.arange(uniq.size)
-                for i in cand.tolist():
-                    item = (np.float32(final[i]), -int(uniq[i]))
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
-        zone_lo = int(e) + 1
+    for z in order.tolist():
+        if len(heap) >= k and safe_bounds[z] < heap[0][0]:
+            break  # every remaining zone bounds strictly lower
+        lo = int(zone_lo[z])
+        hi = int(bounds[z])
+        zone_docs: list[np.ndarray] = []
+        zone_scores: list[np.ndarray] = []
+        for t, (bi_arr, valid) in zip(terms, covers):
+            if not valid[z]:
+                continue
+            bi = int(bi_arr[z])
+            blk = t["cache_blk"].get(bi)
+            if blk is None:
+                docids, tfs, _ = reader.postings_block_range(t["ti"], bi, bi + 1, t["blocks"])
+                blk = (docids, tfs)
+                t["cache_blk"][bi] = blk
+            docids, tfs = blk
+            m = (docids >= lo) & (docids <= hi)
+            if not m.any():
+                continue
+            d = docids[m]
+            s = sim.score_tf(tfs[m], norms[d], t["w"], cache)
+            zone_docs.append(d)
+            zone_scores.append(s)
+        if not zone_docs:
+            continue
+        if len(zone_docs) == 1:
+            uniq, final = zone_docs[0], zone_scores[0]
+        else:
+            alld = np.concatenate(zone_docs)
+            alls = np.concatenate(zone_scores)
+            uniq = np.unique(alld)
+            acc = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(acc, np.searchsorted(uniq, alld), alls.astype(np.float64))
+            final = acc.astype(np.float32)
+        if a_score is not None:
+            keep = (final < a_score) | ((final == a_score) & (uniq > a_doc))
+            uniq, final = uniq[keep], final[keep]
+        if len(heap) >= k:
+            # vectorized pre-filter: strict improvements, plus equal scores
+            # with smaller docid (the heap's total order handles the rest)
+            cand = np.flatnonzero(
+                (final > heap[0][0]) | ((final == heap[0][0]) & (-uniq > heap[0][1]))
+            )
+        else:
+            cand = np.arange(uniq.size)
+        for i in cand.tolist():
+            item = (np.float32(final[i]), -int(uniq[i]))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
 
     out = [(-nd, float(s)) for s, nd in heap]
     out.sort(key=lambda h: (-h[1], h[0]))

@@ -155,3 +155,48 @@ def test_lm_dirichlet_hand_vectors(tmp_path):
     assert docs_b.tolist() == [0, 2]
     # doc 0 gets alpha+beta, doc 2 alpha only
     assert scores_b[0] > scores_b[1]
+
+
+def test_dfr_ib_hand_vectors(tmp_path):
+    """DFR InL2 and IB LL-DF-H2 parity with hand-computed reference formulas
+    (DFRSimilarity.cs / IBSimilarity.cs component classes)."""
+    import math
+
+    from lucene_net_ray.functions.norms import NORM_TABLE
+    from lucene_net_ray.pipelines.scorer import DFRSegmentScorer, IBSegmentScorer
+    from lucene_net_ray.query import BooleanClause, BooleanQuery, TermQuery
+    from lucene_net_ray.state.index import IndexMeta
+    from lucene_net_ray.state.segment import SegmentReader
+
+    docs = ["alpha beta alpha gamma", "beta beta delta", "alpha epsilon zeta eta"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": docs}), idx, target_rows_per_segment=10)
+    reader = SegmentReader(IndexMeta(idx).segment_dirs[0])
+    N, T = meta.max_doc, meta.sum_ttf
+    avgdl = T / N
+    stats = {"max_doc": N, "sum_ttf": T, "df": {"alpha": 2, "beta": 2}, "ttf": {"alpha": 3, "beta": 3}}
+
+    dfr = DFRSegmentScorer(reader, stats, basic_model="In", after_effect="L", normalization="H2", c=1.0)
+    dids, scores = dfr.score_term("alpha")
+    assert dids.tolist() == [0, 2]
+    for i, (did, tf) in enumerate(zip(dids.tolist(), (2, 1))):
+        dl = float(NORM_TABLE[reader.norms[did]])
+        tfn = tf * math.log2(1 + avgdl / dl)
+        exp = np.float32((1.0 / (1.0 + tfn)) * tfn * math.log2((N + 1) / (2 + 0.5)))
+        assert np.float32(scores[i]) == exp, (did, float(scores[i]), float(exp))
+
+    ib = IBSegmentScorer(reader, stats, distribution="LL", lambda_model="DF", normalization="H2", c=1.0)
+    dids, scores = ib.score_term("beta")
+    assert dids.tolist() == [0, 1]
+    for i, (did, tf) in enumerate(zip(dids.tolist(), (1, 2))):
+        dl = float(NORM_TABLE[reader.norms[did]])
+        tfn = tf * math.log2(1 + avgdl / dl)
+        lam = (2 + 1.0) / (N + 1.0)
+        exp = np.float32(-math.log(lam / (tfn + lam)))
+        assert np.float32(scores[i]) == exp, (did, float(scores[i]), float(exp))
+
+    # boolean algebra inherited: MUST alpha + SHOULD beta sums per doc
+    q = BooleanQuery(clauses=(BooleanClause(TermQuery(term="alpha"), "MUST"),
+                              BooleanClause(TermQuery(term="beta"), "SHOULD")))
+    db, sb = dfr.evaluate(q)
+    assert db.tolist() == [0, 2] and sb[0] > sb[1]
