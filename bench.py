@@ -233,6 +233,7 @@ def run_full() -> dict:
             "index_build": b["build_sec"],
             "merge": m["merge_sec"],
             "term_stats": m["term_stats_sec"],
+            "merged_query_p50": m["merged_query_p50"],
             **{f"q_{k}": v for k, v in lat.items()},
             "bulk_eval": tp["bulk_sec"],
             **d,

@@ -42,17 +42,19 @@ from ..query import (
 )
 from ..state.segment import SegmentReader
 
-# df threshold above which auto mode uses block-max WAND for SINGLE-TERM
-# queries. Measured at the design regime (tools/bench_wand.py, synthetic
-# segments with pareto tfs and realistic norm spread, 2M and 10M docs):
-#   term df=10k  0.24x   df=100k  1.2x   df=500k  2.6x   df=2M  3.7x
-# -> crossover just under 100k; 150k leaves margin for flatter tf
-# distributions. Multi-term disjunctions stay EXHAUSTIVE in auto mode: the
-# exhaustive path is ONE vectorized decode+score, and measured WAND loses on
-# every OR shape (0.23-0.86x) because sparse terms' blocks smear across the
-# dense terms' zone grid and saturated head-term block maxima leave no
-# pruning headroom. mode="wand" still forces the disjunction path.
-WAND_MIN_DF = 150_000
+# Auto-mode WAND thresholds, set from tools/bench_wand.py measurements on
+# synthetic segments with pareto tfs + realistic norm spread (2M & 10M docs,
+# the north-rule head-term regime):
+#   single term:  df=10k 0.24x | 100k 1.2-2.0x | 500k 2.6x | 2M 3.7-3.8x |
+#                 5M 4.5x | 10M 24x   -> crossover ~100k; 500k adds margin
+#                 for flat-tf corpora (bench.py's uniform synthetic still
+#                 loses at 150k).
+#   2-term OR:    sum_df 0.6M 0.22x | 10M 1.25x | 15M 8.1x -> >= 10M wins.
+#   3+-term OR:   17M 1.07x | 17.6M 0.34x -> stays exhaustive (sparse terms
+#                 smear across the dense terms' zone grid; one vectorized
+#                 decode+score wins). mode="wand" still forces any shape.
+WAND_MIN_DF = 500_000       # single-term queries
+WAND_MIN_OR_DF = 10_000_000  # 2-term disjunctions (summed df)
 
 
 class ClassicSegmentScorer:
@@ -750,12 +752,14 @@ class SegmentScorer:
 
             tw = is_wand_eligible(q) if hasattr(self.reader, "blocks") else None
             if tw is not None:
-                # cost-based choice: vectorized exhaustive decode+score is a
-                # single numpy pass and beats the zone loop until posting
-                # lists are large; WAND's block skipping pays off when the
-                # candidate set dwarfs k (the 100TB head-term regime)
+                # cost-based choice per the measured table above: single
+                # terms from 500k df, 2-term ORs from 10M summed df, larger
+                # disjunctions always exhaustive (one vectorized pass wins)
                 sum_df = sum(self.stats["df"].get(t, 0) for t, _ in tw)
-                if mode == "wand" or sum_df >= WAND_MIN_DF:
+                use = (len(tw) == 1 and sum_df >= WAND_MIN_DF) or (
+                    len(tw) == 2 and sum_df >= WAND_MIN_OR_DF
+                )
+                if mode == "wand" or use:
                     weights = [(t, self._term_weight(t, boost)) for t, boost in tw]
                     hits = wand_top_k(self.reader, weights, self.cache, k, search_after)
                     return [(d + self.reader.doc_base, s) for d, s in hits]
