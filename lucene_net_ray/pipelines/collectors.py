@@ -42,21 +42,21 @@ from .search import Searcher
 # sorted search / facets / grouping (driver-side merges over per-segment work)
 # ---------------------------------------------------------------------------
 
-def _matching_with_fields(searcher: Searcher, q: Query, fields: list[str]):
-    """Yield (global docids, {field: values}, scores) per segment (local path)."""
-    q, stats = searcher._rewrite_and_stats(q)
-    for group in searcher.groups:
-        readers = group.readers if hasattr(group, "readers") else None
-        if readers is None:
-            raise ValueError("sorted search currently requires use_actors=False")
-        for r in readers:
-            scorer = SegmentScorer(r, stats)
-            docs, scores = scorer.evaluate(q)
-            if docs.size == 0:
-                continue
-            tbl = pq.read_table(os.path.join(r.seg_dir, "docs.parquet"), columns=fields)
-            vals = {f: tbl.column(f).to_numpy(zero_copy_only=False)[docs] for f in fields}
-            yield docs + r.doc_base, vals, scores
+def _group_call(searcher: Searcher, method: str, *args) -> list:
+    """Invoke a _SegmentGroup collector partial on every group (actor or
+    local), returning per-group results. Round 2: these used to require
+    use_actors=False and pulled every matching doc to the driver; now the
+    actors compute segment-side partials and the driver only merges
+    summaries (the driver-contract Dataset versions remain the pure-Ray-Data
+    expression of the same operators)."""
+    import ray as _ray
+
+    q, *rest = args
+    rq, stats = searcher._rewrite_and_stats(q)
+    call_args = (rq, stats, *rest)
+    if searcher.use_actors:
+        return _ray.get([getattr(g, method).remote(*call_args) for g in searcher.groups])
+    return [getattr(g, method)(*call_args) for g in searcher.groups]
 
 
 def search_sorted(
@@ -66,41 +66,19 @@ def search_sorted(
     k: int = 10,
 ) -> list[dict]:
     """Top-k matching docs by stored-field sort; docID breaks ties (SortField
-    semantics with the implicit final doc order)."""
+    semantics with the implicit final doc order). Per-segment top-k partials
+    merge on the driver."""
+    from .search import _sort_key_fn
+
     fields = [f for f, _ in sort_fields]
     rows: list[tuple] = []
-    for gids, vals, _scores in _matching_with_fields(searcher, q, fields):
-        all_numeric = all(np.issubdtype(vals[f].dtype, np.number) for f in fields)
-        if all_numeric:
-            # safe per-segment pre-truncation before the driver merge
-            keys = [(-vals[f] if desc else vals[f]) for f, desc in sort_fields]
-            order = np.lexsort((gids, *reversed(keys)))[:k]
-        else:
-            order = np.arange(gids.size)  # string desc: defer ordering to merge
-        for i in order:
-            rows.append((tuple(vals[f][i] for f in fields), int(gids[i])))
-    # driver merge: python tuple sort honoring desc flags
-    def sort_key(row):
-        key_vals, gid = row
-        out = []
-        for (f, desc), v in zip(sort_fields, key_vals):
-            if isinstance(v, (int, float, np.number)):
-                out.append(-v if desc else v)
-            else:
-                out.append(_NegStr(v) if desc else v)
-        out.append(gid)
-        return tuple(out)
-
-    rows.sort(key=sort_key)
+    for part in _group_call(searcher, "sorted_partial", q, list(sort_fields), k):
+        rows.extend((tuple(kv), gid) for kv, gid in part)
+    rows.sort(key=_sort_key_fn(sort_fields))
     return [
         {"doc_id": gid, **{f: _pyval(v) for f, v in zip(fields, key_vals)}}
         for key_vals, gid in rows[:k]
     ]
-
-
-class _NegStr(str):
-    def __lt__(self, other):
-        return str.__gt__(self, other)
 
 
 def _pyval(v):
@@ -108,21 +86,23 @@ def _pyval(v):
 
 
 def facet_counts(searcher: Searcher, q: Query, field: str) -> dict[str, int]:
-    """Doc counts per facet value among matching docs."""
+    """Doc counts per facet value among matching docs (per-actor Counters,
+    driver sums values — never raw matches)."""
     out: Counter = Counter()
-    for _gids, vals, _scores in _matching_with_fields(searcher, q, [field]):
-        out.update(Counter(vals[field].tolist()))
+    for part in _group_call(searcher, "facet_partial", q, field):
+        out.update(part)
     return dict(out)
 
 
 def group_top_k(
     searcher: Searcher, q: Query, group_field: str, k_groups: int = 10, k_per_group: int = 2
 ) -> list[dict]:
-    """Top groups by their best hit's (score, docid), top docs per group."""
+    """Top groups by their best hit's (score, docid), top docs per group.
+    Per-actor per-group partial top-k merge associatively on the driver."""
     groups: dict = defaultdict(list)
-    for gids, vals, scores in _matching_with_fields(searcher, q, [group_field]):
-        for gid, v, s in zip(gids.tolist(), vals[group_field].tolist(), scores.tolist()):
-            groups[v].append((np.float32(s), gid))
+    for part in _group_call(searcher, "group_partial", q, group_field, k_per_group):
+        for v, hits in part.items():
+            groups[v].extend((np.float32(s), gid) for s, gid in hits)
     ranked = []
     for v, hits in groups.items():
         hits.sort(key=lambda h: (-h[0], h[1]))
@@ -359,10 +339,8 @@ def function_rescore(
     """
     fields = fields or []
     rows = []
-    for gids, vals, scores in _matching_with_fields(searcher, q, fields):
-        new_scores = np.asarray(score_fn(scores, vals), dtype=np.float64)
-        order = np.lexsort((gids, -new_scores))[:window]
-        rows.extend((int(gids[i]), float(new_scores[i])) for i in order)
+    for part in _group_call(searcher, "rescore_partial", q, fields, score_fn, window):
+        rows.extend(part)
     rows.sort(key=lambda h: (-h[1], h[0]))
     return rows[:k]
 

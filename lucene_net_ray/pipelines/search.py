@@ -31,6 +31,29 @@ from ..state.segment import SegmentReader
 from .scorer import SegmentScorer, expand_multiterm, query_fields, query_terms
 
 
+def _sort_key_fn(sort_fields):
+    """Tuple sort key honoring per-field descending flags (strings too)."""
+
+    class _NegStr(str):
+        def __lt__(self, other):  # noqa: D105
+            return str.__gt__(self, other)
+
+    def key(row):
+        key_vals, gid = row
+        out = []
+        for (f, desc), v in zip(sort_fields, key_vals):
+            import numpy as _np
+
+            if isinstance(v, (int, float, _np.number)) and not isinstance(v, bool):
+                out.append(-v if desc else v)
+            else:
+                out.append(_NegStr(v) if desc else v)
+        out.append(gid)
+        return tuple(out)
+
+    return key
+
+
 class TimeExceededError(Exception):
     """TimeLimitingCollector.TimeExceededException analog: carries the hits
     collected before the budget ran out (reference
@@ -150,6 +173,77 @@ class _SegmentGroup:
                 docs = docs[~_np.isin(docs, dels, assume_unique=True)]
             total += int(docs.size)
         return total
+
+    # --- collector partials (facet / sorted / grouping run on the actors;
+    # the driver only merges per-group summaries, never raw matches) --------
+    def _matching(self, q: Query, stats: dict):
+        import numpy as _np
+
+        for r, dels in zip(self.readers, self.deleted_local):
+            docs, scores = SegmentScorer(r, stats).evaluate(q)
+            if dels.size and docs.size:
+                keep = ~_np.isin(docs, dels, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
+            if docs.size:
+                yield r, docs, scores
+
+    def facet_partial(self, q: Query, stats: dict, field: str) -> dict:
+        from collections import Counter
+
+        out: Counter = Counter()
+        for r, docs, _s in self._matching(q, stats):
+            out.update(Counter(r.doc_values(field)[docs].tolist()))
+        return dict(out)
+
+    def sorted_partial(self, q: Query, stats: dict, sort_fields: list, k: int) -> list:
+        """Per-segment top-k rows [(key_vals tuple, global docid)] — safe
+        pre-truncation before the driver's k-way merge."""
+        import numpy as _np
+
+        rows: list = []
+        for r, docs, _s in self._matching(q, stats):
+            vals = {f: r.doc_values(f)[docs] for f, _ in sort_fields}
+            seg_rows = [
+                (tuple(vals[f][i] for f, _ in sort_fields), int(docs[i]) + r.doc_base)
+                for i in range(docs.size)
+            ]
+            seg_rows.sort(key=_sort_key_fn(sort_fields))
+            rows.extend(seg_rows[:k])
+        return rows
+
+    def group_partial(
+        self, q: Query, stats: dict, group_field: str, k_per_group: int
+    ) -> dict:
+        """{group value: per-group top hits [(score, gid)]} truncated per
+        segment — associative under the driver's re-sort merge."""
+        import numpy as _np
+        from collections import defaultdict
+
+        groups: dict = defaultdict(list)
+        for r, docs, scores in self._matching(q, stats):
+            vals = r.doc_values(group_field)[docs]
+            for gid, v, s in zip((docs + r.doc_base).tolist(), vals.tolist(), scores.tolist()):
+                groups[v].append((float(_np.float32(s)), gid))
+        return {
+            v: sorted(hits, key=lambda h: (-h[0], h[1]))[:k_per_group]
+            for v, hits in groups.items()
+        }
+
+    def rescore_partial(
+        self, q: Query, stats: dict, fields: list[str], score_fn, window: int
+    ) -> list:
+        """Per-segment rescore window [(gid, new_score)] for function scoring
+        (score_fn ships to the actor via cloudpickle)."""
+        import numpy as _np
+
+        rows: list = []
+        for r, docs, scores in self._matching(q, stats):
+            vals = {f: r.doc_values(f)[docs] for f in fields}
+            new_scores = _np.asarray(score_fn(scores, vals), dtype=_np.float64)
+            gids = docs + r.doc_base
+            order = _np.lexsort((gids, -new_scores))[:window]
+            rows.extend((int(gids[i]), float(new_scores[i])) for i in order)
+        return rows
 
     def scored_docs(self, q: Query, stats: dict) -> list[tuple[int, float]]:
         """All matching live (global docid, score) — for tests/oracles."""

@@ -287,3 +287,44 @@ def test_time_limiting_and_early_terminating(tmp_path):
     assert s.search(q, k=5, time_limit_s=-1.0, greedy=True) == []
     # a generous budget behaves identically to no budget
     assert s.search(q, k=5, time_limit_s=60.0) == full
+
+
+def test_collectors_work_through_actors(tmp_path):
+    """Round-2 convergence: facet/sorted/group/rescore run as per-actor
+    partials (previously required use_actors=False and pulled all matches to
+    the driver). Actor results must equal the in-process results."""
+    import pyarrow as pa
+
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.collectors import (
+        facet_counts,
+        function_rescore,
+        group_top_k,
+        search_sorted,
+    )
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import TermQuery
+
+    docs = []
+    langs = []
+    for i in range(40):
+        docs.append(f"shared term plus word{i % 7}")
+        langs.append(["en", "de", "fr"][i % 3])
+    tbl = pa.table({"content": docs, "lang": langs, "val": list(range(40))})
+    idx = str(tmp_path / "idx")
+    build_index_from_table(tbl, idx, target_rows_per_segment=10,
+                           stored_columns=("lang", "val"))
+    local = Searcher(idx, use_actors=False)
+    actors = Searcher(idx, num_actors=3, use_actors=True)
+    q = TermQuery(term="shared")
+    assert facet_counts(actors, q, "lang") == facet_counts(local, q, "lang")
+    assert search_sorted(actors, q, [("val", True)], k=7) == search_sorted(
+        local, q, [("val", True)], k=7
+    )
+    assert group_top_k(actors, q, "lang", k_groups=3, k_per_group=2) == group_top_k(
+        local, q, "lang", k_groups=3, k_per_group=2
+    )
+    fn = lambda scores, vals: vals["val"] * 1.0  # noqa: E731
+    assert function_rescore(actors, q, fn, fields=["val"], k=5) == function_rescore(
+        local, q, fn, fields=["val"], k=5
+    )
