@@ -1,0 +1,47 @@
+"""Expression scoring (Lucene.Net.Expressions analog)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_net_ray.pipelines.build import build_index_from_table
+from lucene_net_ray.pipelines.expressions import (
+    ExpressionError,
+    compile_expression,
+    expression_fields,
+    expression_rescore,
+)
+from lucene_net_ray.pipelines.search import Searcher
+from lucene_net_ray.query import TermQuery
+
+
+def test_compile_and_eval():
+    fn = compile_expression("score * 2 + log1p(boostcol)")
+    scores = np.array([1.0, 2.0], dtype=np.float32)
+    vals = {"boostcol": np.array([0.0, np.e - 1])}
+    out = fn(scores, vals)
+    assert np.allclose(out, [2.0, 5.0])
+    assert expression_fields("score * 2 + log1p(boostcol)") == ["boostcol"]
+    assert compile_expression("where(v > 2, score, 0)")(scores, {"v": np.array([1, 3])}).tolist() == [0.0, 2.0]
+
+
+def test_rejects_unsafe():
+    for bad in ("__import__('os')", "score.attr", "open('x')", "a if b else c", "[1,2]"):
+        with pytest.raises((ExpressionError, SyntaxError)):
+            compile_expression(bad)
+    with pytest.raises(ExpressionError):
+        compile_expression("unknowncol + 1")({}, {})  # unknown at eval w/o field
+    # unknown identifiers fail at compile (dummy eval)
+    fn = compile_expression("known * 1")  # fine: treated as a field
+    assert expression_fields("known * 1") == ["known"]
+
+
+def test_expression_rescore(tmp_path):
+    docs = ["target one", "target two", "target three", "target four"]
+    pop = [5, 50, 500, 1]
+    tbl = pa.table({"content": docs, "popularity": pop})
+    idx = str(tmp_path / "idx")
+    build_index_from_table(tbl, idx, target_rows_per_segment=2, stored_columns=("popularity",))
+    s = Searcher(idx, use_actors=False)
+    hits = expression_rescore(s, TermQuery(term="target"), "score + log1p(popularity)", k=4)
+    assert [d for d, _ in hits] == [2, 1, 0, 3]  # popularity dominates
