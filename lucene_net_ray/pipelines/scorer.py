@@ -403,6 +403,130 @@ def _edit_distance_capped(a: str, b: str, cap: int) -> int:
     return prev[lb]
 
 
+class _PP:
+    """PhrasePositions port: position = doc position - query offset."""
+
+    __slots__ = ("plist", "offset", "rpt_group", "rpt_ind", "pos", "idx")
+
+    def __init__(self, plist, offset, rpt_group=-1, rpt_ind=0):
+        self.plist = plist
+        self.offset = offset
+        self.rpt_group = rpt_group
+        self.rpt_ind = rpt_ind
+        self.pos = 0
+        self.idx = 0
+
+    def first(self) -> None:
+        self.pos = self.plist[0]
+        self.idx = 1
+
+    def next(self) -> bool:
+        if self.idx >= len(self.plist):
+            return False
+        self.pos = self.plist[self.idx]
+        self.idx += 1
+        return True
+
+
+def _sloppy_phrase_freq_rpts(slots: list[tuple[list[int], int, str]], slop: int) -> float:
+    """SloppyPhraseScorer.PhraseFreq port WITH repeating terms
+    (/root/reference/src/Lucene.Net.Core/Search/SloppyPhraseScorer.cs:104-146,
+    repeat handling :160-210, :338-383 — single-term repeat groups, the
+    no-multi-term-postings case since our phrase terms are literals).
+
+    slots: [(adjusted position list, query offset, term)] per query slot.
+    The PhraseQueue is a linear-scan min (phrase arity is tiny), which makes
+    Lucene's re-queue bookkeeping after collision resolution unnecessary
+    while preserving the identical visit order (position, then offset)."""
+    pps = [ _PP(pl, off) for pl, off, _t in slots ]
+    # repeat groups: slots sharing a term, sorted by offset (GatherRptGroups)
+    by_term: dict[str, list[int]] = {}
+    for i, (_pl, _off, t) in enumerate(slots):
+        by_term.setdefault(t, []).append(i)
+    rpt_groups: list[list[_PP]] = []
+    for t, idxs in by_term.items():
+        if len(idxs) > 1:
+            group = sorted((pps[i] for i in idxs), key=lambda p: p.offset)
+            for gi, p in enumerate(group):
+                p.rpt_group = len(rpt_groups)
+                p.rpt_ind = gi
+            rpt_groups.append(group)
+
+    for p in pps:
+        p.first()
+
+    def tp_pos(p: _PP) -> int:
+        return p.pos + p.offset
+
+    def collide(p: _PP) -> _PP | None:
+        for p2 in rpt_groups[p.rpt_group]:
+            if p2 is not p and tp_pos(p2) == tp_pos(p):
+                return p2
+        return None
+
+    def lesser(a: _PP, b: _PP) -> _PP:
+        if a.pos < b.pos or (a.pos == b.pos and a.offset < b.offset):
+            return a
+        return b
+
+    # AdvanceRepeatGroups (simple case): rg[j] advances j times
+    for rg in rpt_groups:
+        for j in range(1, len(rg)):
+            for _ in range(j):
+                if not rg[j].next():
+                    return 0.0
+    end = max(p.pos for p in pps)
+
+    queue = list(pps)
+
+    def pop_min() -> _PP:
+        m = min(queue, key=lambda p: (p.pos, p.offset))
+        queue.remove(m)
+        return m
+
+    freq = np.float32(0.0)
+    pp = pop_min()
+    match_length = end - pp.pos
+    nxt = min(queue, key=lambda p: (p.pos, p.offset)).pos if queue else pp.pos
+
+    def advance_pp(p: _PP) -> bool:
+        nonlocal end
+        if not p.next():
+            return False
+        if p.pos > end:
+            end = p.pos
+        return True
+
+    def advance_rpts(p: _PP) -> bool:
+        if p.rpt_group < 0:
+            return True
+        while True:
+            other = collide(p)
+            if other is None:
+                return True
+            p = lesser(p, other)
+            if not advance_pp(p):
+                return False
+
+    while advance_pp(pp):
+        if rpt_groups and not advance_rpts(pp):
+            break
+        if pp.pos > nxt:
+            if match_length <= slop:
+                freq = np.float32(freq + np.float32(1.0 / (match_length + 1.0)))
+            queue.append(pp)
+            pp = pop_min()
+            nxt = min(queue, key=lambda p: (p.pos, p.offset)).pos if queue else pp.pos
+            match_length = end - pp.pos
+        else:
+            ml2 = end - pp.pos
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq = np.float32(freq + np.float32(1.0 / (match_length + 1.0)))
+    return float(freq)
+
+
 def _sloppy_phrase_freq(plists: list[list[int]], slop: int) -> float:
     """PhraseFreq() port: plists = per-term offset-adjusted position lists
     (sorted ascending, non-repeating terms). Returns float32 freq."""
@@ -579,29 +703,32 @@ class SegmentScorer:
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         if not q.terms:
             return empty
-        if len(set(q.terms)) != len(q.terms):
-            raise NotImplementedError("sloppy phrase with repeating terms is not supported yet")
+        has_rpts = len(set(q.terms)) != len(q.terms)
         qpos = q.term_positions()
-        per_term = []
-        for t, p in zip(q.terms, qpos):
+        postings_by_term: dict[str, tuple] = {}
+        for t in set(q.terms):
             if self.stats["df"].get(t, 0) == 0:
                 return empty
             docids, tfs, flat, occ = self.reader.positions(t)
             if docids.size == 0:
                 return empty
-            per_term.append((docids, tfs, flat, occ, p))
-        common = per_term[0][0]
-        for d, *_ in per_term[1:]:
+            postings_by_term[t] = (docids, tfs, flat, occ)
+        per_slot = [(postings_by_term[t], t, p) for t, p in zip(q.terms, qpos)]
+        common = per_slot[0][0][0]
+        for (d, *_), _t, _p in per_slot[1:]:
             common = np.intersect1d(common, d, assume_unique=True)
         if common.size == 0:
             return empty
         out_docs, out_freqs = [], []
         for doc in common.tolist():
-            plists = []
-            for docids, tfs, flat, occ, p in per_term:
+            slots = []
+            for (docids, tfs, flat, occ), t, p in per_slot:
                 j = int(np.searchsorted(docids, doc))
-                plists.append((flat[occ[j] : occ[j + 1]] - p).tolist())
-            f = _sloppy_phrase_freq(plists, q.slop)
+                slots.append(((flat[occ[j] : occ[j + 1]] - p).tolist(), p, t))
+            if has_rpts:
+                f = _sloppy_phrase_freq_rpts(slots, q.slop)
+            else:
+                f = _sloppy_phrase_freq([pl for pl, _p, _t in slots], q.slop)
             if f > 0:
                 out_docs.append(doc)
                 out_freqs.append(f)

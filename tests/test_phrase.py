@@ -175,3 +175,45 @@ def test_sloppy_phrase_engine_vs_oracle(tmp_path):
 def test_sloppy_parser_syntax(tmp_path):
     q = parse_query('"quick brown"~2')
     assert isinstance(q, PhraseQuery) and q.slop == 2
+
+
+def test_sloppy_phrase_repeating_terms(tmp_path):
+    """SloppyPhraseScorer repeat handling (SloppyPhraseScorer.cs:338-383):
+    repeated query terms must bind to DISTINCT document positions."""
+    from lucene_net_ray.pipelines.scorer import _sloppy_phrase_freq_rpts
+
+    # "my my"~2 over doc "my x my": positions my@[0,2]
+    slots = [([0, 2], 0, "my"), ([-1, 1], 1, "my")]
+    assert _sloppy_phrase_freq_rpts(slots, 2) == np.float32(0.5)  # window len 1
+    # doc "my my": adjacent -> exact-distance match
+    slots = [([0, 1], 0, "my"), ([-1, 0], 1, "my")]
+    assert _sloppy_phrase_freq_rpts(slots, 2) == np.float32(1.0)
+    # doc with only ONE 'my' can never match "my my"
+    slots = [([0], 0, "my"), ([-1], 1, "my")]
+    assert _sloppy_phrase_freq_rpts(slots, 4) == 0.0
+    # "ho my my"~1 over "ho my my"
+    slots = [([0], 0, "ho"), ([0, 1], 1, "my"), ([-1, 0], 2, "my")]
+    assert _sloppy_phrase_freq_rpts(slots, 1) == np.float32(1.0)
+
+
+def test_sloppy_phrase_repeats_through_engine(tmp_path):
+    import pyarrow as pa
+
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import parse_query
+
+    docs = [
+        "my dog my cat",      # my@0,2 -> "my my"~2 window len 2 -> 1/3
+        "my my twice here",   # adjacent -> 1.0
+        "only one my here",   # single occurrence -> no match
+        "nothing relevant",
+    ]
+    idx = str(tmp_path / "idx")
+    build_index_from_table(pa.table({"content": docs}), idx,
+                           index_options="positions", target_rows_per_segment=2)
+    s = Searcher(idx, use_actors=False)
+    q = parse_query('"my my"~2')
+    hits = s.search(q, k=5)
+    assert [d for d, _ in hits] == [1, 0]
+    assert s.count(q) == 2
