@@ -442,6 +442,9 @@ class MergedIndexReader:
         self._tmax = [p["term_max"] for p in parts]
         self._rg_index: dict[int, tuple] = {}  # part idx -> (rg_mins, rg_maxs)
         self._terms_cache: np.ndarray | None = None
+        self._handles: dict[str, int] = {}  # WAND term handles
+        self._handle_rows: dict[int, dict] = {}
+        self._handle_seq = 0
 
         segs = self.manifest["segments"]
         docs_dir = os.path.join(out_dir, "docs")
@@ -506,6 +509,98 @@ class MergedIndexReader:
         if t.num_rows > 1:
             t = t.sort_by([("bucket", "ascending"), ("first_seg", "ascending")])
         return t
+
+    # -- block-max WAND surface ---------------------------------------------
+    # term_index/blocks/postings_block_range mirror SegmentReader so the
+    # scorer's auto-mode WAND works over the merged layout too. A term
+    # "handle" caches the term's chunk blobs + a concatenated block
+    # directory; chunk-start blocks are flagged because each chunk's first
+    # delta is ABSOLUTE (splice semantics), so only intra-chunk blocks
+    # rebase against the previous block's last doc.
+
+    def term_index(self, term: str) -> int:
+        h = self._handles.get(term)
+        if h is not None and (h == -1 or h in self._handle_rows):
+            return h
+        t = self._rows_for_term(
+            term,
+            self._BLOB_COLS
+            + ["blk_last_doc", "blk_doc_boff", "blk_frq_boff", "blk_max_tf", "blk_min_normb"],
+        )
+        if t is None:
+            self._handles[term] = -1
+            return -1
+        doc_parts, frq_parts = [], []
+        last_doc, doc_boff, frq_boff, max_tf, min_normb, chunk_start = [], [], [], [], [], []
+        dbase = fbase = 0
+        for i in range(t.num_rows):
+            db = t.column("doc_blob")[i].as_py()
+            fb = t.column("frq_blob")[i].as_py()
+            bl = t.column("blk_last_doc")[i].as_py()
+            dbo = t.column("blk_doc_boff")[i].as_py()
+            fbo = t.column("blk_frq_boff")[i].as_py()
+            mtf = t.column("blk_max_tf")[i].as_py()
+            mnb = t.column("blk_min_normb")[i].as_py()
+            doc_parts.append(db)
+            frq_parts.append(fb)
+            last_doc.extend(bl)
+            doc_boff.extend(dbase + b for b in dbo)
+            frq_boff.extend(fbase + b for b in fbo)
+            max_tf.extend(mtf)
+            min_normb.extend(mnb)
+            chunk_start.extend([j == 0 for j in range(len(bl))])
+            dbase += len(db)
+            fbase += len(fb)
+        handle = {
+            "doc": np.frombuffer(b"".join(doc_parts), dtype=np.uint8),
+            "frq": np.frombuffer(b"".join(frq_parts), dtype=np.uint8),
+            "blocks": {
+                "last_doc": np.asarray(last_doc, dtype=np.int64),
+                "doc_boff": np.asarray(doc_boff, dtype=np.int64),
+                "frq_boff": np.asarray(frq_boff, dtype=np.int64),
+                "max_tf": np.asarray(max_tf, dtype=np.int64),
+                "min_normb": np.asarray(min_normb, dtype=np.uint8),
+                "chunk_start": np.asarray(chunk_start, dtype=bool),
+            },
+        }
+        # bounded cache keyed by a monotonic handle id: evicting the OLDEST
+        # entries can never invalidate the handful of handles a single query
+        # holds (cap >> query arity)
+        while len(self._handle_rows) >= 256:
+            oldest = next(iter(self._handle_rows))
+            del self._handle_rows[oldest]
+        self._handle_seq += 1
+        h = self._handle_seq
+        self._handles[term] = h
+        self._handle_rows[h] = handle
+        if len(self._handles) > 4 * 256:
+            self._handles = {t: i for t, i in self._handles.items() if i in self._handle_rows or i == -1}
+        return h
+
+    def blocks(self, h: int) -> dict[str, np.ndarray]:
+        return self._handle_rows[h]["blocks"]
+
+    def postings_block_range(self, h: int, blk_lo: int, blk_hi: int, blocks: dict):
+        """Decode blocks [blk_lo, blk_hi) — must not span a chunk boundary
+        except at blk_lo (WAND decodes one block at a time)."""
+        hd = self._handle_rows[h]
+        boffs = blocks["doc_boff"]
+        foffs = blocks["frq_boff"]
+        nb = boffs.size
+        cs = blocks["chunk_start"]
+        assert blk_hi == blk_lo + 1 or not cs[blk_lo + 1 : blk_hi].any(), (
+            "block range spans a chunk boundary"
+        )
+        dend = boffs[blk_hi] if blk_hi < nb else hd["doc"].size
+        fend = foffs[blk_hi] if blk_hi < nb else hd["frq"].size
+        from ..functions import codec as _codec
+
+        docids, tfs = _codec.decode_postings(
+            hd["doc"][boffs[blk_lo] : dend], hd["frq"][foffs[blk_lo] : fend]
+        )
+        if blk_lo > 0 and docids.size and not cs[blk_lo]:
+            docids += blocks["last_doc"][blk_lo - 1]
+        return docids, tfs, blk_lo * 128
 
     # -- SegmentReader surface ----------------------------------------------
     @property

@@ -229,6 +229,22 @@ class _SegmentGroup:
             for v, hits in groups.items()
         }
 
+    def span_partial(self, q, stats: dict, k: int) -> list:
+        """Per-segment span-query top-k (SpanEvaluator runs actor-side)."""
+        import numpy as _np
+
+        from .spans import SpanEvaluator
+
+        out = []
+        for r, dels in zip(self.readers, self.deleted_local):
+            docs, scores = SpanEvaluator(r, stats).evaluate(q)
+            if dels.size and docs.size:
+                keep = ~_np.isin(docs, dels, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
+            order = _np.lexsort((docs, -scores))[:k]
+            out.append([(int(docs[i]) + r.doc_base, float(scores[i])) for i in order])
+        return out
+
     def rescore_partial(
         self, q: Query, stats: dict, fields: list[str], score_fn, window: int
     ) -> list:

@@ -212,20 +212,18 @@ class SpanEvaluator:
 
 
 def span_search(searcher, q, k: int = 10) -> list[tuple[int, float]]:
-    """Top-k span search over all segments of an in-process Searcher."""
+    """Top-k span search over a Searcher (actor-pool or in-process: the
+    per-segment evaluation runs inside the segment groups)."""
+    import ray as _ray
+
     from .search import merge_top_docs
 
     terms = sorted(span_terms(q))
     df = searcher._stats_for_terms(terms)
     stats = {"max_doc": searcher.index.max_doc, "sum_ttf": searcher.index.sum_ttf, "df": df}
-    per_seg = []
-    for group in searcher.groups:
-        readers = group.readers if hasattr(group, "readers") else None
-        if readers is None:
-            raise ValueError("span_search requires use_actors=False")
-        for r in readers:
-            ev = SpanEvaluator(r, stats)
-            docs, scores = ev.evaluate(q)
-            order = np.lexsort((docs, -scores))[:k]
-            per_seg.append([(int(docs[i]) + r.doc_base, float(scores[i])) for i in order])
+    if searcher.use_actors:
+        parts = _ray.get([g.span_partial.remote(q, stats, k) for g in searcher.groups])
+    else:
+        parts = [g.span_partial(q, stats, k) for g in searcher.groups]
+    per_seg = [hits for part in parts for hits in part]
     return merge_top_docs(per_seg, k)

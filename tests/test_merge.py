@@ -125,3 +125,33 @@ def test_merged_reader_is_lazy(setup):
     before = r.files_read
     assert r.term_stats("zzzz_not_a_term_zzzz") == (0, 0)
     assert r.files_read - before <= 1
+
+
+def test_merged_wand_equals_exhaustive(setup):
+    """Block-max WAND over the merged (term-range-partitioned) layout:
+    chunk-start blocks carry absolute first deltas, so only intra-chunk
+    blocks rebase — forced-WAND results must equal exhaustive exactly."""
+    meta, merged_dir, oracle = setup
+    from lucene_net_ray.pipelines.merge import MergedIndexReader
+    from lucene_net_ray.pipelines.scorer import SegmentScorer
+    from lucene_net_ray.query import BooleanClause, BooleanQuery, TermQuery
+
+    r = MergedIndexReader(merged_dir)
+    queries = [
+        TermQuery(term="public"),
+        TermQuery(term="zyzzyva"),
+        BooleanQuery(clauses=(BooleanClause(TermQuery(term="public"), "SHOULD"),
+                              BooleanClause(TermQuery(term="query"), "SHOULD"))),
+    ]
+    for q in queries:
+        from lucene_net_ray.pipelines.scorer import query_terms
+
+        df = {t: r.term_stats(t)[0] for t in query_terms(q)}
+        stats = {"max_doc": r.doc_count, "sum_ttf": r.sum_ttf, "df": df}
+        sc = SegmentScorer(r, stats)
+        exh = sc.top_k(q, 10, mode="exhaustive")
+        wnd = sc.top_k(q, 10, mode="wand")
+        assert exh == wnd, q
+        # oracle parity too (scores and ids)
+        expected = oracle.top_k(q, 10)
+        assert [d for d, _ in wnd] == [d for d, _ in expected]

@@ -104,3 +104,24 @@ def test_span_search_end_to_end(span_setup):
     # doc 2 span width 2 (freq 1/3) vs doc 0 width 3 (freq 1/4); doc 2 is
     # also shorter -> must outrank doc 0
     assert ids[0] == 2
+
+
+def test_span_search_through_actors(tmp_path):
+    import pyarrow as pa
+
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.pipelines.spans import SpanNearQuery, SpanTermQuery, span_search
+
+    docs = ["quick brown fox jumps", "fox quick brown", "brown quick then fox later"]
+    idx = str(tmp_path / "idx")
+    build_index_from_table(pa.table({"content": docs}), idx,
+                           index_options="positions", target_rows_per_segment=2)
+    q = SpanNearQuery(
+        clauses=(SpanTermQuery(term="quick"), SpanTermQuery(term="fox")),
+        slop=2, in_order=True,
+    )
+    local = span_search(Searcher(idx, use_actors=False), q, k=5)
+    actors = span_search(Searcher(idx, num_actors=2, use_actors=True), q, k=5)
+    assert local == actors
+    assert local  # matches exist
