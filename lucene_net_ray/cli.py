@@ -63,6 +63,20 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--index", required=True)
     h.add_argument("-k", type=int, default=20)
 
+    e = sub.add_parser("expunge", help="rewrite segments minus delete tombstones")
+    e.add_argument("--index", required=True)
+    e.add_argument("--out", required=True)
+
+    t = sub.add_parser("compact", help="tiered segment compaction (TieredMergePolicy)")
+    t.add_argument("--index", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--segs-per-tier", type=float, default=10.0)
+    t.add_argument("--max-merge-at-once", type=int, default=10)
+
+    d = sub.add_parser("delete", help="tombstone docs matching a query")
+    d.add_argument("--index", required=True)
+    d.add_argument("--query", required=True)
+
     args = ap.parse_args(argv)
     _ensure_ray()
     try:
@@ -102,6 +116,27 @@ def main(argv: list[str] | None = None) -> int:
 
             rows = high_freq_terms(IndexMeta(args.index), k=args.k).take_all()
             print(json.dumps(rows))
+        elif args.cmd == "expunge":
+            from .pipelines.maintenance import expunge_deletes
+
+            meta = expunge_deletes(args.index, args.out)
+            print(json.dumps({"max_doc": meta.max_doc, "out": args.out}))
+        elif args.cmd == "compact":
+            from .pipelines.tiered import compact_segments
+
+            meta = compact_segments(
+                args.index,
+                args.out,
+                segs_per_tier=args.segs_per_tier,
+                max_merge_at_once=args.max_merge_at_once,
+            )
+            print(json.dumps({"segments": len(meta.segment_dirs), "out": args.out}))
+        elif args.cmd == "delete":
+            from .query import parse_query
+            from .state.deletes import delete_by_query
+
+            n = delete_by_query(args.index, parse_query(args.query))
+            print(json.dumps({"deleted": n}))
     finally:
         ray.shutdown()
     return 0
