@@ -193,7 +193,7 @@ def _analyze_cluster(
     stop_words: frozenset[str],
     max_token_length: int,
     fold: bool = False,
-    stem: bool = False,
+    stem: str | None = None,
 ) -> tuple[str, ...]:
     """Fully-processed terms of one cluster (StandardFilter + lowercase +
     [ASCIIFolding] + stop + [PorterStem] + length cutoff), memoized — the
@@ -202,8 +202,11 @@ def _analyze_cluster(
     reference EnglishAnalyzer: fold after lowercase, stop before stem."""
     if len(cluster) == 1 and _CJ_RE.match(cluster):
         return (cluster,)  # CJ single-char token, never a stopword
+    stem_fn = None
     if fold or stem:
-        from .stem import ascii_fold, porter_stem
+        from .stem import STEMMERS, ascii_fold
+
+        stem_fn = STEMMERS[stem] if stem else None
     out = []
     for tok, typ in _lex_cluster(cluster):
         if typ == "<ACRONYM_DEP>":
@@ -215,8 +218,8 @@ def _analyze_cluster(
             term = ascii_fold(term)
         if term in stop_words:
             continue
-        if stem:
-            term = porter_stem(term)
+        if stem_fn is not None:
+            term = stem_fn(term)
         out.append(term)
     return tuple(out)
 
@@ -227,7 +230,7 @@ def _analyze_cluster_positions(
     stop_words: frozenset[str],
     max_token_length: int,
     fold: bool = False,
-    stem: bool = False,
+    stem: str | None = None,
 ) -> tuple[tuple[str, ...], tuple[int, ...], int]:
     """(terms, relative_positions, positions_consumed) for one
     whitespace-free chunk (may contain several clusters / CJ chars).
@@ -236,8 +239,11 @@ def _analyze_cluster_positions(
     tokens included — their increments accumulate), so a kept term's position
     is the index of its raw token. Needed for phrase/span scoring.
     """
+    stem_fn = None
     if fold or stem:
-        from .stem import ascii_fold, porter_stem
+        from .stem import STEMMERS, ascii_fold
+
+        stem_fn = STEMMERS[stem] if stem else None
     terms: list[str] = []
     rel: list[int] = []
     pos = 0
@@ -256,8 +262,8 @@ def _analyze_cluster_positions(
                 if fold:
                     term = ascii_fold(term)
                 if term not in stop_words:
-                    if stem:
-                        term = porter_stem(term)
+                    if stem_fn is not None:
+                        term = stem_fn(term)
                     terms.append(term)
                     rel.append(pos)
             pos += 1
@@ -300,8 +306,11 @@ class Analyzer:
 
     kind: 'standard' (default), 'english' (standard chain + PorterStemFilter,
     the EnglishAnalyzer analog — reference
-    Analysis.Common/Analysis/En/PorterStemFilter.cs:26), 'whitespace',
-    'simple' (letter runs, lowercased), or 'keyword' (whole input, unchanged).
+    Analysis.Common/Analysis/En/PorterStemFilter.cs:26), 'german' / 'french' /
+    'spanish' (standard chain + the corresponding Savoy light/minimal
+    stemmer — Analysis.Common/Analysis/{De,Fr,Es}/*LightStemmer.cs analogs;
+    pass the language's stop list via stop_words), 'whitespace', 'simple'
+    (letter runs, lowercased), or 'keyword' (whole input, unchanged).
     ascii_fold inserts an ASCIIFoldingFilter after lowercasing (reference
     Analysis.Common/Analysis/Miscellaneous/ASCIIFoldingFilter.cs).
     """
@@ -313,17 +322,18 @@ class Analyzer:
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
         ascii_fold: bool = False,
     ):
-        if kind not in ("standard", "english", "whitespace", "simple", "keyword"):
+        _lang_stems = {"english": "porter", "german": "german", "french": "french", "spanish": "spanish"}
+        if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")
         self.kind = kind
         self.stop_words = stop_words if stop_words is not None else frozenset()
         self.max_token_length = max_token_length
         self.fold = ascii_fold
-        self.stem = kind == "english"
+        self.stem = _lang_stems.get(kind)
         self._simple_re = re.compile(rf"{_L}+")
 
     def __call__(self, text: str) -> list[str]:
-        if self.kind in ("standard", "english"):
+        if self.kind not in ("whitespace", "simple", "keyword"):
             if not self.fold and not self.stem:
                 return analyze(text, self.stop_words, self.max_token_length)
             tokens: list[str] = []
@@ -344,7 +354,7 @@ class Analyzer:
         """(terms, relative positions, positions consumed) for one
         whitespace-delimited token — the position-aware unit of the fast
         indexing path (every raw token consumes one position)."""
-        if self.kind in ("standard", "english"):
+        if self.kind not in ("whitespace", "simple", "keyword"):
             return _analyze_cluster_positions(
                 ws_token, self.stop_words, self.max_token_length, self.fold, self.stem
             )

@@ -186,3 +186,98 @@ def ascii_fold(s: str) -> str:
         kept = "".join(c for c in dec if not unicodedata.combining(c))
         out.append(kept if kept else ch)
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Savoy light/minimal stemmers (the reference's per-language *LightStemmer
+# classes implement these published algorithms; ported with citations)
+# ---------------------------------------------------------------------------
+
+_DE_FOLD = str.maketrans(
+    "äàáâöòóôïìíîüùúû",
+    "aaaaooooiiiiuuuu",
+)
+_DE_ST_END = frozenset("bdfghklmnt")
+
+
+@lru_cache(maxsize=200_000)
+def german_light_stem(w: str) -> str:
+    """GermanLightStemmer port (Savoy's light German algorithm; reference
+    Analysis.Common/Analysis/De/GermanLightStemmer.cs)."""
+    s = w.translate(_DE_FOLD)
+    n = len(s)
+    # step 1
+    if n > 5 and s.endswith("ern"):
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "mnrs":
+        n -= 2
+    elif n > 3 and s[n - 1] == "e":
+        n -= 1
+    elif n > 3 and s[n - 1] == "s" and s[n - 2] in _DE_ST_END:
+        n -= 1
+    # step 2
+    if n > 5 and s[n - 3 : n] == "est":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "rn":
+        n -= 2
+    elif n > 4 and s[n - 2 : n] == "st" and s[n - 3] in _DE_ST_END:
+        n -= 2
+    return s[:n]
+
+
+_ES_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii")
+
+
+@lru_cache(maxsize=200_000)
+def spanish_light_stem(w: str) -> str:
+    """SpanishLightStemmer port (Savoy CLEF-2001; reference
+    Analysis.Common/Analysis/Es/SpanishLightStemmer.cs)."""
+    if len(w) < 5:
+        return w
+    s = list(w.translate(_ES_FOLD))
+    n = len(s)
+    last = s[n - 1]
+    if last in "oae":
+        return "".join(s[: n - 1])
+    if last == "s":
+        if s[n - 2] == "e" and s[n - 3] == "s" and s[n - 4] == "e":
+            return "".join(s[: n - 2])
+        if s[n - 2] == "e" and s[n - 3] == "c":
+            s[n - 3] = "z"
+            return "".join(s[: n - 2])
+        if s[n - 2] in "oae":
+            return "".join(s[: n - 2])
+    return "".join(s)
+
+
+@lru_cache(maxsize=200_000)
+def french_minimal_stem(w: str) -> str:
+    """FrenchMinimalStemmer port (Savoy's minimal French algorithm; reference
+    Analysis.Common/Analysis/Fr/FrenchMinimalStemmer.cs)."""
+    if len(w) < 6:
+        return w
+    s = list(w)
+    n = len(s)
+    if s[n - 1] == "x":
+        if s[n - 3] == "a" and s[n - 2] == "u":
+            s[n - 2] = "l"
+        return "".join(s[: n - 1])
+    if s[n - 1] == "s":
+        n -= 1
+    if s[n - 1] == "r":
+        n -= 1
+    if s[n - 1] == "e":
+        n -= 1
+    if s[n - 1] == "é":
+        n -= 1
+    if n >= 2 and s[n - 1] == s[n - 2]:
+        n -= 1
+    return "".join(s[:n])
+
+
+STEMMERS = {
+    "porter": porter_stem,
+    "german": german_light_stem,
+    "spanish": spanish_light_stem,
+    "french": french_minimal_stem,
+}

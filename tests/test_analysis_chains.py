@@ -200,3 +200,39 @@ def test_dfr_ib_hand_vectors(tmp_path):
                               BooleanClause(TermQuery(term="beta"), "SHOULD")))
     db, sb = dfr.evaluate(q)
     assert db.tolist() == [0, 2] and sb[0] > sb[1]
+
+
+def test_language_light_stemmers():
+    from lucene_net_ray.functions.stem import (
+        french_minimal_stem,
+        german_light_stem,
+        spanish_light_stem,
+    )
+
+    # German light (Savoy): plural/case suffixes + umlaut folding
+    for w, e in [("häusern", "haus"), ("kindern", "kind"), ("bücher", "buch"),
+                 ("katzen", "katz"), ("hunden", "hund"), ("tages", "tag")]:
+        assert german_light_stem(w) == e, w
+    # Spanish light: vowel plural endings, -ces -> -z
+    for w, e in [("casas", "cas"), ("veces", "vez"), ("libros", "libr"),
+                 ("meses", "mes"), ("gatos", "gat"), ("gato", "gato")]:
+        assert spanish_light_stem(w) == e, w
+    # French minimal: -x/-aux, plural/infinitive/final-e chain, doubled letter
+    for w, e in [("chevaux", "cheval"), ("maisons", "maison"), ("belles", "bel"),
+                 ("manger", "mang"), ("arbres", "arbr"), ("arbre", "arbre")]:
+        assert french_minimal_stem(w) == e, w
+
+
+def test_language_analyzer_index(tmp_path):
+    docs = ["die häusern hier", "das haus dort", "nichts relevantes"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(
+        pa.table({"content": docs}), idx,
+        analyzer=Analyzer(kind="german", stop_words=frozenset({"die", "das"})),
+        target_rows_per_segment=10,
+    )
+    s = Searcher(meta, use_actors=False)
+    an = Analyzer(kind="german", stop_words=frozenset({"die", "das"}))
+    # 'häusern' and 'haus' conflate
+    q = parse_query("häusern", analyzer=an)
+    assert s.count(q) == 2
