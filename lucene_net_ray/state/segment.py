@@ -437,14 +437,24 @@ class SegmentReader:
         self._blocks_tbl = t.select(
             ["blk_last_doc", "blk_doc_boff", "blk_frq_boff", "blk_max_tf", "blk_min_normb"]
         )
-        d = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
-        self.norms = d.column("norm").to_numpy()
+        self._norms: np.ndarray | None = None  # lazy: merge/stats paths never need them
         self.doc_base = self.meta["doc_base"]
         self.doc_count = self.meta["doc_count"]
         self.sum_ttf = self.meta["sum_ttf"]
         self._post = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r") \
             if os.path.getsize(os.path.join(seg_dir, "postings.bin")) else np.empty(0, dtype=np.uint8)
-        self._docs_table = d
+
+    @property
+    def norms(self) -> np.ndarray:
+        """Per-doc norm bytes, loaded on first scoring use (column-pruned —
+        the docs table's sha/stored columns stay on disk)."""
+        if self._norms is None:
+            self._norms = (
+                pq.read_table(os.path.join(self.seg_dir, "docs.parquet"), columns=["norm"])
+                .column("norm")
+                .to_numpy()
+            )
+        return self._norms
 
     def term_vector(self, local_doc: int) -> dict[str, int]:
         """Per-doc term->tf (requires store_term_vectors=True at build)."""
