@@ -130,21 +130,74 @@ class MultiFieldSegmentScorer(SegmentScorer):
         return super().top_k(q, k, search_after, mode="exhaustive")
 
 
-class MultiFieldSearcher:
-    """Searcher over a multi-field index directory (in-process)."""
+class _MultiFieldGroup:
+    """One segment slice's readers for ALL fields (shared by the in-process
+    searcher and the actor pool — each actor holds 1/G of every per-field
+    index, so a query scatters once and gathers per-group top-k)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, field_seg_dirs: dict[str, list[str]]):
+        self.readers = {
+            f: [SegmentReader(d) for d in dirs] for f, dirs in field_seg_dirs.items()
+        }
+        self.fields = sorted(self.readers)
+        self.n_segments = len(next(iter(self.readers.values())))
+
+    def term_stats(self, wanted: dict[str, list[str]]) -> dict[str, dict[str, int]]:
+        out: dict[str, dict[str, int]] = {}
+        for f, terms in wanted.items():
+            readers = self.readers.get(f, [])
+            out[f] = {t: sum(r.term_stats(t)[0] for r in readers) for t in terms}
+        return out
+
+    def top_k(self, q, stats: dict, k: int) -> list[tuple[int, float]]:
+        hits: list[tuple[int, float]] = []
+        for si in range(self.n_segments):
+            readers = {f: self.readers[f][si] for f in self.fields}
+            hits.extend(MultiFieldSegmentScorer(readers, stats).top_k(q, k))
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
+
+    def count(self, q, stats: dict) -> int:
+        total = 0
+        for si in range(self.n_segments):
+            readers = {f: self.readers[f][si] for f in self.fields}
+            total += MultiFieldSegmentScorer(readers, stats).count(q)
+        return total
+
+
+import ray as _ray  # noqa: E402
+
+MultiFieldGroupActor = _ray.remote(_MultiFieldGroup)
+
+
+class MultiFieldSearcher:
+    """Searcher over a multi-field index directory.
+
+    use_actors=True shards the aligned per-field segment lists across
+    ``num_actors`` group actors (each holds 1/G of EVERY field's index, so
+    per-field docIDs stay aligned within an actor)."""
+
+    def __init__(self, out_dir: str, num_actors: int = 4, use_actors: bool = False):
         fields_dir = os.path.join(out_dir, "fields")
         self.fields = sorted(os.listdir(fields_dir))
         self.metas = {f: IndexMeta(os.path.join(fields_dir, f)) for f in self.fields}
-        self._readers: dict[str, list[SegmentReader]] = {
-            f: [SegmentReader(d) for d in m.segment_dirs] for f, m in self.metas.items()
-        }
-        n_segs = {len(v) for v in self._readers.values()}
+        seg_dirs = {f: m.segment_dirs for f, m in self.metas.items()}
+        n_segs = {len(v) for v in seg_dirs.values()}
         if len(n_segs) != 1:
             raise ValueError("per-field indexes have different segment counts")
         self.n_segments = n_segs.pop()
         self.max_doc = next(iter(self.metas.values())).max_doc
+        self.use_actors = use_actors
+        n = max(1, min(num_actors, self.n_segments))
+        slices = [list(range(self.n_segments))[i::n] for i in range(n)]
+        group_dirs = [
+            {f: [seg_dirs[f][si] for si in sl] for f in self.fields} for sl in slices
+        ]
+        if use_actors:
+            self.groups = [MultiFieldGroupActor.remote(g) for g in group_dirs]
+        else:
+            self.groups = [_MultiFieldGroup(g) for g in group_dirs]
+        self._readers = self.groups[0].readers if not use_actors and n == 1 else None
 
     def _stats_for(self, q: Query) -> dict:
         from ..query import BooleanQuery, PhraseQuery, TermQuery
@@ -167,11 +220,19 @@ class MultiFieldSearcher:
                     walk(d)
 
         walk(q)
+        wanted = {f: sorted(per_field.get(f, ())) for f in self.fields}
+        if self.use_actors:
+            import ray
+
+            parts = ray.get([g.term_stats.remote(wanted) for g in self.groups])
+        else:
+            parts = [g.term_stats(wanted) for g in self.groups]
         fields_stats = {}
         for f in self.fields:
-            df = {}
-            for t in sorted(per_field.get(f, ())):
-                df[t] = sum(r.term_stats(t)[0] for r in self._readers[f])
+            df: dict[str, int] = {t: 0 for t in wanted[f]}
+            for p in parts:
+                for t, d in p.get(f, {}).items():
+                    df[t] += d
             fields_stats[f] = {
                 "max_doc": self.metas[f].max_doc,
                 "sum_ttf": self.metas[f].sum_ttf,
@@ -181,17 +242,18 @@ class MultiFieldSearcher:
 
     def search(self, q: Query, k: int = 10) -> list[tuple[int, float]]:
         stats = self._stats_for(q)
-        per_seg_hits = []
-        for si in range(self.n_segments):
-            readers = {f: self._readers[f][si] for f in self.fields}
-            scorer = MultiFieldSegmentScorer(readers, stats)
-            per_seg_hits.append(scorer.top_k(q, k))
-        return merge_top_docs(per_seg_hits, k)
+        if self.use_actors:
+            import ray
+
+            per = ray.get([g.top_k.remote(q, stats, k) for g in self.groups])
+        else:
+            per = [g.top_k(q, stats, k) for g in self.groups]
+        return merge_top_docs(per, k)
 
     def count(self, q: Query) -> int:
         stats = self._stats_for(q)
-        total = 0
-        for si in range(self.n_segments):
-            readers = {f: self._readers[f][si] for f in self.fields}
-            total += MultiFieldSegmentScorer(readers, stats).count(q)
-        return total
+        if self.use_actors:
+            import ray
+
+            return sum(ray.get([g.count.remote(q, stats) for g in self.groups]))
+        return sum(g.count(q, stats) for g in self.groups)

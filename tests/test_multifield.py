@@ -153,3 +153,33 @@ def test_parse_multi_field_expansion(mf):
     q2 = parse_multi_field("title:alpha", fields=("title", "body"))
     from lucene_net_ray.query import TermQuery
     assert isinstance(q2, TermQuery) and q2.field == "title"
+
+
+def test_multifield_actor_parity(tmp_path):
+    """MultiFieldSearcher actor path equals the in-process path."""
+    import pyarrow as pa
+
+    from lucene_net_ray.pipelines.multifield import MultiFieldSearcher, build_multi_field_index
+    from lucene_net_ray.query import parse_multi_field
+
+    docs = pa.table(
+        {
+            "title": [f"title term{i % 5} alpha" for i in range(30)],
+            "body": [f"body content word{i % 7} beta gamma" for i in range(30)],
+        }
+    )
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(docs, str(src / "d.parquet"), row_group_size=10)
+    out = str(tmp_path / "mf")
+    build_multi_field_index(str(src), out, fields=("title", "body"), target_rows_per_segment=10)
+    local = MultiFieldSearcher(out, use_actors=False)
+    actors = MultiFieldSearcher(out, num_actors=2, use_actors=True)
+    for qs in ["alpha", "title:term1 body:beta", "term2 gamma"]:
+        q = parse_multi_field(qs, fields=("title", "body"))
+        lh = local.search(q, k=8)
+        ah = actors.search(q, k=8)
+        assert [(d, np.float32(s)) for d, s in lh] == [(d, np.float32(s)) for d, s in ah], qs
+        assert local.count(q) == actors.count(q)
