@@ -400,6 +400,32 @@ def q_dismax_topk(sf_dir: str):
     return _topk_frame(scores)
 
 
+def q_lm_dirichlet_topk(sf_dir: str):
+    """LM-Dirichlet top-k in the f64 SQL-mirroring form (engine index data:
+    postings, byte315 norm bytes, global ttf; formula per
+    LMDirichletSimilarity.cs: max(0, ln(1+tf/(mu*p_c)) + ln(mu/(dl+mu))),
+    p_c = (ttf+1)/(T+1), mu = 2000)."""
+    meta, orig = _index_for(sf_dir)
+    readers = [SegmentReader(d) for d in meta.segment_dirs]
+    T = meta.sum_ttf
+    mu = 2000.0
+    ttf = sum(r.term_stats(TERM)[1] for r in readers)
+    p_c = (ttf + 1.0) / (T + 1.0)
+    scores: dict[int, float] = {}
+    for r in readers:
+        docids, tfs = r.postings(TERM)
+        if docids.size == 0:
+            continue
+        dl_dec = NORM_TABLE[r.norms[docids]].astype(np.float64)
+        s = np.maximum(
+            0.0,
+            np.log(1 + tfs.astype(np.float64) / (mu * p_c)) + np.log(mu / (dl_dec + mu)),
+        )
+        for g, sc in zip((docids + r.doc_base).tolist(), s.tolist()):
+            scores[int(orig[g])] = sc
+    return _topk_frame(scores)
+
+
 def q_bool_not_count(sf_dir: str):
     meta, orig = _index_for(sf_dir)
     per_term = _bm25_f64(meta, orig, ["merge", "spark"])
@@ -672,6 +698,7 @@ QUERIES = {
     "phrase_topk": q_phrase_topk,
     "dismax_topk": q_dismax_topk,
     "bool_not_count": q_bool_not_count,
+    "lm_dirichlet_topk": q_lm_dirichlet_topk,
     "prefix_doc_count": q_prefix_doc_count,
     "regexp_doc_count": q_regexp_doc_count,
     "stemmed_term_df": q_stemmed_term_df,
@@ -744,6 +771,27 @@ FROM toks WHERE tok >= 'k' AND tok < 's' GROUP BY tok ORDER BY term
         "bm25_msm_topk": _bm25_rank_sql(MSM_TERMS, having=">= 2"),
         "phrase_topk": _phrase_rank_sql(PHRASE_TERMS),
         "dismax_topk": _dismax_rank_sql(OR_TERMS, tie=0.3),
+        "lm_dirichlet_topk": f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM toks) AS sum_ttf),
+buckets(lo, hi, dl_dec) AS (VALUES {", ".join(f"({lo}, {hi}, {float(NORM_TABLE[b])!r})" for lo, hi, b in length_bucket_table(1_000_000))}),
+tfs AS (SELECT doc_id, count(*) AS tf FROM toks WHERE tok = '{TERM}' GROUP BY doc_id),
+ttf AS (SELECT count(*) AS v FROM toks WHERE tok = '{TERM}'),
+scored AS (
+  SELECT tfs.doc_id,
+         greatest(0.0,
+           ln(1 + tfs.tf / (2000.0 * ((SELECT v FROM ttf) + 1.0) / ((SELECT sum_ttf FROM stats) + 1.0)))
+           + ln(2000.0 / (b.dl_dec + 2000.0))
+         ) AS score
+  FROM tfs
+  JOIN dl ON dl.doc_id = tfs.doc_id
+  JOIN buckets b ON dl.n_terms BETWEEN b.lo AND b.hi
+)
+SELECT CAST(row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, ROUND(score, 4) AS score
+FROM scored ORDER BY ROUND(score, 4) DESC, doc_id ASC LIMIT {TOPK}
+""",
         "bool_not_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(*) AS n FROM (

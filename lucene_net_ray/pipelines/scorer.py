@@ -27,6 +27,7 @@ from ..functions import similarity as sim
 from ..query import (
     BooleanClause,
     BooleanQuery,
+    BoostingQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FilteredQuery,
@@ -305,6 +306,8 @@ def query_terms(q: Query) -> set[str]:
         return out
     if isinstance(q, (ConstantScoreQuery, FilteredQuery)):
         return query_terms(q.query)
+    if isinstance(q, BoostingQuery):
+        return query_terms(q.match) | query_terms(q.context)
     return set()
 
 
@@ -326,6 +329,8 @@ def query_fields(q: Query) -> set[str]:
         return out
     if isinstance(q, (ConstantScoreQuery, FilteredQuery)):
         return query_fields(q.query)
+    if isinstance(q, BoostingQuery):
+        return query_fields(q.match) | query_fields(q.context)
     return set()
 
 
@@ -649,6 +654,15 @@ class SegmentScorer:
             if q.filter.upper is not None:
                 keep &= vals[docs] <= q.filter.upper
             return docs[keep], scores[keep]
+        if isinstance(q, BoostingQuery):
+            docs, scores = self.evaluate(q.match)
+            if docs.size:
+                ctx_docs, _ = self.evaluate(q.context)
+                if ctx_docs.size:
+                    demoted = np.isin(docs, ctx_docs, assume_unique=True)
+                    scores = scores.copy()
+                    scores[demoted] = (scores[demoted] * np.float32(q.demote)).astype(np.float32)
+            return docs, scores
         if isinstance(q, PhraseQuery):
             return self._evaluate_phrase(q)
         if isinstance(q, DisjunctionMaxQuery):

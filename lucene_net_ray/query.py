@@ -152,6 +152,17 @@ class FilteredQuery(Query):
 
 
 @dataclass(frozen=True)
+class BoostingQuery(Query):
+    """match-query scores; docs ALSO matching the context query get their
+    score multiplied by ``demote`` (reference Queries/BoostingQuery.cs:41 —
+    context matches never add docs, context boost is zeroed)."""
+
+    match: "Query" = None
+    context: "Query" = None
+    demote: float = 0.0
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     query: Query = dc_field(default_factory=MatchAllDocsQuery)
 

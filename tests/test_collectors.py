@@ -328,3 +328,24 @@ def test_collectors_work_through_actors(tmp_path):
     assert function_rescore(actors, q, fn, fields=["val"], k=5) == function_rescore(
         local, q, fn, fields=["val"], k=5
     )
+
+
+def test_boosting_query(tmp_path):
+    """BoostingQuery: context matches demote, never add docs."""
+    import pyarrow as pa
+
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import BoostingQuery, TermQuery
+
+    docs = ["wanted plain", "wanted spammy junk", "only junk here"]
+    idx = str(tmp_path / "idx")
+    build_index_from_table(pa.table({"content": docs}), idx)
+    s = Searcher(idx, use_actors=False)
+    q = BoostingQuery(match=TermQuery(term="wanted"), context=TermQuery(term="junk"), demote=0.1)
+    hits = s.search(q, k=5)
+    assert [d for d, _ in hits] == [0, 1]  # doc 2 (context-only) absent
+    base = dict(s.scored_docs(TermQuery(term="wanted")))
+    got = dict(hits)
+    assert np.float32(got[0]) == np.float32(base[0])  # undemoted unchanged
+    assert np.float32(got[1]) == np.float32(np.float32(base[1]) * np.float32(0.1))
