@@ -617,6 +617,13 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_embed_neardup_pairs(sf_dir: str):
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_pairs(ds, threshold=0.4)
+
+
 def q_clean_corpus_ids(sf_dir: str):
     """End-to-end cleaning pipeline: kept (doc_id, quality) after a quality
     floor + exact dedup keep-first."""
@@ -715,6 +722,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embed_neardup_pairs": q_embed_neardup_pairs,
     "clean_corpus_ids": q_clean_corpus_ids,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -873,6 +881,14 @@ j AS (SELECT doc_a, doc_b,
       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
       FROM co JOIN sizes sa ON sa.doc_id = co.doc_a JOIN sizes sb ON sb.doc_id = co.doc_b)
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.03 ORDER BY doc_a, doc_b
+""",
+        "embed_neardup_pairs": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+ORDER BY vec_a, vec_b
 """,
         "clean_corpus_ids": f"""
 WITH f AS (

@@ -441,3 +441,66 @@ def ngram_jaccard_pairs(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    threshold: float = 0.4,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> "ray.data.Dataset":
+    """All pairs (a < b) with cosine(embedding_a, embedding_b) >= threshold.
+
+    Exact variant: the normalized corpus matrix is ``ray.put`` ONCE and every
+    batch does one matmul of its rows against it (same broadcast discipline
+    as brute-force ANN) — each pair is emitted exactly once by the batch
+    holding its smaller id. Exactness costs O(n^2/p) flops per worker; at
+    corpus scale swap the broadcast for the LSH-bucketed plan (ann.lsh_topk's
+    bucketing) and accept approximate recall, like MinHash vs exact Jaccard.
+    Output: (vec_a, vec_b, cosine) with cosine rounded half-away at 1e-6.
+    """
+    import math as _math
+
+    from .ann import _as_matrix, _normalize
+
+    rows = ds.select_columns([id_column, vec_column]).take_all()
+    ids_full = np.asarray([r[id_column] for r in rows], dtype=np.int64)
+    mat = np.asarray([r[vec_column] for r in rows], dtype=np.float64)
+    order = np.argsort(ids_full)
+    ids_full = ids_full[order]
+    mat = _normalize(mat[order])
+    mat_ref = ray.put(mat)
+    ids_ref = ray.put(ids_full)
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        m = ray.get(mat_ref)
+        all_ids = ray.get(ids_ref)
+        vecs = _normalize(_as_matrix(batch.column(vec_column)))
+        bids = batch.column(id_column).to_numpy()
+        sims = vecs @ m.T  # (batch, n)
+        out_a, out_b, out_c = [], [], []
+        for i in range(bids.size):
+            mask = (sims[i] >= threshold) & (all_ids > bids[i])
+            js = np.flatnonzero(mask)
+            if js.size:
+                out_a.extend([int(bids[i])] * js.size)
+                out_b.extend(all_ids[js].tolist())
+                out_c.extend(sims[i][js].tolist())
+        rounded = [
+            _math.floor(c * 1e6 + 0.5) / 1e6 if c >= 0 else -_math.floor(-c * 1e6 + 0.5) / 1e6
+            for c in out_c
+        ]
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, type=pa.int64()),
+                "vec_b": pa.array(out_b, type=pa.int64()),
+                "cosine": pa.array(rounded, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs_batch, batch_format="pyarrow", batch_size=1024)

@@ -128,3 +128,26 @@ def test_multimodal_pipeline_plumbing():
     # strict mode demands real codecs (not installed here)
     with pytest.raises(NotImplementedError):
         DecodeStage(strict=True)
+
+
+def test_embedding_neardup_pairs():
+    import numpy as np
+    import ray.data
+
+    from lucene_net_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((20, 16))
+    # vectors 0/1 near-identical, 2/3 near-identical, rest random
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)
+    base[3] = base[2] + 0.01 * rng.standard_normal(16)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+    ds = ray.data.from_items(rows)
+    got = embedding_neardup_pairs(ds, threshold=0.95).take_all()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    for r in got:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["cosine"] >= 0.95
+    # symmetric duplicates never emitted twice
+    assert len(pairs) == len(got)
