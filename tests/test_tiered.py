@@ -53,3 +53,42 @@ def test_compact_segments_equivalence(tmp_path):
     # compaction is idempotent/resumable: re-running skips committed segments
     again = compact_segments(idx, out, segs_per_tier=2.0, max_merge_at_once=4)
     assert again.manifest["segments"] == compacted.manifest["segments"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=40, max_value=90),
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["public", "query", "zyzzyva", "quux"]),
+)
+def test_lifecycle_random_property(tmp_path_factory, n_docs, seed, del_term):
+    """delete -> expunge -> compact -> search == oracle over the live docs."""
+    from lucene_net_ray.pipelines.maintenance import expunge_deletes
+    from lucene_net_ray.query import TermQuery
+    from lucene_net_ray.state.deletes import delete_by_query
+
+    corpus = generate_corpus(n_docs, seed=seed)
+    contents = corpus.column("content").to_pylist()
+    base = tmp_path_factory.mktemp("life")
+    idx = str(base / "idx")
+    build_index_from_table(corpus, idx, target_rows_per_segment=13)
+    delete_by_query(idx, TermQuery(term=del_term))
+    exp = expunge_deletes(idx, str(base / "exp"))
+    check_index(exp)
+    comp = compact_segments(exp, str(base / "cmp"), segs_per_tier=2.0)
+    check_index(comp)
+    live = [c for c in contents if del_term not in c.split()]
+    assert comp.max_doc == len(live)
+    oracle = OracleIndex(live)
+    s = Searcher(comp, use_actors=False)
+    for qs in ["public", "+public +query", "query token"]:
+        q = parse_query(qs)
+        hits = s.search(q, k=10)
+        expected = oracle.top_k(q, 10)
+        assert [d for d, _ in hits] == [d for d, _ in expected], (qs, del_term)
+        for (_, s1), (_, s2) in zip(hits, expected):
+            assert np.float32(s1) == np.float32(s2)
