@@ -127,6 +127,42 @@ class ResizeStage:
         return batch.append_column("resize_scale", pa.array(np.round(scale, 6), type=pa.float64()))
 
 
+class FrameSampleStage:
+    """Actor-pool stage: expand each video/audio row into ``fps``-spaced
+    sample rows (frame timestamp + per-frame feature). Real decoders would
+    seek the container per timestamp; the deterministic fake derives each
+    frame's feature from (content feature, frame index) so the expansion
+    plumbing — one input row -> many output rows, payloads long gone — is
+    real and testable. Images pass through as a single frame at t=0."""
+
+    def __init__(self, fps: float = 1.0, max_frames: int = 16, feature_dim: int = 16):
+        self.fps = fps
+        self.max_frames = max_frames
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            dur = row.get("duration_sec") or 0.0
+            n = 1 if dur <= 0 else min(self.max_frames, max(1, int(dur * self.fps)))
+            base = np.asarray(row["feature"], dtype=np.float32)
+            for fi in range(n):
+                seed = hashlib.blake2b(
+                    f"{row['content_id']}:{fi}".encode(), digest_size=4
+                ).digest()
+                jitter = np.float32(int.from_bytes(seed, "little") / 2**32)
+                rows.append(
+                    {
+                        "content_id": row["content_id"],
+                        "modality": row["modality"],
+                        "frame_index": fi,
+                        "timestamp_sec": round(fi / self.fps, 6) if dur > 0 else 0.0,
+                        "frame_feature": ((base + jitter) % np.float32(1.0)).tolist(),
+                    }
+                )
+        return pa.Table.from_pylist(rows)
+
+
 def media_feature_pipeline(
     ds: ray.data.Dataset, *, concurrency=(1, 4), batch_size: int = 32, feature_dim: int = 16
 ) -> ray.data.Dataset:

@@ -151,3 +151,44 @@ def test_embedding_neardup_pairs():
         assert r["cosine"] >= 0.95
     # symmetric duplicates never emitted twice
     assert len(pairs) == len(got)
+
+
+def test_multimodal_frame_sampling():
+    import ray.data
+
+    from lucene_net_ray.stages.multimodal import (
+        FrameSampleStage,
+        media_feature_pipeline,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(30, seed=9)
+    ds = media_feature_pipeline(ray.data.from_arrow(media))
+    frames = ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"fps": 2.0, "max_frames": 6},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 2),
+    ).take_all()
+    by_content = {}
+    for f in frames:
+        by_content.setdefault(f["content_id"], []).append(f)
+    assert len(by_content) == 30
+    for cid, fs in by_content.items():
+        mod = fs[0]["modality"]
+        if mod == "image":
+            assert len(fs) == 1 and fs[0]["timestamp_sec"] == 0.0
+        else:
+            assert 1 <= len(fs) <= 6
+            assert [f["frame_index"] for f in sorted(fs, key=lambda x: x["frame_index"])] == list(range(len(fs)))
+        for f in fs:
+            assert len(f["frame_feature"]) == 16
+    # deterministic across runs
+    frames2 = ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"fps": 2.0, "max_frames": 6},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
+    ).take_all()
+    key = lambda f: (f["content_id"], f["frame_index"])  # noqa: E731
+    assert sorted(frames, key=key) == sorted(frames2, key=key)
