@@ -107,9 +107,19 @@ def main(argv: list[str] | None = None) -> int:
             merge_index(args.index, args.out, bucket_size=args.bucket_size)
             print(json.dumps({"merged": args.out}))
         elif args.cmd == "check":
-            from .state.checkindex import check_index
+            import json as _json
+            import os as _os
 
-            print(json.dumps(check_index(args.index)))
+            with open(_os.path.join(args.index, "manifest.json")) as f:
+                kind = _json.load(f).get("kind")
+            if kind == "merged":
+                from .state.checkindex import check_merged_index
+
+                print(json.dumps(check_merged_index(args.index)))
+            else:
+                from .state.checkindex import check_index
+
+                print(json.dumps(check_index(args.index)))
         elif args.cmd == "highfreq":
             from .pipelines.merge import high_freq_terms
             from .state.index import IndexMeta

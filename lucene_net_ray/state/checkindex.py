@@ -74,3 +74,59 @@ def check_index(index: IndexMeta | str) -> dict:
         totals["terms"] += len(r.terms)
     assert expected_base == index.max_doc, "manifest max_doc mismatch"
     return totals
+
+
+def check_merged_index(out_dir: str) -> dict:
+    """CheckIndex for the merged (term-range-partitioned) layout: parts
+    manifest covers every part file with consistent sorted ranges; per term,
+    chunk df/ttf sums match the decoded postings, docIDs are globally
+    strictly increasing across chunks in (bucket, first_seg) order and
+    in-range; global df/ttf sums reconcile against the source manifest."""
+    import json
+
+    from ..functions import codec
+    from ..pipelines.merge import MergedIndexReader
+
+    r = MergedIndexReader(out_dir)
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    parts_dir = os.path.join(out_dir, "parts")
+    on_disk = sorted(f for f in os.listdir(parts_dir) if f.endswith(".parquet"))
+    assert sorted(p["file"] for p in r._parts) == on_disk, "parts manifest != dir"
+    totals = {"parts": len(r._parts), "terms": 0, "postings": 0, "sum_ttf": 0}
+    seen_df_total = 0
+    for p, path in zip(r._parts, r._part_paths):
+        t = pq.read_table(path)
+        terms = t.column("term").to_pylist()
+        assert terms == sorted(terms), f"{p['file']}: rows not term-sorted"
+        assert terms[0] == p["term_min"] and terms[-1] == p["term_max"], f"{p['file']}: range"
+        assert t.num_rows == p["rows"], f"{p['file']}: row count"
+    # per-term validation over the vocabulary (full walk, like CheckIndex)
+    for term in r.terms.tolist():
+        tbl = r._rows_for_term(term, r._BLOB_COLS)
+        df_sum = ttf_sum = 0
+        prev_last = -1
+        n_decoded = 0
+        tf_total = 0
+        for i in range(tbl.num_rows):
+            d, tf = codec.decode_postings(
+                tbl.column("doc_blob")[i].as_py(), tbl.column("frq_blob")[i].as_py()
+            )
+            assert d.size == tbl.column("df")[i].as_py(), f"{term} chunk {i}: df"
+            assert int(tf.sum()) == tbl.column("ttf")[i].as_py(), f"{term} chunk {i}: ttf"
+            if d.size:
+                assert (np.diff(d) > 0).all(), f"{term} chunk {i}: docs out of order"
+                assert d[0] > prev_last, f"{term}: chunks overlap in docid space"
+                assert d[-1] < manifest["max_doc"], f"{term}: docid out of range"
+                prev_last = int(d[-1])
+            df_sum += d.size
+            ttf_sum += int(tf.sum())
+            n_decoded += d.size
+            tf_total += int(tf.sum())
+        gdf, gttf = r.term_stats(term)
+        assert (gdf, gttf) == (df_sum, ttf_sum), f"{term}: stats vs decoded"
+        totals["terms"] += 1
+        totals["postings"] += n_decoded
+        totals["sum_ttf"] += tf_total
+    assert totals["sum_ttf"] == manifest["sum_ttf"], "merged sum_ttf mismatch"
+    return totals

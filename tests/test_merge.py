@@ -155,3 +155,13 @@ def test_merged_wand_equals_exhaustive(setup):
         # oracle parity too (scores and ids)
         expected = oracle.top_k(q, 10)
         assert [d for d, _ in wnd] == [d for d, _ in expected]
+
+
+def test_check_merged_index(setup):
+    meta, merged_dir, oracle = setup
+    from lucene_net_ray.state.checkindex import check_merged_index
+
+    totals = check_merged_index(merged_dir)
+    assert totals["terms"] == len(oracle.df)
+    assert totals["sum_ttf"] == meta.sum_ttf
+    assert totals["parts"] >= 1
