@@ -368,25 +368,67 @@ def expand_multiterm(reader: SegmentReader, q: Query) -> list[tuple[str, float]]
         rx = re.compile(r"(?:" + q.pattern + r")\Z")
         return [(t, 1.0) for t in terms[lo:hi] if rx.match(t)][: q.max_expansions]
     if isinstance(q, FuzzyQuery):
-        out = []
         base = q.term
         pref = base[: q.prefix_length]
         lo = np.searchsorted(terms, pref)
         hi = np.searchsorted(terms, pref + "\U0010FFFF") if pref else len(terms)
-        for t in terms[lo:hi]:
-            if abs(len(t) - len(base)) > q.max_edits:
-                continue
-            d = _edit_distance_capped(base, t, q.max_edits)
-            if d <= q.max_edits:
-                if d == 0:
-                    boost = 1.0
-                else:
-                    # FuzzyTermsEnum boost: 1 - d / min(|term|,|text|)
-                    boost = 1.0 - d / min(len(t), len(base))
-                out.append((str(t), boost))
+        cand = terms[lo:hi]
+        dists = _edit_distances_vectorized(base, cand, q.max_edits)
+        out = []
+        for t, d in zip(cand[dists <= q.max_edits], dists[dists <= q.max_edits].tolist()):
+            if d == 0:
+                boost = 1.0
+            else:
+                # FuzzyTermsEnum boost: 1 - d / min(|term|,|text|)
+                boost = 1.0 - d / min(len(t), len(base))
+            out.append((str(t), boost))
         out.sort(key=lambda tb: (-tb[1], tb[0]))  # TopTermsRewrite: best first
         return out[: q.max_expansions]
     raise TypeError(f"not a multi-term query: {q!r}")
+
+
+def _edit_distances_vectorized(base: str, terms: np.ndarray, cap: int) -> np.ndarray:
+    """Levenshtein distance of ``base`` to every candidate term, vectorized
+    across the dictionary slice: the DP runs |base| x max_len VECTOR steps
+    over an (n_terms, max_len) codepoint matrix instead of a Python loop per
+    term (the per-segment dict is millions of terms at corpus scale; the
+    automaton-free numpy sweep is the scale answer until an FST exists).
+    Terms longer than |base|+cap or shorter than |base|-cap get cap+1."""
+    n = terms.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+    out = np.full(n, cap + 1, dtype=np.int64)
+    sel = np.flatnonzero(np.abs(lens - len(base)) <= cap)
+    if sel.size == 0:
+        return out
+    cand = terms[sel]
+    clens = lens[sel]
+    maxlen = int(clens.max())
+    chars = np.full((sel.size, maxlen), -1, dtype=np.int32)
+    for i, t in enumerate(cand):  # one pass to build the codepoint matrix
+        chars[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), dtype=np.int32)
+    prev = np.broadcast_to(np.arange(maxlen + 1, dtype=np.int32), (sel.size, maxlen + 1)).copy()
+    for bi, ch in enumerate(base):
+        cur = np.empty_like(prev)
+        cur[:, 0] = bi + 1
+        code = np.int32(ord(ch))
+        sub = prev[:, :-1] + (chars != code)
+        dele = prev[:, 1:] + 1
+        best = np.minimum(sub, dele)
+        # insertion needs the running minimum along the row: cur[j] depends on
+        # cur[j-1]; do the scan with a logarithmic min-prefix over (best - j)
+        shifted = np.minimum.accumulate(
+            np.concatenate((cur[:, :1], best), axis=1) - np.arange(maxlen + 1, dtype=np.int32),
+            axis=1,
+        )
+        cur = np.minimum(
+            np.concatenate((cur[:, :1], best), axis=1),
+            shifted + np.arange(maxlen + 1, dtype=np.int32) ,
+        )
+        prev = cur
+    out[sel] = prev[np.arange(sel.size), clens]
+    return out
 
 
 def _edit_distance_capped(a: str, b: str, cap: int) -> int:
