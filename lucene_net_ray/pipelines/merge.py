@@ -441,6 +441,7 @@ class MergedIndexReader:
         self._tmin = [p["term_min"] for p in parts]
         self._tmax = [p["term_max"] for p in parts]
         self._rg_index: dict[int, tuple] = {}  # part idx -> (rg_mins, rg_maxs)
+        self._pf_cache: dict[int, "pq.ParquetFile"] = {}  # open part handles (footer reuse)
         self._terms_cache: np.ndarray | None = None
         self._handles: dict[str, int] = {}  # WAND term handles
         self._handle_rows: dict[int, dict] = {}
@@ -468,10 +469,19 @@ class MergedIndexReader:
             if self._tmin[i] <= term <= self._tmax[i]
         ]
 
+    def _pf(self, i: int) -> "pq.ParquetFile":
+        pf = self._pf_cache.get(i)
+        if pf is None:
+            pf = pq.ParquetFile(self._part_paths[i])
+            if len(self._pf_cache) >= 64:
+                self._pf_cache.pop(next(iter(self._pf_cache)))
+            self._pf_cache[i] = pf
+        return pf
+
     def _row_groups_for(self, i: int, term: str) -> list[int]:
         idx = self._rg_index.get(i)
         if idx is None:
-            md = pq.ParquetFile(self._part_paths[i]).metadata
+            md = self._pf(i).metadata
             mins, maxs = [], []
             tcol = None
             for c in range(md.row_group(0).num_columns):
@@ -498,8 +508,7 @@ class MergedIndexReader:
             if not rgs:
                 continue
             self.files_read += 1
-            pf = pq.ParquetFile(self._part_paths[i])
-            t = pf.read_row_groups(rgs, columns=columns)
+            t = self._pf(i).read_row_groups(rgs, columns=columns)
             t = t.filter(pa.compute.equal(t.column("term"), term))
             if t.num_rows:
                 tables.append(t)
