@@ -97,18 +97,103 @@ class ShingleFilter:
         }
 
 
+class CommonGramsFilter:
+    """CommonGramsFilter analog (reference Analysis.Common/Analysis/
+    CommonGrams/CommonGramsFilter.cs): bigrams joining a common word with its
+    neighbor are ADDED alongside the unigrams, so phrase-heavy queries over
+    stopword-ish terms hit a single cheap term."""
+
+    def __init__(self, common_words: frozenset[str], separator: str = "_"):
+        self.common = frozenset(common_words)
+        self.separator = separator
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        out: list[str] = []
+        for i, t in enumerate(terms):
+            out.append(t)
+            if i + 1 < len(terms) and (t in self.common or terms[i + 1] in self.common):
+                out.append(t + self.separator + terms[i + 1])
+        return out
+
+    def config(self) -> dict:
+        return {"filter": "common_grams", "n": len(self.common)}
+
+
+class LengthFilter:
+    """LengthFilter analog (Analysis.Common/Analysis/Miscellaneous/
+    LengthFilter.cs): drop terms outside [min_len, max_len]."""
+
+    def __init__(self, min_len: int = 1, max_len: int = 255):
+        self.min_len = min_len
+        self.max_len = max_len
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        return [t for t in terms if self.min_len <= len(t) <= self.max_len]
+
+    def config(self) -> dict:
+        return {"filter": "length", "min": self.min_len, "max": self.max_len}
+
+
+import re as _re
+
+
+class HTMLStripCharFilter:
+    """HTMLStripCharFilter analog (Analysis.Common/Analysis/CharFilters/
+    HTMLStripCharFilter.cs subset): drops tags/comments, unescapes the common
+    entities, runs BEFORE tokenization."""
+
+    _TAG = _re.compile(r"<!--.*?-->|<[^>]*>", _re.DOTALL)
+    _ENT = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'", "&nbsp;": " "}
+
+    def __call__(self, text: str) -> str:
+        text = self._TAG.sub(" ", text)
+        for e, ch in self._ENT.items():
+            text = text.replace(e, ch)
+        return text
+
+    def config(self) -> dict:
+        return {"char_filter": "html_strip"}
+
+
+class MappingCharFilter:
+    """MappingCharFilter analog (CharFilters/MappingCharFilter.cs): longest-
+    match string substitutions before tokenization."""
+
+    def __init__(self, mapping: dict[str, str]):
+        self.mapping = dict(mapping)
+        keys = sorted(mapping, key=len, reverse=True)
+        self._rx = _re.compile("|".join(_re.escape(k) for k in keys)) if keys else None
+
+    def __call__(self, text: str) -> str:
+        if self._rx is None:
+            return text
+        return self._rx.sub(lambda m: self.mapping[m.group()], text)
+
+    def config(self) -> dict:
+        return {"char_filter": "mapping", "n": len(self.mapping)}
+
+
 class ChainAnalyzer:
-    """Base analyzer + ordered term-sequence filters; Analyzer-compatible."""
+    """Base analyzer + ordered char filters (pre-tokenization) + term-sequence
+    filters (post); Analyzer-compatible."""
 
     kind = "chain"
 
-    def __init__(self, base: Analyzer | None = None, filters: tuple = ()):
+    def __init__(
+        self,
+        base: Analyzer | None = None,
+        filters: tuple = (),
+        char_filters: tuple = (),
+    ):
         self.base = base or Analyzer()
         self.filters = tuple(filters)
+        self.char_filters = tuple(char_filters)
         self.stop_words = self.base.stop_words
         self.max_token_length = self.base.max_token_length
 
     def __call__(self, text: str) -> list[str]:
+        for cf in self.char_filters:
+            text = cf(text)
         terms = self.base(text)
         for f in self.filters:
             terms = f(terms)
@@ -122,6 +207,7 @@ class ChainAnalyzer:
             "kind": "chain",
             "base": self.base.config(),
             "filters": [f.config() for f in self.filters],
+            "char_filters": [cf.config() for cf in self.char_filters],
         }
 
 

@@ -69,3 +69,39 @@ def test_ngram_index_substring_search(tmp_path):
     assert s.count(TermQuery(term="par")) == 2  # sPARkling + PARquet
     assert s.count(TermQuery(term="kli")) == 1
     assert s.count(TermQuery(term="zzz")) == 0
+
+
+def test_common_grams_and_length_filter():
+    from lucene_net_ray.functions.analysis_ext import CommonGramsFilter, LengthFilter
+
+    cg = CommonGramsFilter(frozenset({"of", "the"}))
+    assert cg(["flight", "of", "navigator"]) == [
+        "flight", "flight_of", "of", "of_navigator", "navigator",
+    ]
+    lf = LengthFilter(min_len=3, max_len=5)
+    assert lf(["a", "abc", "abcdef", "abcd"]) == ["abc", "abcd"]
+
+
+def test_char_filters_and_chain(tmp_path):
+    from lucene_net_ray.functions.analysis_ext import (
+        ChainAnalyzer,
+        HTMLStripCharFilter,
+        MappingCharFilter,
+    )
+
+    strip = HTMLStripCharFilter()
+    assert strip("<p>Hello <b>world</b> &amp; more</p>") == " Hello  world  & more "
+    assert strip("<!-- note --><div a='x'>y</div>") == "  y "
+    mapping = MappingCharFilter({"c++": "cplusplus", "#": "sharp"})
+    assert mapping("c++ and c#") == "cplusplus and csharp"
+
+    chain = ChainAnalyzer(char_filters=(strip, mapping))
+    assert chain("<i>c++</i> code") == ["cplusplus", "code"]
+
+    # full index round trip through the chain
+    docs = ["<h1>Fast c++ engines</h1>", "plain text only"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": docs}), idx, analyzer=chain)
+    s = Searcher(meta, use_actors=False)
+    assert s.count(TermQuery(term="cplusplus")) == 1
+    assert s.count(TermQuery(term="h1")) == 0  # tags never indexed
