@@ -291,6 +291,8 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
     analog), then merge the expunged index.
     """
     index = index if isinstance(index, IndexMeta) else IndexMeta(index)
+    if os.path.exists(os.path.join(out_dir, "manifest.json")):
+        return out_dir  # resume: the atomic manifest write IS the commit
     from ..state.deletes import load_deleted
 
     if load_deleted(index.index_dir).size:
@@ -299,7 +301,18 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
             "expunge_deletes() before merge_index() (a concatenative merge "
             "would resurrect deleted docs)"
         )
-    parts_dir = os.path.join(out_dir, "parts")
+    # write parts into a scratch dir and rename into place before the
+    # manifest commit, so a crashed run never leaves a poisoned parts/
+    # directory for the retry to mix stale files into
+    parts_final = os.path.join(out_dir, "parts")
+    parts_dir = parts_final + f".tmp{os.getpid()}"
+    import shutil as _shutil
+
+    for stale in (
+        p for p in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+        if p.startswith("parts")
+    ):
+        _shutil.rmtree(os.path.join(out_dir, stale), ignore_errors=True)
     os.makedirs(parts_dir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, "docs"), exist_ok=True)
 
@@ -339,6 +352,7 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
             }
         )
     parts_meta.sort(key=lambda p: (p["term_min"], p["term_max"]))
+    os.replace(parts_dir, parts_final)
 
     # docs: copy per-segment doc tables, already global docIDs
     for d in index.segment_dirs:

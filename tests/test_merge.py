@@ -165,3 +165,33 @@ def test_check_merged_index(setup):
     assert totals["terms"] == len(oracle.df)
     assert totals["sum_ttf"] == meta.sum_ttf
     assert totals["parts"] >= 1
+
+
+def test_merge_resume_and_crash_safety(tmp_path):
+    """merge_index commits via the manifest: a committed merge is skipped on
+    re-run, and a crashed run's partial parts never poison the retry."""
+    import os
+
+    corpus = generate_corpus(80, seed=33)
+    idx = str(tmp_path / "idx")
+    build_index_from_table(corpus, idx, target_rows_per_segment=20)
+    out = str(tmp_path / "m")
+    merge_index(idx, out)
+    mtimes = {f: os.path.getmtime(os.path.join(out, "parts", f))
+              for f in os.listdir(os.path.join(out, "parts"))}
+    merge_index(idx, out)  # no-op resume
+    assert mtimes == {f: os.path.getmtime(os.path.join(out, "parts", f))
+                      for f in os.listdir(os.path.join(out, "parts"))}
+    # simulate a crash: stale partial parts dir, no manifest
+    out2 = str(tmp_path / "m2")
+    os.makedirs(os.path.join(out2, "parts.tmp99999"))
+    open(os.path.join(out2, "parts.tmp99999", "junk.parquet"), "w").write("junk")
+    merge_index(idx, out2)
+    from lucene_net_ray.pipelines.merge import MergedSearcher
+    from lucene_net_ray.state.checkindex import check_merged_index
+
+    check_merged_index(out2)
+    s = Searcher(idx, use_actors=False)
+    ms = MergedSearcher(out2)
+    q = parse_query("public")
+    assert ms.search(q, k=10) == s.search(q, k=10)
