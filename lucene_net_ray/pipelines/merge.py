@@ -197,80 +197,174 @@ def high_freq_terms(index: IndexMeta, k: int = 20) -> ray.data.Dataset:
     return stats.sort(["df", "term"], descending=[True, False]).limit(k)
 
 
+def _one_chunk(arr):
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # older pyarrow returns 1-chunk ChunkedArray
+        arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
+    return arr
+
+
+def _ragged_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat index array [starts[0]..starts[0]+lens[0]) ++ [starts[1]..) ...
+    — the vectorized variable-length gather/scatter primitive."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    excl = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return np.repeat(starts - excl, lens) + np.arange(total, dtype=np.int64)
+
+
 def _merge_sorted_batch(batch: pa.Table) -> pa.Table:
     """Splice consecutive (term, bucket) runs of a SORTED block into chunk
     rows. The sort guarantees blocks are disjoint term ranges; a run that
-    crosses a block boundary simply yields one chunk row per side."""
+    crosses a block boundary simply yields one chunk row per side.
+
+    Fully vectorized (round 3): run boundaries come from a shifted term
+    compare, blob concatenation per run is a zero-copy re-offsetting of the
+    Arrow binary buffer (consecutive rows ARE the concatenation), and only
+    the first vByte of each chunk's doc stream is rewritten — via one
+    vectorized varint encode + two ragged scatters — mirroring
+    codec.splice_first_delta's O(1)-per-chunk rebase without ever
+    materializing Python rows (SegmentMerger.cs:89-176 splice semantics).
+    """
     if batch.num_rows == 0:
         return batch
-    rows_all = batch.to_pylist()  # already (term, bucket, seg_id)-sorted
-    outs = []
-    i = 0
-    while i < len(rows_all):
-        j = i
-        while (
-            j < len(rows_all)
-            and rows_all[j]["term"] == rows_all[i]["term"]
-            and rows_all[j]["bucket"] == rows_all[i]["bucket"]
-        ):
-            j += 1
-        outs.append(_merge_one_run(rows_all[i:j]))
-        i = j
-    return pa.concat_tables(outs)
+    n = batch.num_rows
+    term = _one_chunk(batch.column("term")).to_numpy(zero_copy_only=False)
+    bucket = _one_chunk(batch.column("bucket")).to_numpy()
+    seg_id = _one_chunk(batch.column("seg_id")).to_numpy()
+    df = _one_chunk(batch.column("df")).to_numpy()
+    ttf = _one_chunk(batch.column("ttf")).to_numpy()
+    first_doc = _one_chunk(batch.column("first_doc")).to_numpy()
+    last_doc = _one_chunk(batch.column("last_doc")).to_numpy()
 
+    is_start = np.ones(n, dtype=bool)
+    if n > 1:
+        is_start[1:] = (term[1:] != term[:-1]) | (bucket[1:] != bucket[:-1])
+    run_start = np.flatnonzero(is_start)
+    edges = np.append(run_start, n)
+    run_id = np.cumsum(is_start) - 1  # row -> run
 
-def _merge_one_run(rows: list[dict]) -> pa.Table:
-    """Ordered chunk concat for one (term, bucket) run (already seg-sorted)."""
-    doc_parts: list[bytes] = []
-    frq_parts: list[bytes] = []
-    pos_parts: list[bytes] = []
-    blk_last: list[int] = []
-    blk_doc_boff: list[int] = []
-    blk_frq_boff: list[int] = []
-    blk_max_tf: list[int] = []
-    blk_min_normb: list[int] = []
-    prev_last = None
-    doc_pos = 0
-    frq_pos = 0
-    df = ttf = 0
-    for r in rows:
-        blob = r["doc_blob"]
-        if prev_last is not None:
-            blob = codec.splice_first_delta(blob, r["first_doc"] - prev_last)
-        else:
-            blob = codec.splice_first_delta(blob, r["first_doc"])  # local->global first delta
-        doc_parts.append(blob)
-        frq_parts.append(r["frq_blob"])
-        pos_parts.append(r.get("pos_blob") or b"")
-        shift = len(blob) - len(r["doc_blob"])  # first-delta splice may change length
-        # block 0 still starts at the chunk head; later blocks shift with it
-        blk_doc_boff.extend([doc_pos + (b + shift if b > 0 else 0) for b in r["blk_doc_boff"]])
-        blk_frq_boff.extend([frq_pos + b for b in r["blk_frq_boff"]])
-        blk_last.extend(r["blk_last_doc"])
-        blk_max_tf.extend(r["blk_max_tf"])
-        blk_min_normb.extend(r["blk_min_normb"])
-        doc_pos += len(blob)
-        frq_pos += len(r["frq_blob"])
-        prev_last = r["last_doc"]
-        df += r["df"]
-        ttf += r["ttf"]
+    def _bin_bufs(name):
+        arr = _one_chunk(batch.column(name))
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        buf = arr.buffers()[2]
+        data = np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.empty(0, np.uint8)
+        return offs, data
+
+    # frq/pos: per-run concat == slice of the shared data buffer (zero-copy)
+    frq_offs, frq_data = _bin_bufs("frq_blob")
+    pos_offs, pos_data = _bin_bufs("pos_blob")
+
+    def _runs_binary(offs, data):
+        new_offs = np.ascontiguousarray(offs[edges])
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), run_start.size, [None, pa.py_buffer(new_offs), pa.py_buffer(data)]
+        )
+
+    # doc: rewrite each chunk's FIRST varint (absolute for the run head,
+    # gap-from-previous-chunk for the rest), reuse every other byte
+    doc_offs, doc_data = _bin_bufs("doc_blob")
+    row_len = doc_offs[1:] - doc_offs[:-1]
+    k = np.zeros(n, dtype=np.int64)  # old first-varint byte length
+    active = np.flatnonzero(row_len > 0)
+    j = 0
+    while active.size:
+        b = doc_data[doc_offs[active] + j]
+        j += 1
+        done = (b & 0x80) == 0
+        k[active[done]] = j
+        active = active[~done]
+    prev_last = np.empty(n, dtype=np.int64)
+    if n:
+        prev_last[0] = 0
+        prev_last[1:] = last_doc[:-1]
+    v = np.where(is_start, first_doc, first_doc - prev_last).astype(np.uint64)
+    assert (row_len > 0).all(), "df>=1 invariant: no empty doc streams reach merge"
+    new_heads = codec.vbyte_encode(v)
+    new_lens = codec.vbyte_lengths(v)
+    head_offs = np.concatenate(([0], np.cumsum(new_lens)))
+    tail_len = row_len - k
+    out_row_len = new_lens + tail_len
+    out_offs = np.concatenate(([0], np.cumsum(out_row_len)))
+    out_data = np.empty(int(out_offs[-1]), dtype=np.uint8)
+    out_data[_ragged_indices(out_offs[:-1], new_lens)] = new_heads[
+        _ragged_indices(head_offs[:-1], new_lens)
+    ]
+    out_data[_ragged_indices(out_offs[:-1] + new_lens, tail_len)] = doc_data[
+        _ragged_indices(doc_offs[:-1] + k, tail_len)
+    ]
+    doc_arr = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        run_start.size,
+        [None, pa.py_buffer(np.ascontiguousarray(out_offs[edges])), pa.py_buffer(out_data)],
+    )
+
+    # block directory columns: per-run concat of the list rows, with
+    # blk_doc_boff rebased to the chunk's position in the spliced output
+    # stream (+ the first-varint length change for intra-chunk blocks) and
+    # blk_frq_boff rebased to the chunk's frq position within the run
+    shift = new_lens - k
+    dest_row_start = out_offs[:-1] - out_offs[run_start][run_id]
+    frq_row_start = frq_offs[:-1] - frq_offs[run_start][run_id]
+
+    def _list_parts(name):
+        arr = _one_chunk(batch.column(name))
+        loffs = arr.offsets.to_numpy()
+        vals = arr.values
+        # trim to the used contiguous range, local offsets
+        local = loffs - loffs[0]
+        flat = vals.slice(loffs[0], loffs[-1] - loffs[0])
+        return local, flat
+
+    def _runs_list(local, flat_arr):
+        return pa.ListArray.from_arrays(
+            pa.array(local[edges], type=pa.int32()), flat_arr
+        )
+
+    bl_local, bl_flat = _list_parts("blk_last_doc")
+    mt_local, mt_flat = _list_parts("blk_max_tf")
+    nb_local, nb_flat = _list_parts("blk_min_normb")
+    db_local, db_flat = _list_parts("blk_doc_boff")
+    fb_local, fb_flat = _list_parts("blk_frq_boff")
+    llen_db = db_local[1:] - db_local[:-1]
+    db_np = db_flat.to_numpy()
+    new_db = np.where(
+        db_np > 0, db_np + np.repeat(shift, llen_db), 0
+    ) + np.repeat(dest_row_start, llen_db)
+    llen_fb = fb_local[1:] - fb_local[:-1]
+    new_fb = fb_flat.to_numpy() + np.repeat(frq_row_start, llen_fb)
+
     return pa.table(
         {
-            "term": [rows[0]["term"]],
-            "bucket": [rows[0]["bucket"]],
-            "df": pa.array([df], type=pa.int64()),
-            "ttf": pa.array([ttf], type=pa.int64()),
-            "first_seg": pa.array([rows[0]["seg_id"]], type=pa.int64()),
-            "doc_blob": pa.array([b"".join(doc_parts)], type=pa.large_binary()),
-            "frq_blob": pa.array([b"".join(frq_parts)], type=pa.large_binary()),
-            "pos_blob": pa.array([b"".join(pos_parts)], type=pa.large_binary()),
-            "blk_last_doc": pa.array([blk_last], type=pa.list_(pa.int64())),
-            "blk_doc_boff": pa.array([blk_doc_boff], type=pa.list_(pa.int64())),
-            "blk_frq_boff": pa.array([blk_frq_boff], type=pa.list_(pa.int64())),
-            "blk_max_tf": pa.array([blk_max_tf], type=pa.list_(pa.int64())),
-            "blk_min_normb": pa.array([blk_min_normb], type=pa.list_(pa.uint8())),
+            "term": pa.array(term[run_start]),
+            "bucket": pa.array(bucket[run_start], type=pa.int64()),
+            "df": pa.array(np.add.reduceat(df, run_start), type=pa.int64()),
+            "ttf": pa.array(np.add.reduceat(ttf, run_start), type=pa.int64()),
+            "first_seg": pa.array(seg_id[run_start], type=pa.int64()),
+            "doc_blob": doc_arr,
+            "frq_blob": _runs_binary(frq_offs, frq_data),
+            "pos_blob": _runs_binary(pos_offs, pos_data),
+            "blk_last_doc": _runs_list(bl_local, bl_flat),
+            "blk_doc_boff": _runs_list(db_local, pa.array(new_db, type=pa.int64())),
+            "blk_frq_boff": _runs_list(fb_local, pa.array(new_fb, type=pa.int64())),
+            "blk_max_tf": _runs_list(mt_local, mt_flat),
+            "blk_min_normb": _runs_list(nb_local, nb_flat),
         }
     )
+
+
+@ray.remote(num_cpus=0.5)
+def _copy_file(src: str, dst: str) -> None:
+    """Cross-filesystem docs copy, one task per segment (never the driver)."""
+    import shutil
+
+    tmp = dst + ".tmp"
+    shutil.copyfile(src, tmp)
+    os.replace(tmp, dst)
 
 
 def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -> str:
@@ -333,31 +427,45 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
     merged.write_parquet(parts_dir)
 
     # per-part term-range manifest: rows within each file are sorted, so
-    # min/max = first/last row of the (column-pruned) term column
+    # min/max = first/last row. Read ONLY the first and last row group's
+    # term column (exact, unlike footer string statistics which writers may
+    # truncate); row count comes from the footer — the driver never streams
+    # a part's data pages
     parts_meta = []
     for f in sorted(os.listdir(parts_dir)):
         if not f.endswith(".parquet"):
             continue
-        t = pq.read_table(os.path.join(parts_dir, f), columns=["term"])
-        if t.num_rows == 0:
+        pf = pq.ParquetFile(os.path.join(parts_dir, f))
+        nrows = pf.metadata.num_rows
+        if nrows == 0:
+            pf.close()
             os.remove(os.path.join(parts_dir, f))
             continue
-        col = t.column("term")
-        parts_meta.append(
-            {
-                "file": f,
-                "term_min": col[0].as_py(),
-                "term_max": col[-1].as_py(),
-                "rows": t.num_rows,
-            }
-        )
+        tmin = pf.read_row_group(0, columns=["term"]).column("term")[0].as_py()
+        tmax = pf.read_row_group(pf.metadata.num_row_groups - 1, columns=["term"])
+        tmax = tmax.column("term")[-1].as_py()
+        pf.close()
+        parts_meta.append({"file": f, "term_min": tmin, "term_max": tmax, "rows": nrows})
     parts_meta.sort(key=lambda p: (p["term_min"], p["term_max"]))
     os.replace(parts_dir, parts_final)
 
-    # docs: copy per-segment doc tables, already global docIDs
+    # docs: per-segment doc tables already carry global docIDs, so "copying"
+    # them is pure data movement that must NOT stream through the driver (at
+    # 100 TB the docs store is the whole corpus). Hardlink when the merged
+    # dir shares a filesystem with the source (O(1) per segment); otherwise
+    # one Ray task per segment does the byte copy in parallel.
+    copy_jobs = []
     for d in index.segment_dirs:
-        t = pq.read_table(os.path.join(d, "docs.parquet"))
-        pq.write_table(t, os.path.join(out_dir, "docs", os.path.basename(d) + ".parquet"))
+        src = os.path.join(d, "docs.parquet")
+        dst = os.path.join(out_dir, "docs", os.path.basename(d) + ".parquet")
+        if os.path.exists(dst):
+            continue
+        try:
+            os.link(src, dst)
+        except OSError:
+            copy_jobs.append((src, dst))
+    if copy_jobs:
+        ray.get([_copy_file.remote(s, t) for s, t in copy_jobs])
 
     write_index_manifest(
         out_dir,
@@ -652,6 +760,19 @@ class MergedIndexReader:
                 out.append(sel)
         return np.unique(np.concatenate(out)) if out else np.empty(0, dtype=object)
 
+    def iter_term_parts(self):
+        """Stream the vocabulary one part at a time (sorted unique per
+        chunk). Unbounded multi-term scans (FuzzyQuery prefix_length=0,
+        leading-wildcard) consume this instead of `terms`, keeping O(1 part)
+        resident at 10^9-term vocabularies. Chunks arrive in ascending
+        global term order (parts sorted by term_min); duplicates can only
+        occur at part boundaries, so callers dedupe their (small) match
+        sets, not the stream."""
+        for i in sorted(range(len(self._parts)), key=lambda j: self._tmin[j]):
+            col = pq.read_table(self._part_paths[i], columns=["term"]).column("term").to_numpy(zero_copy_only=False)
+            if col.size:
+                yield np.unique(col)
+
     def term_stats(self, term: str) -> tuple[int, int]:
         t = self._rows_for_term(term, ["term", "bucket", "first_seg", "df", "ttf"])
         if t is None:
@@ -721,9 +842,36 @@ class MergedSearcher:
         df = {t: self.reader.term_stats(t)[0] for t in terms}
         return {"max_doc": self.reader.doc_count, "sum_ttf": self.reader.sum_ttf, "df": df}
 
+    def _rewrite(self, q):
+        """Searcher-level fuzzy rewrite (TopTermsRewrite): expand to a SHOULD
+        BooleanQuery BEFORE stats gathering so expanded terms score with
+        their real df — mirrors Searcher._rewrite_and_stats."""
+        from ..query import BooleanClause, BooleanQuery, FuzzyQuery, TermQuery
+
+        if isinstance(q, FuzzyQuery):
+            top = self._expand(self.reader, q)
+            return BooleanQuery(
+                boost=q.boost,
+                clauses=tuple(
+                    BooleanClause(TermQuery(field=q.field, term=t, boost=b), "SHOULD")
+                    for t, b in top
+                ),
+            )
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                boost=q.boost,
+                min_should_match=q.min_should_match,
+                clauses=tuple(
+                    BooleanClause(self._rewrite(c.query), c.occur) for c in q.clauses
+                ),
+            )
+        return q
+
     def search(self, q, k: int = 10):
+        q = self._rewrite(q)
         scorer = self._SegmentScorer(self.reader, self._stats(q))
         return scorer.top_k(q, k)
 
     def count(self, q) -> int:
+        q = self._rewrite(q)
         return self._SegmentScorer(self.reader, self._stats(q)).count(q)

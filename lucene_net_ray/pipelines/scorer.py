@@ -334,54 +334,107 @@ def query_fields(q: Query) -> set[str]:
     return set()
 
 
+#: sorts above any real token (tokens are never runs of U+10FFFF)
+_TERM_CEILING = "\U0010FFFF" * 4
+
+
+def _terms_in_range(reader, lo: str, hi: str) -> np.ndarray:
+    """Sorted unique candidate terms in [lo, hi], WITHOUT materializing the
+    full vocabulary: MergedIndexReader answers from only the manifest parts
+    covering the range (pruned Parquet reads); a plain SegmentReader slices
+    its already-resident sorted dict with binary search. This is the
+    AutomatonTermsEnum discipline (Search/MultiTermQuery.cs:64 — walk the
+    dict range, never load it whole)."""
+    f = getattr(reader, "terms_in_range", None)
+    if f is not None:
+        return f(lo, hi)
+    terms = reader.terms
+    i = np.searchsorted(terms, lo, side="left")
+    j = np.searchsorted(terms, hi, side="right")
+    return terms[i:j]
+
+
+def _iter_term_chunks(reader):
+    """Vocabulary as a stream of sorted chunks — one merged part (or one
+    segment dict) resident at a time. Only unbounded scans (leading
+    wildcard, regexp with no literal head, fuzzy prefix_length=0) pay this
+    full pass; bounded scans go through `_terms_in_range`."""
+    f = getattr(reader, "iter_term_parts", None)
+    if f is not None:
+        yield from f()
+    else:
+        yield reader.terms
+
+
 def expand_multiterm(reader: SegmentReader, q: Query) -> list[tuple[str, float]]:
     """Matching (term, boost) pairs from this segment's term dict.
 
-    PrefixQuery/TermRangeQuery scan the sorted dict with binary search;
-    WildcardQuery scans the prefix range of its literal head; FuzzyQuery uses
-    banded edit distance over a bounded candidate range (all terms for v1 —
-    fine per segment; the automaton optimization is a future round).
+    Every query type with a literal prefix bound takes its candidate slice
+    via `_terms_in_range` — on the merged layout that reads only covering
+    parts, never the whole vocabulary. Unbounded patterns stream the dict
+    chunk-by-chunk; the match set (small) is deduped, never the stream.
     """
-    terms = reader.terms
     if isinstance(q, PrefixQuery):
-        lo = np.searchsorted(terms, q.prefix)
-        hi = np.searchsorted(terms, q.prefix + "\U0010FFFF")
-        return [(t, 1.0) for t in terms[lo:hi]]
+        cand = _terms_in_range(reader, q.prefix, q.prefix + _TERM_CEILING)
+        return [(str(t), 1.0) for t in cand]
     if isinstance(q, TermRangeQuery):
-        lo = 0 if q.lower is None else np.searchsorted(terms, q.lower, side="left" if q.include_lower else "right")
-        hi = len(terms) if q.upper is None else np.searchsorted(terms, q.upper, side="right" if q.include_upper else "left")
-        return [(t, 1.0) for t in terms[lo:hi]]
+        lo = q.lower if q.lower is not None else ""
+        hi = q.upper if q.upper is not None else _TERM_CEILING
+        cand = _terms_in_range(reader, lo, hi)
+        if q.lower is not None and not q.include_lower:
+            cand = cand[cand > q.lower]
+        if q.upper is not None and not q.include_upper:
+            cand = cand[cand < q.upper]
+        return [(str(t), 1.0) for t in cand]
     if isinstance(q, WildcardQuery):
         head = re.match(r"^[^*?]*", q.pattern).group()
-        lo = np.searchsorted(terms, head)
-        hi = np.searchsorted(terms, head + "\U0010FFFF") if head else len(terms)
         rx = re.compile(re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".") + r"\Z")
-        return [(t, 1.0) for t in terms[lo:hi] if rx.match(t)]
+        if head:
+            cand = _terms_in_range(reader, head, head + _TERM_CEILING)
+            return [(str(t), 1.0) for t in cand if rx.match(t)]
+        hits: list[str] = []
+        for chunk in _iter_term_chunks(reader):
+            hits.extend(str(t) for t in chunk if rx.match(t))
+        return [(t, 1.0) for t in sorted(set(hits))]
     if isinstance(q, RegexpQuery):
         # literal-prefix range scan (RegexpQuery.cs:49 automaton-walk analog):
         # only the dict range sharing the pattern's literal head is scanned,
         # then the compiled regex (anchored both ends) filters it
         head_m = re.match(r"^[^\\.\[\]()*+?{|^$]*", q.pattern)
         head = head_m.group() if head_m else ""
-        lo = np.searchsorted(terms, head) if head else 0
-        hi = np.searchsorted(terms, head + "\U0010FFFF") if head else len(terms)
         rx = re.compile(r"(?:" + q.pattern + r")\Z")
-        return [(t, 1.0) for t in terms[lo:hi] if rx.match(t)][: q.max_expansions]
+        if head:
+            cand = _terms_in_range(reader, head, head + _TERM_CEILING)
+            return [(str(t), 1.0) for t in cand if rx.match(t)][: q.max_expansions]
+        hits = []
+        for chunk in _iter_term_chunks(reader):
+            hits.extend(str(t) for t in chunk if rx.match(t))
+            # chunks stream in ascending term order: once a chunk completes
+            # with >= cap distinct hits, no later chunk can beat them
+            if len(set(hits)) >= q.max_expansions:
+                break
+        return [(t, 1.0) for t in sorted(set(hits))][: q.max_expansions]
     if isinstance(q, FuzzyQuery):
         base = q.term
         pref = base[: q.prefix_length]
-        lo = np.searchsorted(terms, pref)
-        hi = np.searchsorted(terms, pref + "\U0010FFFF") if pref else len(terms)
-        cand = terms[lo:hi]
-        dists = _edit_distances_vectorized(base, cand, q.max_edits)
+        matched: dict[str, int] = {}
+        if pref:
+            chunks = [_terms_in_range(reader, pref, pref + _TERM_CEILING)]
+        else:
+            chunks = _iter_term_chunks(reader)
+        for cand in chunks:
+            dists = _edit_distances_vectorized(base, cand, q.max_edits)
+            keep = dists <= q.max_edits
+            for t, d in zip(cand[keep], dists[keep].tolist()):
+                matched[str(t)] = d  # part-boundary dupes collapse here
         out = []
-        for t, d in zip(cand[dists <= q.max_edits], dists[dists <= q.max_edits].tolist()):
+        for t, d in matched.items():
             if d == 0:
                 boost = 1.0
             else:
                 # FuzzyTermsEnum boost: 1 - d / min(|term|,|text|)
                 boost = 1.0 - d / min(len(t), len(base))
-            out.append((str(t), boost))
+            out.append((t, boost))
         out.sort(key=lambda tb: (-tb[1], tb[0]))  # TopTermsRewrite: best first
         return out[: q.max_expansions]
     raise TypeError(f"not a multi-term query: {q!r}")

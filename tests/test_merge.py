@@ -127,6 +127,46 @@ def test_merged_reader_is_lazy(setup):
     assert r.files_read - before <= 1
 
 
+def test_merged_multiterm_never_loads_full_vocab(setup):
+    """Round-3 scale fix: prefix/wildcard/regexp/range/fuzzy rewrites on the
+    merged layout must take their candidate slice via terms_in_range (only
+    covering parts), never the concat-everything `terms` property — the
+    round-2 O(1 part)-resident guarantee has to survive multi-term queries
+    (reference: Search/MultiTermQuery.cs:64 AutomatonTermsEnum walks the
+    dict range without materializing it)."""
+    meta, merged_dir, _ = setup
+    seg = Searcher(meta, use_actors=False)
+    m = MergedSearcher(merged_dir)
+    for qs in ["pub*", "qu?ry", "/qu[a-z]+/", "[pa TO pz]", "query~1"]:
+        q = parse_query(qs)
+        assert m.search(q, k=10) == seg.search(q, k=10), qs
+        assert m.count(q) == seg.count(q), qs
+    assert m.reader._terms_cache is None  # full vocabulary never concat-loaded
+
+
+def test_merged_fuzzy_unbounded_streams_parts(setup):
+    """prefix_length=0 fuzzy has no dict bound: it must stream the parts
+    one at a time (iter_term_parts), still without touching `terms`."""
+    meta, merged_dir, _ = setup
+    from lucene_net_ray.pipelines.scorer import expand_multiterm
+    from lucene_net_ray.query import FuzzyQuery
+
+    m = MergedSearcher(merged_dir)
+    seg = Searcher(meta, use_actors=False)
+    fq = FuzzyQuery(field="content", term="query", max_edits=1, prefix_length=0)
+    assert m.search(fq, k=10) == seg.search(fq, k=10)
+    assert m.reader._terms_cache is None
+    # expansion sets agree with a single-segment full-dict reference
+    from lucene_net_ray.state.segment import SegmentReader
+
+    segs = [SegmentReader(d) for d in meta.segment_dirs]
+    ref = set()
+    for r in segs:
+        ref |= {t for t, _ in expand_multiterm(r, fq)}
+    got = {t for t, _ in expand_multiterm(m.reader, fq)}
+    assert got == ref
+
+
 def test_merged_wand_equals_exhaustive(setup):
     """Block-max WAND over the merged (term-range-partitioned) layout:
     chunk-start blocks carry absolute first deltas, so only intra-chunk
