@@ -624,6 +624,16 @@ def q_embed_neardup_pairs(sf_dir: str):
     return embedding_neardup_pairs(ds, threshold=0.4)
 
 
+def q_embed_neardup_lsh(sf_dir: str):
+    """Scale path: LSH-bucketed near-dup pairs (approximate — rows-only
+    check; subset-of-exact + recall asserted in test_dedup_ann.py). A high
+    threshold keeps driver-corpus recall near 1 with multi-probe."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_pairs(ds, threshold=0.4, method="lsh", bits=6, probes=3)
+
+
 def q_clean_corpus_ids(sf_dir: str):
     """End-to-end cleaning pipeline: kept (doc_id, quality) after a quality
     floor + exact dedup keep-first."""
@@ -723,6 +733,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embed_neardup_pairs": q_embed_neardup_pairs,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
     "clean_corpus_ids": q_clean_corpus_ids,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,

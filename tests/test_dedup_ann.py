@@ -153,6 +153,65 @@ def test_embedding_neardup_pairs():
     assert len(pairs) == len(got)
 
 
+def test_embedding_neardup_lsh_recall():
+    """The LSH-bucketed path (round-3 scale fix: no corpus take_all, no
+    all-pairs matmul) must find near-identical pairs, emit a subset of the
+    exact answer with identical cosines, and never duplicate a pair even
+    when it co-occurs in several probe buckets."""
+    import numpy as np
+    import ray.data
+
+    from lucene_net_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 16))
+    for a, b in [(0, 1), (2, 3), (10, 11), (20, 21)]:
+        base[b] = base[a] + 0.01 * rng.standard_normal(16)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(60)]
+    ds = ray.data.from_items(rows)
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(ds, threshold=0.95).take_all()
+    }
+    got = embedding_neardup_pairs(
+        ds, threshold=0.95, method="lsh", bits=6, probes=3
+    ).take_all()
+    lsh = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in got}
+    assert len(lsh) == len(got)  # probe-bucket co-occurrence deduped
+    assert set(lsh) <= set(exact)  # never a false positive
+    for k, v in lsh.items():
+        assert v == exact[k]  # same rounded cosine as the exact path
+    # near-identical vectors (cos ~ 0.9999) collide in every bucket: full recall
+    assert {(0, 1), (2, 3), (10, 11), (20, 21)} <= set(lsh)
+
+
+def test_embedding_neardup_exact_is_blockwise(monkeypatch):
+    """The exact path must never pull the corpus to the driver: take_all on
+    the input dataset is forbidden (only the result, nq-pairs-sized, is)."""
+    import numpy as np
+    import ray.data
+
+    from lucene_net_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 8))
+    base[7] = base[6] + 0.001 * rng.standard_normal(8)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(30)]
+    ds = ray.data.from_items(rows).repartition(4)  # force multiple blocks
+    called = {"n": 0}
+    orig = ray.data.Dataset.take_all
+
+    def spy(self, *a, **k):
+        called["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", spy)
+    result = embedding_neardup_pairs(ds, threshold=0.95)
+    assert called["n"] == 0  # building the pipeline materializes nothing
+    pairs = {(r["vec_a"], r["vec_b"]) for r in result.take_all()}
+    assert (6, 7) in pairs
+
+
 def test_multimodal_frame_sampling():
     import ray.data
 
