@@ -29,14 +29,24 @@ def taxonomy_counts(
     """(path, n_docs) for EVERY prefix level of the slash-separated paths."""
 
     def expand(batch: pa.Table) -> pa.Table:
-        out = []
-        for p in batch.column(path_column).to_pylist():
-            if not p:
-                continue
-            parts = p.split(sep)
-            for i in range(1, len(parts) + 1):
-                out.append({"path": sep.join(parts[:i])})
-        return pa.Table.from_pylist(out) if out else pa.table({"path": pa.array([], type=pa.string())})
+        # vectorized prefix expansion: one list_slice + binary_join per
+        # depth level (max_depth iterations, not one per row)
+        col = batch.column(path_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keep = pc.and_kleene(col.is_valid(), pc.not_equal(col, ""))
+        col = col.filter(pc.fill_null(keep, False))
+        empty = pa.table({"path": pa.array([], type=pa.string())})
+        if len(col) == 0:
+            return empty
+        parts = pc.split_pattern(col, sep)
+        depth = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        outs = []
+        for i in range(1, int(depth.max()) + 1):
+            sliced = pc.list_slice(parts.filter(pa.array(depth >= i)), 0, i)
+            outs.append(pc.binary_join(sliced, sep))
+        joined = pa.concat_arrays([o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o for o in outs])
+        return pa.table({"path": joined})
 
     counts = ds.map_batches(expand, batch_format="pyarrow").groupby("path").count()
     return counts.rename_columns({"count()": "n_docs"})

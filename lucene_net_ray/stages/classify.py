@@ -16,7 +16,6 @@ before broadcasting; the training aggregate itself never materializes rows.
 from __future__ import annotations
 
 import math
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -24,6 +23,8 @@ import ray
 import ray.data
 
 from ..functions.analysis import Analyzer
+
+_NB_ANALYZE_MEMO: dict[str, tuple[str, ...]] = {}  # unique ws token -> terms
 
 
 def train_naive_bayes(
@@ -38,18 +39,70 @@ def train_naive_bayes(
     analyzer = Analyzer()
 
     def partials(batch: pa.Table) -> pa.Table:
-        labels = batch.column(label_column).to_pylist()
-        texts = batch.column(text_column).to_pylist()
-        agg: Counter = Counter()
-        doc_counts: Counter = Counter()
-        for lbl, txt in zip(labels, texts):
-            doc_counts[lbl] += 1
-            for tok in analyzer(txt):
-                agg[(lbl, tok)] += 1
-        rows = [
-            {"label": l, "token": t, "n": n} for (l, t), n in agg.items()
-        ] + [{"label": l, "token": "", "n": n} for l, n in doc_counts.items()]
-        return pa.Table.from_pylist(rows)
+        # unique-token memo pattern (textstats._split_ws): StandardTokenizer
+        # terms never span whitespace, so analyze each UNIQUE ws token once
+        # (process-wide memo), then expand per occurrence with numpy — the
+        # round-2 version re-analyzed every row in Python
+        from .textstats import _split_ws
+
+        uniq, idx, doc_idx, n = _split_ws(batch, text_column)
+        memo = _NB_ANALYZE_MEMO
+        tlists = []
+        for u in uniq:
+            v = memo.get(u)
+            if v is None:
+                v = tuple(analyzer(u))
+                if len(memo) < 2_000_000:
+                    memo[u] = v
+            tlists.append(v)
+        tlen = np.fromiter((len(t) for t in tlists), dtype=np.int64, count=len(tlists))
+        term_to_id: dict[str, int] = {}
+        flat_ids = np.empty(int(tlen.sum()), dtype=np.int64)
+        pos = 0
+        for ts in tlists:
+            for t in ts:
+                flat_ids[pos] = term_to_id.setdefault(t, len(term_to_id))
+                pos += 1
+        offs = np.concatenate(([0], np.cumsum(tlen)))
+        occ_tlen = tlen[idx]
+        total = int(occ_tlen.sum())
+        excl = np.concatenate(([0], np.cumsum(occ_tlen)[:-1]))
+        gather = np.repeat(offs[idx] - excl, occ_tlen) + np.arange(total, dtype=np.int64)
+        occ_term = flat_ids[gather]
+        occ_doc = np.repeat(doc_idx, occ_tlen)
+
+        lab = batch.column(label_column)
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        denc = lab.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        lab_idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lab_names = denc.dictionary.to_pylist()
+        nlab, nterm = len(lab_names), len(term_to_id)
+
+        out_lab, out_tok, out_n = [], [], []
+        if nterm and occ_term.size:
+            key = lab_idx[occ_doc] * nterm + occ_term
+            cnt = np.bincount(key, minlength=nlab * nterm).reshape(nlab, nterm)
+            terms_arr = np.empty(nterm, dtype=object)
+            for t, i in term_to_id.items():
+                terms_arr[i] = t
+            li, ti = np.nonzero(cnt)
+            out_lab = [lab_names[i] for i in li]
+            out_tok = terms_arr[ti].tolist()
+            out_n = cnt[li, ti].tolist()
+        docs_per_lab = np.bincount(lab_idx, minlength=nlab)
+        out_lab += lab_names
+        out_tok += [""] * nlab
+        out_n += docs_per_lab.tolist()
+        return pa.table(
+            {
+                "label": pa.array(out_lab, type=pa.string()),
+                "token": pa.array(out_tok, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
 
     counts = (
         ds.map_batches(partials, batch_format="pyarrow")

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -58,15 +57,33 @@ def clean_corpus(
         mask = coarse_groups - 1
 
         def add_keys(batch: pa.Table) -> pa.Table:
-            hashes = [
-                hashlib.md5(t.encode()).hexdigest()
-                for t in batch.column(text_column).to_pylist()
-            ]
-            coarse = np.array(
-                [zlib.crc32(h.encode()) & mask for h in hashes], dtype=np.int64
-            )
+            # md5 straight from the Arrow utf8 data buffer (memoryview
+            # slices — no Python str materialization); the coarse group key
+            # is a vectorized hex-nibble fold of the digest (any
+            # deterministic text->group function works: grouping only
+            # bounds dedup shuffle fan-in, winners are picked by __th)
+            col = batch.column(text_column)
+            chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+            hex_list: list[str] = []
+            for ch in chunks:
+                odt = np.int64 if pa.types.is_large_string(ch.type) else np.int32
+                offs = np.frombuffer(ch.buffers()[1], dtype=odt)[
+                    ch.offset : ch.offset + len(ch) + 1
+                ]
+                mv = memoryview(ch.buffers()[2])
+                hex_list.extend(
+                    hashlib.md5(mv[offs[i] : offs[i + 1]]).hexdigest()
+                    for i in range(len(ch))
+                )
+            if hex_list:
+                nib = np.frombuffer("".join(hex_list).encode(), dtype=np.uint8)
+                nib = nib.reshape(-1, 32)[:, :8].astype(np.int64)
+                nib = np.where(nib >= 97, nib - 87, nib - 48)
+                coarse = (nib << (4 * np.arange(7, -1, -1))).sum(axis=1) & mask
+            else:
+                coarse = np.empty(0, dtype=np.int64)
             return batch.append_column(
-                "__th", pa.array(hashes, type=pa.string())
+                "__th", pa.array(hex_list, type=pa.string())
             ).append_column("__coarse", pa.array(coarse))
 
         def keep_first(group: pa.Table) -> pa.Table:
