@@ -322,7 +322,17 @@ class Analyzer:
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
         ascii_fold: bool = False,
     ):
-        _lang_stems = {"english": "porter", "german": "german", "french": "french", "spanish": "spanish"}
+        _lang_stems = {
+            "english": "porter",
+            "german": "german",
+            "french": "french",
+            "spanish": "spanish",
+            # Snowball family (functions/snowball.py — SnowballFilter.cs:30
+            # analogs): Porter2 English, Italian, Russian
+            "english_snowball": "porter2",
+            "italian": "italian",
+            "russian": "russian",
+        }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")
         self.kind = kind

@@ -1,0 +1,507 @@
+"""Snowball stemmers: English (Porter2), Italian, Russian.
+
+Clean-room implementations of the PUBLISHED Snowball algorithm definitions
+(M.F. Porter, snowballstem.org — "The English (Porter2) stemming algorithm",
+"The Italian stemming algorithm", "The Russian stemming algorithm"), the
+same algorithms behind the reference's SnowballFilter
+(/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Snowball/SnowballFilter.cs:30
+and the generated stemmers under Tartarus/Snowball/Ext/). No reference code
+was consulted; only the public algorithm prose.
+
+Semantics shared by all three:
+- regions R1/R2: R1 = region after the first non-vowel following a vowel;
+  R2 = the same definition applied within R1. Suffix tests "in R1/R2" mean
+  the suffix starts at or after the region start.
+- `among` semantics: the LONGEST suffix in a group that matches within the
+  region limit decides; if its side-condition then fails, the whole group
+  fails (no backtracking to shorter entries) — but an entry that merely
+  extends beyond the region limit is skipped in favor of shorter entries,
+  mirroring Snowball's setlimit behavior.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+# ---------------------------------------------------------------------------
+# English — Porter2
+# ---------------------------------------------------------------------------
+
+_EN_V = frozenset("aeiouy")  # 'Y' (marked consonant y) is NOT a vowel
+_EN_DOUBLE = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI = frozenset("cdeghkmnrt")
+_EN_EXC = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXC1A = frozenset(
+    ["inning", "outing", "canning", "herring", "earring", "proceed", "exceed", "succeed"]
+)
+
+_EN_STEP2 = (
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"), ("ousness", "ous"),
+    ("iveness", "ive"), ("tional", "tion"), ("biliti", "ble"), ("lessli", "less"),
+    ("entli", "ent"), ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+    ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"), ("enci", "ence"),
+    ("anci", "ance"), ("abli", "able"), ("izer", "ize"), ("ator", "ate"),
+    ("alli", "al"), ("bli", "ble"), ("ogi", None), ("li", None),
+)
+_EN_STEP3 = (
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"), ("icate", "ic"),
+    ("iciti", "ic"), ("ative", None), ("ical", "ic"), ("ness", ""), ("ful", ""),
+)
+_EN_STEP4 = (
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent", "ism",
+    "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+)
+
+
+def _en_r1(w: str) -> int:
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            return len(pre)
+    return _region_after_vc(w, _EN_V, 0)
+
+
+def _region_after_vc(w: str, vowels: frozenset, start: int) -> int:
+    for i in range(start + 1, len(w)):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            return i + 1
+    return len(w)
+
+
+def _en_short_syllable_at_end(w: str) -> bool:
+    n = len(w)
+    if n >= 3 and w[-2] in _EN_V and w[-1] not in _EN_V and w[-1] not in "wxY" and w[-3] not in _EN_V:
+        return True
+    if n == 2 and w[0] in _EN_V and w[1] not in _EN_V:
+        return True
+    return False
+
+
+@lru_cache(maxsize=200_000)
+def porter2_stem(word: str) -> str:
+    w = word
+    if w.startswith("'"):
+        w = w[1:]
+    if len(w) <= 2:
+        return w
+    if w in _EN_EXC:
+        return _EN_EXC[w]
+    # prelude: mark consonant y as Y
+    chars = list(w)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _EN_V:
+            chars[i] = "Y"
+    w = "".join(chars)
+    r1 = _en_r1(w)
+    r2 = _region_after_vc(w, _EN_V, r1)
+
+    # step 0: apostrophe suffixes
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ied") or w.endswith("ies"):
+        w = w[:-2] if len(w) - 3 > 1 else w[:-1]
+    elif w.endswith("ss") or w.endswith("us"):
+        pass
+    elif w.endswith("s"):
+        if any(c in _EN_V for c in w[:-2]):
+            w = w[:-1]
+    if w in _EN_EXC1A:
+        return w
+    # step 1b
+    done_1b = False
+    for suf in ("eedly", "eed"):
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                w = w[: -len(suf)] + "ee"
+            done_1b = True
+            break
+    if not done_1b:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if any(c in _EN_V for c in stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_EN_DOUBLE):
+                        w = w[:-1]
+                    elif r1 >= len(w) and _en_short_syllable_at_end(w):
+                        w += "e"
+                break
+    # step 1c
+    if len(w) > 2 and w[-1] in "yY" and w[-2] not in _EN_V:
+        w = w[:-1] + "i"
+    # step 2 (R1)
+    for suf, rep in _EN_STEP2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ogi":
+                    if w.endswith("logi"):
+                        w = w[:-1]
+                elif suf == "li":
+                    if len(w) > 2 and w[-3] in _EN_LI:
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+    # step 3 (R1; 'ative' needs R2)
+    for suf, rep in _EN_STEP3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(w) - len(suf) >= r2:
+                        w = w[: -len(suf)]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+    # step 4 (R2)
+    for suf in _EN_STEP4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r2:
+                if suf == "ion":
+                    if len(w) > 3 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+    # step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= r2 or (len(w) - 1 >= r1 and not _en_short_syllable_at_end(w[:-1])):
+            w = w[:-1]
+    elif w.endswith("l") and len(w) - 1 >= r2 and len(w) > 1 and w[-2] == "l":
+        w = w[:-1]
+    return w.replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# shared among() helper (Snowball setlimit + longest-match semantics)
+# ---------------------------------------------------------------------------
+
+def _among(w: str, region: int, entries) -> tuple[str, int] | None:
+    """entries: ((suffix, tag), ...) sorted longest-first. Returns the
+    longest (suffix, tag) matching within the region, or None. Entries whose
+    suffix would extend before `region` are skipped (out of limit); the
+    caller applies tag side-conditions, whose failure must NOT fall back."""
+    for s, tag in entries:
+        if w.endswith(s) and len(w) - len(s) >= region:
+            return s, tag
+    return None
+
+
+def _sorted_entries(*groups) -> tuple:
+    ent = []
+    for sufs, tag in groups:
+        ent.extend((s, tag) for s in sufs)
+    ent.sort(key=lambda e: len(e[0]), reverse=True)
+    return tuple(ent)
+
+
+# ---------------------------------------------------------------------------
+# Russian
+# ---------------------------------------------------------------------------
+
+_RU_V = frozenset("аеиоуыэюя")
+
+_RU_PERF_GERUND = _sorted_entries(
+    (("в", "вши", "вшись"), 1),
+    (("ив", "ивши", "ившись", "ыв", "ывши", "ывшись"), 2),
+)
+_RU_ADJECTIVE = _sorted_entries(
+    (
+        (
+            "ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый", "ой", "ем",
+            "им", "ым", "ом", "его", "ого", "ему", "ому", "их", "ых", "ую",
+            "юю", "ая", "яя", "ою", "ею",
+        ),
+        2,
+    )
+)
+_RU_PARTICIPLE = _sorted_entries(
+    (("ем", "нн", "вш", "ющ", "щ"), 1),
+    (("ивш", "ывш", "ующ"), 2),
+)
+_RU_REFLEXIVE = _sorted_entries((("ся", "сь"), 2))
+_RU_VERB = _sorted_entries(
+    (
+        ("ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло", "но", "ет",
+         "ют", "ны", "ть", "ешь", "нно"),
+        1,
+    ),
+    (
+        ("ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли", "ей", "уй",
+         "ил", "ыл", "им", "ым", "ен", "ило", "ыло", "ено", "ят", "ует", "уют",
+         "ит", "ыт", "ены", "ить", "ыть", "ишь", "ую", "ю"),
+        2,
+    ),
+)
+_RU_NOUN = _sorted_entries(
+    (
+        ("а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи", "ии",
+         "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием", "ем", "ам",
+         "ом", "о", "у", "ах", "иях", "ях", "ы", "ь", "ию", "ью", "ю", "ия",
+         "ья", "я"),
+        2,
+    )
+)
+_RU_SUPERLATIVE = _sorted_entries((("ейш", "ейше"), 2))
+_RU_DERIVATIONAL = _sorted_entries((("ост", "ость"), 2))
+
+
+def _ru_try(w: str, rv: int, entries) -> str | None:
+    """Remove the matched suffix, honoring group-1's preceding-а/я test
+    (the а/я stays; its position must also lie in RV)."""
+    m = _among(w, rv, entries)
+    if m is None:
+        return None
+    s, tag = m
+    base = len(w) - len(s)
+    if tag == 1:
+        if base - 1 >= rv and w[base - 1] in "ая":
+            return w[:base]
+        return None  # condition failure aborts the whole group
+    return w[:base]
+
+
+@lru_cache(maxsize=200_000)
+def russian_stem(word: str) -> str:
+    w = word.replace("ё", "е")
+    rv = len(w)
+    for i, c in enumerate(w):
+        if c in _RU_V:
+            rv = i + 1
+            break
+    r1 = _region_after_vc(w, _RU_V, 0)
+    r2 = _region_after_vc(w, _RU_V, r1)
+
+    # step 1
+    nw = _ru_try(w, rv, _RU_PERF_GERUND)
+    if nw is not None:
+        w = nw
+    else:
+        nw = _ru_try(w, rv, _RU_REFLEXIVE)
+        if nw is not None:
+            w = nw
+        nw = _ru_try(w, rv, _RU_ADJECTIVE)
+        if nw is not None:
+            w = nw
+            nw = _ru_try(w, rv, _RU_PARTICIPLE)
+            if nw is not None:
+                w = nw
+        else:
+            nw = _ru_try(w, rv, _RU_VERB)
+            if nw is not None:
+                w = nw
+            else:
+                nw = _ru_try(w, rv, _RU_NOUN)
+                if nw is not None:
+                    w = nw
+    # step 2
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+    # step 3 (R2)
+    nw = _ru_try(w, r2, _RU_DERIVATIONAL)
+    if nw is not None:
+        w = nw
+    # step 4
+    if w.endswith("нн") and len(w) - 2 >= rv:
+        w = w[:-1]
+    else:
+        m = _among(w, rv, _RU_SUPERLATIVE)
+        if m is not None:
+            w = w[: len(w) - len(m[0])]
+            if w.endswith("нн") and len(w) - 2 >= rv:
+                w = w[:-1]
+        elif w.endswith("ь") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+
+_IT_V = frozenset("aeiouàèìòù")
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+_IT_PRONOUNS = tuple(
+    sorted(
+        [
+            "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+            "sene", "gliela", "gliele", "glieli", "glielo", "gliene", "mela",
+            "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+            "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+            "veli", "velo", "vene",
+        ],
+        key=len,
+        reverse=True,
+    )
+)
+# step-1 suffixes: (suffix, action). Actions: "R2" delete in R2; "RV" delete
+# in RV; ("R2", replacement); "amente"/"ità"/"ivX"/"azione" get bespoke code.
+_IT_STEP1 = tuple(
+    sorted(
+        [
+            ("amente", "amente"),
+            *[(s, "R2") for s in (
+                "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+                "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+                "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+                "ose", "mente", "atrice", "atrici", "ante", "anti",
+            )],
+            *[(s, "azione") for s in ("azione", "azioni", "atore", "atori")],
+            ("logia", ("R2", "log")), ("logie", ("R2", "log")),
+            *[(s, ("R2", "u")) for s in ("uzione", "uzioni", "usione", "usioni")],
+            ("enza", ("R2", "ente")), ("enze", ("R2", "ente")),
+            *[(s, "RV") for s in ("amento", "amenti", "imento", "imenti")],
+            ("ità", "ità"),
+            *[(s, "ivX") for s in ("ivo", "ivi", "iva", "ive")],
+        ],
+        key=lambda e: len(e[0]),
+        reverse=True,
+    )
+)
+_IT_STEP2 = tuple(
+    sorted(
+        [
+            "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+            "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+            "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+            "erà", "eranno", "erebbe", "erebbero", "erei", "eremmo", "eremo",
+            "ereste", "eresti", "erete", "erò", "erono", "essero", "ete",
+            "eva", "evamo", "evano", "evate", "evi", "evo", "Iamo", "iamo",
+            "immo", "irà", "iranno", "irebbe", "irebbero", "irei", "iremmo",
+            "iremo", "ireste", "iresti", "irete", "irò", "irono", "isca",
+            "iscano", "isce", "isci", "isco", "ita", "ite", "iti", "ito",
+            "iva", "ivamo", "ivano", "ivate", "ivi", "ivo", "ono", "uta",
+            "ute", "uti", "uto", "ere", "ire", "ar", "ir",
+        ],
+        key=len,
+        reverse=True,
+    )
+)
+
+
+def _rv_romance(w: str, V: frozenset) -> int:
+    n = len(w)
+    if n < 2:
+        return n
+    if w[1] not in V:  # second letter a consonant
+        for i in range(2, n):
+            if w[i] in V:
+                return i + 1
+        return n
+    if w[0] in V:  # first two letters vowels
+        for i in range(2, n):
+            if w[i] not in V:
+                return i + 1
+        return n
+    return 3 if n >= 3 else n  # consonant-vowel
+
+
+@lru_cache(maxsize=200_000)
+def italian_stem(word: str) -> str:
+    w = word.translate(_IT_ACUTE)
+    chars = list(w)
+    for i, c in enumerate(chars):
+        if c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif c in "ui" and 0 < i < len(chars) - 1 and chars[i - 1] in _IT_V and chars[i + 1] in _IT_V:
+            chars[i] = "U" if c == "u" else "I"
+    w = "".join(chars)
+    rv = _rv_romance(w, _IT_V)
+    r1 = _region_after_vc(w, _IT_V, 0)
+    r2 = _region_after_vc(w, _IT_V, r1)
+
+    # step 0: attached pronoun after ando/endo (delete) or ar/er/ir (-> e)
+    for p in _IT_PRONOUNS:
+        if w.endswith(p) and len(w) - len(p) >= rv:
+            base = w[: len(w) - len(p)]
+            if (base.endswith("ando") or base.endswith("endo")) and len(base) - 4 >= rv:
+                w = base
+            elif (base.endswith("ar") or base.endswith("er") or base.endswith("ir")) and len(base) - 2 >= rv:
+                w = base + "e"
+            break
+
+    removed = False
+    m = None
+    for s, action in _IT_STEP1:
+        if w.endswith(s):
+            m = (s, action)
+            break
+    if m is not None:
+        s, action = m
+        base = len(w) - len(s)
+        if action == "R2":
+            if base >= r2:
+                w, removed = w[:base], True
+        elif action == "RV":
+            if base >= rv:
+                w, removed = w[:base], True
+        elif action == "amente":
+            if base >= r1:
+                w, removed = w[:base], True
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif w.endswith("abil") and len(w) - 4 >= r2:
+                    w = w[:-4]
+                elif (w.endswith("os") or w.endswith("ic")) and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif action == "azione":
+            if base >= r2:
+                w, removed = w[:base], True
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif action == "ità":
+            if base >= r2:
+                w, removed = w[:base], True
+                if w.endswith("abil") and len(w) - 4 >= r2:
+                    w = w[:-4]
+                elif (w.endswith("ic") or w.endswith("iv")) and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif action == "ivX":
+            if base >= r2:
+                w, removed = w[:base], True
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("ic") and len(w) - 2 >= r2:
+                        w = w[:-2]
+        else:  # ("R2", replacement)
+            reg, rep = action
+            if base >= r2:
+                w, removed = w[:base] + rep, True
+
+    if not removed:
+        for s in _IT_STEP2:
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                w = w[: len(w) - len(s)]
+                break
+
+    # step 3a: final vowel (not u), then a preceding i, both in RV
+    if w and w[-1] in "aeioàèìò" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # step 3b
+    if (w.endswith("ch") or w.endswith("gh")) and len(w) - 2 >= rv:
+        w = w[:-1]
+    return w.replace("I", "i").replace("U", "u")
+
+
+SNOWBALL_STEMMERS = {
+    "porter2": porter2_stem,
+    "italian": italian_stem,
+    "russian": russian_stem,
+}

@@ -275,9 +275,14 @@ def french_minimal_stem(w: str) -> str:
     return "".join(s[:n])
 
 
+from .snowball import italian_stem, porter2_stem, russian_stem  # noqa: E402
+
 STEMMERS = {
     "porter": porter_stem,
     "german": german_light_stem,
     "spanish": spanish_light_stem,
     "french": french_minimal_stem,
+    "porter2": porter2_stem,
+    "italian": italian_stem,
+    "russian": russian_stem,
 }
