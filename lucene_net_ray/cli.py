@@ -43,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--stored-columns", default="")
     b.add_argument("--rows-per-segment", type=int, default=100_000)
     b.add_argument("--positions", action="store_true")
+    b.add_argument("--offsets", action="store_true", help="positions + stored char offsets (PostingsHighlighter)")
     b.add_argument("--analyzer", default="standard")
 
     s = sub.add_parser("search", help="run a classic-syntax query")
@@ -90,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
                 stored_columns=tuple(x for x in args.stored_columns.split(",") if x),
                 analyzer_kind=args.analyzer,
                 target_rows_per_segment=args.rows_per_segment,
-                index_options="positions" if args.positions else "freqs",
+                index_options="offsets" if args.offsets else ("positions" if args.positions else "freqs"),
             )
             print(json.dumps({"max_doc": meta.max_doc, "segments": len(meta.segment_dirs),
                               "sum_ttf": meta.sum_ttf, "out": args.out}))

@@ -293,6 +293,84 @@ def _all_terms(q: Query) -> set[str]:
     return query_terms(q)
 
 
+def postings_highlight(
+    searcher: Searcher,
+    docid: int,
+    q: Query,
+    *,
+    field: str | None = None,
+    max_passages: int = 2,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> list[str]:
+    """PostingsHighlighter analog (reference
+    Postingshighlight/PostingsHighlighter.cs:91): snippets come from INDEXED
+    positions + per-doc char offsets and the STORED text — the document is
+    never re-analyzed (the `highlight` path re-tokenizes every hit, the
+    expensive per-snippet cost at serving scale). Requires the index built
+    with index_options='offsets' and the text column in stored_columns.
+
+    Passages are sentence-ish spans ([.!?\\n] breaks — the BreakIterator
+    analog); each passage scores the summed idf weight of its query-term
+    matches; the top `max_passages` return in document order with matches
+    wrapped at their exact stored offsets."""
+    import re as _re
+
+    field = field or searcher.field
+    if not hasattr(searcher, "_ph_readers"):
+        from ..state.segment import SegmentReader
+
+        searcher._ph_readers = [SegmentReader(d) for d in searcher.index.segment_dirs]
+    r = None
+    for cand in searcher._ph_readers:
+        if cand.doc_base <= docid < cand.doc_base + cand.doc_count:
+            r = cand
+            break
+    if r is None:
+        raise ValueError(f"docid {docid} outside index doc range")
+    local = docid - r.doc_base
+    text = r.doc_values(field)[local]
+    qterms = sorted(_all_terms(q))
+    df = searcher._stats_for_terms(qterms)
+    n = searcher.index.max_doc
+    starts, ends = r.position_char_offsets(local)
+    ranges: list[tuple[int, int, float]] = []
+    for t in qterms:
+        w = float(sim.idf(df.get(t, 0), n)) if df.get(t, 0) else 0.1
+        docids, tfs, flat, occ = r.positions(t)
+        j = int(np.searchsorted(docids, local))
+        if j < docids.size and docids[j] == local:
+            for p in flat[occ[j] : occ[j + 1]]:
+                if p < starts.size:
+                    ranges.append((int(starts[p]), int(ends[p]), w))
+    if not ranges:
+        return []
+    spans = [(m.start(), m.end()) for m in _re.finditer(r"[^.!?\n]+[.!?\n]*", text)]
+    if not spans:
+        spans = [(0, len(text))]
+    scored = []
+    for si, (s, e) in enumerate(spans):
+        sc = sum(w for rs, re_, w in set(ranges) if s <= rs and re_ <= e)
+        if sc > 0:
+            scored.append((-sc, si))
+    scored.sort()
+    chosen = sorted(si for _, si in scored[:max_passages])
+    frags = []
+    for si in chosen:
+        s, e = spans[si]
+        inside = sorted({(rs, re_) for rs, re_, _ in ranges if s <= rs and re_ <= e})
+        out, cur = [], s
+        for rs, re_ in inside:
+            if rs < cur:  # overlapping token range (same ws token, two terms)
+                continue
+            out.append(text[cur:rs])
+            out.append(pre + text[rs:re_] + post)
+            cur = re_
+        out.append(text[cur:e])
+        frags.append("".join(out).strip())
+    return frags
+
+
 def knn_classify(
     searcher: Searcher,
     text: str,

@@ -794,7 +794,7 @@ class MergedIndexReader:
 
     @property
     def has_positions(self) -> bool:
-        return self.manifest.get("index_options") == "positions"
+        return self.manifest.get("index_options") in ("positions", "offsets")
 
     def positions(self, term: str):
         """(docids, tfs, flat_positions, occ_offsets) — see SegmentReader."""

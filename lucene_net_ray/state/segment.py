@@ -43,6 +43,70 @@ from ..functions.norms import encode_norm_array
 BLOCK_SIZE = codec.BLOCK_SIZE
 
 
+_WS_CODES_CACHE: np.ndarray | None = None
+
+
+def _ws_codepoints() -> np.ndarray:
+    """Unicode whitespace codepoints (matches str.split / Arrow ws split;
+    none exist above U+3000)."""
+    global _WS_CODES_CACHE
+    if _WS_CODES_CACHE is None:
+        _WS_CODES_CACHE = np.array(
+            [c for c in range(0x3001) if chr(c).isspace()], dtype=np.int32
+        )
+    return _WS_CODES_CACHE
+
+
+def _ws_token_char_offsets(texts: list[str], ws_counts: np.ndarray):
+    """(starts, ends) codepoint offsets of every whitespace token, doc-major,
+    aligned with pc.utf8_split_whitespace's flattened output. Vectorized over
+    the whole shard: one utf-32 decode + boolean transition masks (costs a
+    transient 4 bytes/char — the price of offsets-at-index mode)."""
+    n = len(texts)
+    joined = "".join(texts)
+    doc_lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    doc_starts = np.concatenate(([0], np.cumsum(doc_lens)))
+    codes = (
+        np.frombuffer(joined.encode("utf-32-le"), dtype=np.int32)
+        if joined
+        else np.empty(0, dtype=np.int32)
+    )
+    is_ws = np.isin(codes, _ws_codepoints())
+    # Arrow splits on whitespace RUNS and keeps empty edge tokens, so a doc
+    # has (ws runs + 1) tokens; token k spans between run k-1's end and run
+    # k's start. Find run boundaries globally, with doc joins forcing breaks.
+    run_start = is_ws.copy()
+    run_end = is_ws.copy()
+    if codes.size:
+        run_start[1:] &= ~is_ws[:-1]
+        run_end[:-1] &= ~is_ws[1:]
+        inner = doc_starts[1:-1]
+        inner = inner[(inner > 0) & (inner < codes.size)]
+        if inner.size:
+            run_start[inner] = is_ws[inner]
+            run_end[inner - 1] = is_ws[inner - 1]
+    rs_global = np.flatnonzero(run_start)
+    re_global = np.flatnonzero(run_end) + 1
+    run_doc = np.searchsorted(doc_starts, rs_global, side="right") - 1
+    runs_per_doc = np.bincount(run_doc, minlength=n)
+    counts = runs_per_doc + 1
+    assert np.array_equal(counts, ws_counts), (
+        "offsets mode: whitespace model diverged from Arrow's split"
+    )
+    tok_offs = np.concatenate(([0], np.cumsum(counts)))
+    total = int(tok_offs[-1])
+    tok_s = np.zeros(total, dtype=np.int64)
+    tok_e = np.empty(total, dtype=np.int64)
+    tok_e[tok_offs[1:] - 1] = doc_lens  # last token of each doc ends at len
+    if rs_global.size:
+        run_rank = np.arange(rs_global.size, dtype=np.int64) - np.concatenate(
+            ([0], np.cumsum(runs_per_doc[:-1]))
+        )[run_doc]
+        tok_s[tok_offs[run_doc] + 1 + run_rank] = re_global - doc_starts[run_doc]
+        tok_e[tok_offs[run_doc] + run_rank] = rs_global - doc_starts[run_doc]
+    return tok_s, tok_e
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -62,7 +126,7 @@ def build_segment(
     content_column: str = "content",
     stored_columns: tuple[str, ...] = (),
     lineage: dict | None = None,
-    index_options: str = "freqs",  # "freqs" | "positions" (FieldInfo.IndexOptions analog)
+    index_options: str = "freqs",  # "freqs" | "positions" | "offsets" (FieldInfo.IndexOptions analog)
     store_term_vectors: bool = False,  # per-doc (term, tf) columns in docs.parquet
 ) -> dict:
     """Tokenize + invert one partition of the corpus and write a segment.
@@ -88,6 +152,7 @@ def build_segment(
     n_docs = len(content_arr)
     content_bytes = int(pc.sum(pc.binary_length(content_arr)).as_py() or 0)
 
+    pos_offset_cols = None
     # --- analysis + inversion, allocation-light ---------------------------
     # Whitespace pre-split happens in Arrow (contiguous buffers); the Python
     # analyzer touches only the UNIQUE whitespace tokens (dictionary-encoded,
@@ -103,7 +168,7 @@ def build_segment(
             denc = denc.combine_chunks()
         idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq_ws = denc.dictionary.to_pylist()
-        with_pos = index_options == "positions"
+        with_pos = index_options in ("positions", "offsets")
         # per-unique-token analysis -> CSR of term-ids (+ relative positions)
         term_id: dict[str, int] = {}
         uniq_vals: list[int] = []
@@ -144,6 +209,7 @@ def build_segment(
         rank_of_id[sort_perm] = np.arange(n_terms_all)
         uniq_terms = pa.array(id_to_term[sort_perm], type=pa.string())
 
+        pos_offset_cols = None
         if with_pos and total_terms:
             # absolute position = per-doc cumulative raw-token base + relative
             occ_nraw = n_raw[idx]
@@ -172,6 +238,26 @@ def build_segment(
             pos_deltas[1:] = p_sorted[1:] - p_sorted[:-1]
             pos_deltas[pstarts] = p_sorted[pstarts]
             n_post = codes.size
+            if index_options == "offsets":
+                # per-doc position -> enclosing-ws-token char range, stored
+                # as docs.parquet list columns (PostingsHighlighter's offsets
+                # source — IndexOptions...AND_OFFSETS analog, factored per
+                # doc instead of per posting so merges carry it unchanged)
+                tok_s, tok_e = _ws_token_char_offsets(
+                    content_arr.to_pylist(), ws_counts
+                )
+                ps_flat = np.repeat(tok_s, occ_nraw).astype(np.int32)
+                pe_flat = np.repeat(tok_e, occ_nraw).astype(np.int32)
+                per_doc = np.bincount(
+                    doc_of_ws, weights=occ_nraw, minlength=n_docs
+                ).astype(np.int64)
+                loffs = pa.array(
+                    np.concatenate(([0], np.cumsum(per_doc))).astype(np.int32)
+                )
+                pos_offset_cols = {
+                    "pos_start": pa.ListArray.from_arrays(loffs, pa.array(ps_flat)),
+                    "pos_end": pa.ListArray.from_arrays(loffs, pa.array(pe_flat)),
+                }
         else:
             # (term, doc) -> tf via one integer sort: key = term_id*n_docs + doc
             if total_terms:
@@ -187,9 +273,9 @@ def build_segment(
             pos_deltas = None
             n_post = codes.size
     else:
-        if index_options == "positions":
+        if index_options in ("positions", "offsets"):
             raise NotImplementedError(
-                "positions indexing requires a whitespace-splittable analyzer "
+                "positions/offsets indexing requires a whitespace-splittable analyzer "
                 f"(kind={analyzer.kind!r} unsupported)"
             )
         pos_deltas = None
@@ -258,6 +344,14 @@ def build_segment(
         empty_off = pa.array(np.zeros(n_docs + 1, dtype=np.int32))
         docs_cols["tvec_terms"] = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.string()))
         docs_cols["tvec_tfs"] = pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32()))
+    if index_options == "offsets":
+        if pos_offset_cols is None:  # empty/degenerate shard
+            empty_off = pa.array(np.zeros(n_docs + 1, dtype=np.int32))
+            pos_offset_cols = {
+                "pos_start": pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
+                "pos_end": pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
+            }
+        docs_cols.update(pos_offset_cols)
     for col in stored_columns:
         if col in table.column_names:
             docs_cols[col] = table.column(col)
@@ -430,7 +524,7 @@ class SegmentReader:
         self._term_np = np.asarray(self._terms.to_pylist(), dtype=object)
         for col in ("df", "ttf", "doc_off", "doc_len", "frq_off", "frq_len"):
             setattr(self, "_" + col, t.column(col).to_numpy())
-        self.has_positions = "pos_off" in t.column_names and self.meta.get("index_options") == "positions"
+        self.has_positions = "pos_off" in t.column_names and self.meta.get("index_options") in ("positions", "offsets")
         if "pos_off" in t.column_names:
             self._pos_off = t.column("pos_off").to_numpy()
             self._pos_len = t.column("pos_len").to_numpy()
@@ -464,6 +558,30 @@ class SegmentReader:
         terms = tbl.column("tvec_terms")[local_doc].as_py()
         tfs = tbl.column("tvec_tfs")[local_doc].as_py()
         return dict(zip(terms, tfs))
+
+    @property
+    def has_offsets(self) -> bool:
+        return self.meta.get("index_options") == "offsets"
+
+    def position_char_offsets(self, local_doc: int) -> tuple[np.ndarray, np.ndarray]:
+        """(starts, ends) codepoint offsets of the ws token covering each
+        position of one doc — the PostingsHighlighter offsets source
+        (reference Postingshighlight/PostingsHighlighter.cs:91 reads offsets
+        from the postings enum; here they live per-doc in docs.parquet so
+        merges carry them unchanged). Lazy, column-pruned, cached."""
+        if not self.has_offsets:
+            raise ValueError("index was not built with index_options='offsets'")
+        if not hasattr(self, "_pos_off_tbl"):
+            self._pos_off_tbl = pq.read_table(
+                os.path.join(self.seg_dir, "docs.parquet"),
+                columns=["pos_start", "pos_end"],
+            )
+        s = self._pos_off_tbl.column("pos_start")[local_doc]
+        e = self._pos_off_tbl.column("pos_end")[local_doc]
+        return (
+            np.asarray(s.values.to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(e.values.to_numpy(zero_copy_only=False), dtype=np.int64),
+        )
 
     def doc_values(self, field: str) -> "np.ndarray":
         """Stored docs-table column as numpy (cached) — DocValues analog."""
