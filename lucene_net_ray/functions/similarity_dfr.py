@@ -61,6 +61,41 @@ def dfr_scores(
     elif basic_model == "Ine":
         ne = max_doc * (1.0 - ((max_doc - 1.0) / max_doc) ** ttf)
         info = tfn * (np.log((max_doc + 1.0) / (ne + 0.5)) / LOG2)
+    elif basic_model == "G":
+        # BasicModelG.cs: geometric approximation of Bose-Einstein
+        F = ttf + 1.0
+        lam = F / (max_doc + F)
+        info = np.log2(lam + 1.0) + tfn * np.log2((1.0 + lam) / lam)
+    elif basic_model == "P":
+        # BasicModelP.cs: Poisson with Stirling's approximation
+        lam = (ttf + 1.0) / (max_doc + 1.0)
+        log2e = 1.0 / LOG2
+        info = (
+            tfn * np.log2(tfn / lam)
+            + (lam + 1.0 / (12.0 * tfn) - tfn) * log2e
+            + 0.5 * np.log2(2.0 * np.pi * tfn)
+        )
+    elif basic_model == "D":
+        # BasicModelD.cs: divergence approximation of the binomial
+        F = ttf + 1.0
+        phi = tfn / F
+        nphi = 1.0 - phi
+        p = 1.0 / (max_doc + 1.0)
+        Dv = phi * np.log2(phi / p) + nphi * np.log2(nphi / (1.0 - p))
+        info = Dv * F + 0.5 * np.log2(1.0 + 2.0 * np.pi * tfn * nphi)
+    elif basic_model == "Be":
+        # BasicModelBE.cs: limiting form of Bose-Einstein
+        F = ttf + 1.0
+        N = float(max_doc)
+
+        def _f(n, m):
+            return (m + 0.5) * np.log2(n / m) + (n - m) * np.log2(n)
+
+        info = (
+            -np.log2((N - 1.0) * np.e)
+            + _f(N + F - 1.0, N + F - tfn - 2.0)
+            - _f(F, F - tfn)
+        )
     else:
         raise ValueError(f"unknown basic model {basic_model}")
     if after_effect == "L":

@@ -73,6 +73,13 @@ class ClassicSegmentScorer:
         self.reader = reader
         self.stats = global_stats
 
+    # Similarity extension hooks (SweetSpotSimilarity overrides both)
+    def _tf(self, tfs: np.ndarray) -> np.ndarray:
+        return self.cs.classic_tf(tfs)
+
+    def _doc_norms(self) -> np.ndarray:
+        return self.cs.CLASSIC_NORM_TABLE[self.reader.norms]
+
     def _flat_terms(self, q: Query) -> tuple[list[tuple[str, float, str]], int]:
         if isinstance(q, TermQuery):
             return [(q.term, q.boost, "SHOULD")], 0
@@ -99,7 +106,7 @@ class ClassicSegmentScorer:
             weights[(t, b)] = (idf, qw)
             ssw += float(qw) * float(qw)
         qn = cs.query_norm(ssw)
-        norms = cs.CLASSIC_NORM_TABLE[self.reader.norms]
+        norms = self._doc_norms()
 
         musts = [(t, b) for t, b, occ in clauses if occ == "MUST"]
         shoulds = [(t, b) for t, b, occ in clauses if occ == "SHOULD"]
@@ -111,7 +118,7 @@ class ClassicSegmentScorer:
                 return docids, np.empty(0, dtype=np.float32)
             idf, qw = weights[(t, b)]
             value = np.float32(qw * qn)
-            s = (cs.classic_tf(tfs) * np.float32(idf) * value * norms[docids]).astype(np.float32)
+            s = (self._tf(tfs) * np.float32(idf) * value * norms[docids]).astype(np.float32)
             return docids, s
 
         evals = {key: term_scores(*key) for key in set(musts + shoulds)}
@@ -157,6 +164,42 @@ class ClassicSegmentScorer:
             return []
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]) + self.reader.doc_base, float(scores[i])) for i in order]
+
+
+class SweetSpotSegmentScorer(ClassicSegmentScorer):
+    """SweetSpotSimilarity (reference Misc/SweetSpotSimilarity.cs): classic
+    TF-IDF with a plateaued length norm ([ln_min, ln_max] scores as length 1,
+    falloff controlled by steepness) and a baseline or hyperbolic tf. Norms
+    come from the EXACT stored field_len (the reference quantizes through the
+    norm byte; documented deviation, strictly more precise)."""
+
+    def __init__(
+        self,
+        reader: SegmentReader,
+        global_stats: dict,
+        *,
+        ln_min: int = 1,
+        ln_max: int = 1,
+        steepness: float = 0.5,
+        tf_base: float = 0.0,
+        tf_min: float = 0.0,
+        hyperbolic: dict | None = None,
+    ):
+        super().__init__(reader, global_stats)
+        self.ln_min, self.ln_max, self.steepness = ln_min, ln_max, steepness
+        self.tf_base, self.tf_min = tf_base, tf_min
+        self.hyperbolic = hyperbolic
+
+    def _tf(self, tfs: np.ndarray) -> np.ndarray:
+        if self.hyperbolic is not None:
+            return self.cs.sweetspot_hyperbolic_tf(tfs, **self.hyperbolic)
+        return self.cs.sweetspot_baseline_tf(tfs, self.tf_base, self.tf_min)
+
+    def _doc_norms(self) -> np.ndarray:
+        lens = self.reader.doc_values("field_len")
+        return self.cs.sweetspot_length_norm(
+            np.asarray(lens, dtype=np.float32), self.ln_min, self.ln_max, self.steepness
+        )
 
 
 class LMSegmentScorer:

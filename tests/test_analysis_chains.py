@@ -202,6 +202,97 @@ def test_dfr_ib_hand_vectors(tmp_path):
     assert db.tolist() == [0, 2] and sb[0] > sb[1]
 
 
+def test_dfr_gpdbe_hand_vectors(tmp_path):
+    """DFR basic models G/P/D/Be parity with hand-computed reference formulas
+    (BasicModelG.cs / BasicModelP.cs / BasicModelD.cs / BasicModelBE.cs)."""
+    import math
+
+    from lucene_net_ray.functions.norms import NORM_TABLE
+    from lucene_net_ray.pipelines.scorer import DFRSegmentScorer
+    from lucene_net_ray.state.index import IndexMeta
+    from lucene_net_ray.state.segment import SegmentReader
+
+    docs = ["alpha beta alpha gamma", "beta beta delta", "alpha epsilon zeta eta"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": docs}), idx, target_rows_per_segment=10)
+    reader = SegmentReader(IndexMeta(idx).segment_dirs[0])
+    N, T = meta.max_doc, meta.sum_ttf
+    avgdl = T / N
+    stats = {"max_doc": N, "sum_ttf": T, "df": {"alpha": 2}, "ttf": {"alpha": 3}}
+    ttf, df = 3, 2
+
+    def expected(model, tf, dl):
+        tfn = tf * math.log2(1 + avgdl / dl)
+        F = ttf + 1.0
+        if model == "G":
+            lam = F / (N + F)
+            info = math.log2(lam + 1.0) + tfn * math.log2((1 + lam) / lam)
+        elif model == "P":
+            lam = (ttf + 1.0) / (N + 1.0)
+            info = (tfn * math.log2(tfn / lam)
+                    + (lam + 1 / (12 * tfn) - tfn) * math.log2(math.e)
+                    + 0.5 * math.log2(2 * math.pi * tfn))
+        elif model == "D":
+            phi = tfn / F
+            nphi = 1 - phi
+            p = 1.0 / (N + 1)
+            Dv = phi * math.log2(phi / p) + nphi * math.log2(nphi / (1 - p))
+            info = Dv * F + 0.5 * math.log2(1 + 2 * math.pi * tfn * nphi)
+        else:  # Be
+            def f(n, m):
+                return (m + 0.5) * math.log2(n / m) + (n - m) * math.log2(n)
+            info = -math.log2((N - 1) * math.e) + f(N + F - 1, N + F - tfn - 2) - f(F, F - tfn)
+        return max(0.0, np.float32((1.0 / (1.0 + tfn)) * info))
+
+    for model in ("G", "P", "D", "Be"):
+        sc = DFRSegmentScorer(reader, stats, basic_model=model, after_effect="L",
+                              normalization="H2", c=1.0)
+        dids, scores = sc.score_term("alpha")
+        assert dids.tolist() == [0, 2], model
+        for i, tf in enumerate((2, 1)):
+            dl = float(NORM_TABLE[reader.norms[dids[i]]])
+            exp = expected(model, tf, dl)
+            assert np.float32(scores[i]) == np.float32(exp), (model, float(scores[i]), exp)
+
+
+def test_sweetspot_hand_vectors(tmp_path):
+    """SweetSpotSimilarity parity: plateaued lengthNorm + baseline tf
+    (Misc/SweetSpotSimilarity.cs ComputeLengthNorm/BaselineTf)."""
+    import math
+
+    from lucene_net_ray.pipelines.scorer import SweetSpotSegmentScorer
+    from lucene_net_ray.query import TermQuery
+    from lucene_net_ray.state.index import IndexMeta
+    from lucene_net_ray.state.segment import SegmentReader
+
+    docs = ["alpha beta alpha gamma", "beta beta delta", "alpha epsilon zeta eta"]
+    idx = str(tmp_path / "idx")
+    meta = build_index_from_table(pa.table({"content": docs}), idx, target_rows_per_segment=10)
+    reader = SegmentReader(IndexMeta(idx).segment_dirs[0])
+    N = meta.max_doc
+    stats = {"max_doc": N, "df": {"alpha": 2}}
+    sc = SweetSpotSegmentScorer(reader, stats, ln_min=3, ln_max=4, steepness=0.5)
+    docs_o, scores = sc.evaluate(TermQuery(term="alpha"))
+    assert docs_o.tolist() == [0, 2]
+    idf = np.float32(math.log(N / (2 + 1.0)) + 1.0)
+    qn = np.float32(1.0 / math.sqrt(float(np.float32(idf) * np.float32(idf))))
+    for i, (tf, flen) in enumerate(((2, 4), (1, 4))):
+        # lengths 4 sit inside the [3,4] plateau -> norm exactly 1
+        norm = 1.0 / math.sqrt(0.5 * (abs(flen - 3) + abs(flen - 4) - 1) + 1.0)
+        exp = np.float32(np.float32(math.sqrt(tf)) * idf * np.float32(idf * qn) * np.float32(norm))
+        assert np.float32(scores[i]) == exp, (i, float(scores[i]), float(exp))
+    # plateau: both docs have 4 terms -> norms identical and == 1
+    lens = np.asarray(reader.doc_values("field_len"), dtype=np.float32)
+    from lucene_net_ray.functions.similarity_classic import sweetspot_length_norm
+
+    nn = sweetspot_length_norm(lens, 3, 4, 0.5)
+    assert np.allclose(nn, 1.0)
+    # hyperbolic tf variant runs and is monotone in tf
+    hy = SweetSpotSegmentScorer(reader, stats, hyperbolic={"h_min": 0.0, "h_max": 2.0})
+    d2, s2 = hy.evaluate(TermQuery(term="alpha"))
+    assert d2.tolist() == [0, 2] and s2[0] > s2[1]
+
+
 def test_language_light_stemmers():
     from lucene_net_ray.functions.stem import (
         french_minimal_stem,
