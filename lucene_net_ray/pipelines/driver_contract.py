@@ -634,6 +634,24 @@ def q_embed_neardup_lsh(sf_dir: str):
     return embedding_neardup_pairs(ds, threshold=0.4, method="lsh", bits=6, probes=3)
 
 
+def q_freetext_suggest(sf_dir: str):
+    """FreeTextSuggester (shingle LM + stupid backoff) over the documents
+    table: top next-token suggestions for a fixed context per language row.
+    Rows-only (the backoff LM has no SQL analog); scoring semantics are
+    verified in tests/test_suggest.py."""
+    from .suggest import FreeTextSuggester
+
+    ds = _documents_ds(sf_dir)
+    sg = FreeTextSuggester(ds, text_column="text", grams=3)
+    rows = []
+    for ctx in ["public ", "import ", "the "]:
+        for tok, score in sg.lookup(ctx, k=5):
+            rows.append({"context": ctx.strip(), "token": tok, "score": round(score, 6)})
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["context", "token", "score"])
+
+
 def q_clean_corpus_ids(sf_dir: str):
     """End-to-end cleaning pipeline: kept (doc_id, quality) after a quality
     floor + exact dedup keep-first."""
@@ -734,6 +752,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embed_neardup_pairs": q_embed_neardup_pairs,
     "embed_neardup_lsh": q_embed_neardup_lsh,
+    "freetext_suggest": q_freetext_suggest,
     "clean_corpus_ids": q_clean_corpus_ids,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,

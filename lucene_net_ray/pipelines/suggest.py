@@ -77,6 +77,108 @@ class AnalyzingSuggester:
         return cands[:k]
 
 
+class FreeTextSuggester:
+    """FreeTextSuggester analog (reference
+    Suggest/Suggest/Analyzing/FreeTextSuggester.cs:120): an n-gram language
+    model with "stupid backoff" (the reference's ALPHA = 0.4).
+
+    Build = ONE Ray aggregation: per-batch shingle Counters (the
+    combiner-before-shuffle pattern) -> groupby(gram).sum. The finished model
+    (gram -> count per order) is suggester-sized and held in RAM, like the
+    reference's FST.
+
+    lookup(context): the last (grams-1) analyzed tokens form the context;
+    candidates seed from the LONGEST matching context suffix and back off to
+    shorter ones weighted ALPHA^steps, each scored count/context_count; a
+    trailing partial token (no trailing whitespace) filters candidates by
+    prefix — mirroring FreeTextSuggester.DoLookup's backoff walk.
+    """
+
+    ALPHA = 0.4
+
+    def __init__(
+        self,
+        ds: ray.data.Dataset,
+        *,
+        text_column: str = "text",
+        grams: int = 3,
+        analyzer: Analyzer | None = None,
+    ):
+        analyzer = analyzer or Analyzer(stop_words=None)
+        self.grams = grams
+        self._analyzer = analyzer
+
+        def shingle_partials(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            agg: Counter = Counter()
+            for text in batch.column(text_column).to_pylist():
+                toks = analyzer(text)
+                for n in range(1, grams + 1):
+                    for i in range(len(toks) - n + 1):
+                        agg[" ".join(toks[i : i + n])] += 1
+            return pa.table(
+                {
+                    "gram": pa.array(list(agg.keys()), type=pa.string()),
+                    "n": pa.array(list(agg.values()), type=pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(shingle_partials, batch_format="pyarrow")
+            .groupby("gram")
+            .sum("n")
+            .take_all()
+        )  # model-sized, not corpus-sized
+        self._count: dict[str, int] = {}
+        by_order: dict[int, list[str]] = {}
+        total_uni = 0
+        for r in rows:
+            g, n = r["gram"], int(r["sum(n)"])
+            self._count[g] = n
+            order = g.count(" ") + 1
+            by_order.setdefault(order, []).append(g)
+            if order == 1:
+                total_uni += n
+        self._sorted = {o: sorted(gs) for o, gs in by_order.items()}
+        self._total_uni = max(total_uni, 1)
+
+    def _candidates(self, ctx_key: str, prefix: str, order: int) -> list[str]:
+        """Grams of length `order` starting with 'ctx_key ' + prefix*."""
+        lst = self._sorted.get(order, [])
+        head = (ctx_key + " " + prefix) if ctx_key else prefix
+        lo = bisect.bisect_left(lst, head)
+        hi = bisect.bisect_right(lst, head + "\U0010FFFF")
+        return lst[lo:hi]
+
+    def lookup(self, context: str, k: int = 5) -> list[tuple[str, float]]:
+        """Top-k (next_token, score). Trailing whitespace means the last
+        token is complete; otherwise it is a prefix filter."""
+        complete = context != context.rstrip()
+        toks = self._analyzer(context)
+        if complete or not toks:
+            prefix, ctx = "", toks
+        else:
+            prefix, ctx = toks[-1], toks[:-1]
+        ctx = ctx[-(self.grams - 1) :] if self.grams > 1 else []
+        scored: dict[str, float] = {}
+        max_order = len(ctx)
+        for order in range(max_order, -1, -1):
+            suffix = ctx[len(ctx) - order :]
+            key = " ".join(suffix)
+            denom = self._count.get(key, 0) if order else self._total_uni
+            if denom <= 0:
+                continue
+            weight = self.ALPHA ** (max_order - order)
+            for g in self._candidates(key, prefix, order + 1):
+                token = g.rsplit(" ", 1)[-1] if order else g
+                if token in scored:
+                    continue  # higher-order estimate wins (stupid backoff)
+                scored[token] = weight * self._count[g] / denom
+        out = sorted(scored.items(), key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+
 def suggest_word_breaks(
     searcher, term: str, *, k: int = 5, min_part_len: int = 2
 ) -> list[tuple[tuple[str, str], int]]:
