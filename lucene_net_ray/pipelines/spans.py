@@ -62,6 +62,74 @@ class SpanFirstQuery(Query):
     field: str = "content"
 
 
+@dataclass(frozen=True)
+class SpanMultiTermQuery(Query):
+    """A multi-term query (Prefix/Wildcard/Fuzzy/TermRange/Regexp) embedded
+    in a span tree (SpanMultiTermQueryWrapper analog, reference
+    Search/Spans/SpanMultiTermQueryWrapper.cs). Must be rewritten to a
+    SpanOrQuery of matched terms (rewrite_span_multiterm) before
+    evaluation — ComplexPhraseQueryParser's lowering."""
+
+    query: Query = None
+    field: str = "content"
+
+
+def _searcher_expand(searcher, node) -> list[tuple[str, float]]:
+    """Union of per-segment multiterm expansions (first-seen boost wins)."""
+    import ray as _ray
+
+    if searcher.use_actors:
+        per = _ray.get([g.expand.remote(node) for g in searcher.groups])
+    else:
+        per = [g.expand(node) for g in searcher.groups]
+    seen: dict[str, float] = {}
+    for lst in per:
+        for t, b in lst:
+            seen.setdefault(t, b)
+    return sorted(seen.items())
+
+
+def rewrite_span_multiterm(searcher, q):
+    """Searcher-level rewrite: expand every SpanMultiTermQuery against the
+    whole index (union over segments, like the fuzzy TopTermsRewrite) so df
+    stats and evaluation see one fixed span tree."""
+    if isinstance(q, SpanMultiTermQuery):
+        expansions = _searcher_expand(searcher, q.query)
+        return SpanOrQuery(
+            clauses=tuple(SpanTermQuery(field=q.field, term=t) for t, _ in expansions),
+            field=q.field,
+        )
+    if isinstance(q, SpanNearQuery):
+        return SpanNearQuery(
+            clauses=tuple(rewrite_span_multiterm(searcher, c) for c in q.clauses),
+            slop=q.slop,
+            in_order=q.in_order,
+            field=q.field,
+            boost=q.boost,
+        )
+    if isinstance(q, SpanOrQuery):
+        return SpanOrQuery(
+            clauses=tuple(rewrite_span_multiterm(searcher, c) for c in q.clauses),
+            field=q.field,
+            boost=q.boost,
+        )
+    if isinstance(q, SpanNotQuery):
+        return SpanNotQuery(
+            include=rewrite_span_multiterm(searcher, q.include),
+            exclude=rewrite_span_multiterm(searcher, q.exclude),
+            field=q.field,
+            boost=q.boost,
+        )
+    if isinstance(q, SpanFirstQuery):
+        return SpanFirstQuery(
+            match=rewrite_span_multiterm(searcher, q.match),
+            end=q.end,
+            field=q.field,
+            boost=q.boost,
+        )
+    return q
+
+
 def span_terms(q) -> set[str]:
     if isinstance(q, SpanTermQuery):
         return {q.term}
@@ -218,6 +286,7 @@ def span_search(searcher, q, k: int = 10) -> list[tuple[int, float]]:
 
     from .search import merge_top_docs
 
+    q = rewrite_span_multiterm(searcher, q)
     terms = sorted(span_terms(q))
     df = searcher._stats_for_terms(terms)
     stats = {"max_doc": searcher.index.max_doc, "sum_ttf": searcher.index.sum_ttf, "df": df}

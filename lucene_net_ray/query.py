@@ -364,6 +364,63 @@ def _parse_phrase(text: str, field: str, analyzer) -> Query | None:
     return PhraseQuery(field=field, terms=tuple(terms), slop=slop, positions=tuple(positions))
 
 
+def parse_complex_phrase(
+    s: str, default_field: str = "content", analyzer=None
+) -> Query:
+    """ComplexPhraseQueryParser subset (reference
+    QueryParsers/ComplexPhrase/ComplexPhraseQueryParser.cs:49): a quoted
+    phrase whose elements may be wildcards, prefixes, fuzzy terms or ranges,
+    lowered to a SpanNearQuery of SpanTerm/SpanMultiTerm clauses.
+    ``'"foo* ba?r"~2'`` or a bare ``'foo* bar'``. in_order = (slop == 0),
+    matching the reference's rewrite. Evaluate with
+    ``spans.span_search`` (which expands the multiterm clauses
+    searcher-level, the SpanMultiTermQueryWrapper rewrite)."""
+    from .functions.analysis import Analyzer
+    from .pipelines.spans import SpanMultiTermQuery, SpanNearQuery, SpanTermQuery
+
+    analyzer = analyzer or Analyzer()
+    s = s.strip()
+    slop = 0
+    m = re.match(r'^"(.*)"(?:~(\d+))?$', s)
+    if m:
+        body = m.group(1)
+        if m.group(2):
+            slop = int(m.group(2))
+    else:
+        body = s
+    clauses: list[Query] = []
+    for raw in body.split():
+        atom = _parse_atom(raw, default_field, analyzer)
+        if atom is None:
+            continue
+        if isinstance(atom, TermQuery):
+            clauses.append(SpanTermQuery(field=default_field, term=atom.term))
+        elif isinstance(atom, (PrefixQuery, WildcardQuery, FuzzyQuery, TermRangeQuery, RegexpQuery)):
+            clauses.append(SpanMultiTermQuery(field=default_field, query=atom))
+        elif isinstance(atom, BooleanQuery):
+            # analyzer split one ws token into several terms: nested exact near
+            clauses.append(
+                SpanNearQuery(
+                    clauses=tuple(
+                        SpanTermQuery(field=default_field, term=c.query.term)
+                        for c in atom.clauses
+                    ),
+                    slop=0,
+                    in_order=True,
+                    field=default_field,
+                )
+            )
+        else:
+            raise ValueError(f"unsupported complex-phrase element: {raw!r}")
+    if not clauses:
+        raise ValueError(f"empty complex phrase: {s!r}")
+    if len(clauses) == 1:
+        return clauses[0]
+    return SpanNearQuery(
+        clauses=tuple(clauses), slop=slop, in_order=(slop == 0), field=default_field
+    )
+
+
 def parse_multi_field(
     s: str, fields: tuple[str, ...], default_field: str = "content", analyzer=None
 ) -> Query:

@@ -125,3 +125,58 @@ def test_span_search_through_actors(tmp_path):
     actors = span_search(Searcher(idx, num_actors=2, use_actors=True), q, k=5)
     assert local == actors
     assert local  # matches exist
+
+
+def test_complex_phrase_parser_and_search(tmp_path):
+    """ComplexPhraseQueryParser subset: wildcard/fuzzy/prefix inside a quoted
+    phrase lowers to span queries and matches through span_search
+    (ComplexPhraseQueryParser.cs:49 semantics)."""
+    import pyarrow as pa
+
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.pipelines.spans import (
+        SpanMultiTermQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+        rewrite_span_multiterm,
+        span_search,
+    )
+    from lucene_net_ray.query import parse_complex_phrase
+
+    docs = [
+        "the quick brown fox",      # 0: quick brown
+        "the quickest brown dog",   # 1: quick* brown
+        "brown quick reversal",     # 2: wrong order
+        "a quack brown duck",       # 3: quick~1 -> quack
+        "quickly he ran away",      # 4: no brown
+    ]
+    idx = str(tmp_path / "idx")
+    build_index_from_table(pa.table({"content": docs}), idx,
+                           index_options="positions", target_rows_per_segment=2)
+    s = Searcher(idx, use_actors=False)
+
+    q = parse_complex_phrase('"quick* brown"')
+    assert isinstance(q, SpanNearQuery) and q.in_order and q.slop == 0
+    assert isinstance(q.clauses[0], SpanMultiTermQuery)
+    hits = {d for d, _ in span_search(s, q, k=10)}
+    assert hits == {0, 1}  # quick/quickest/quickly expand; only 0,1 precede brown
+
+    qf = parse_complex_phrase('"quick~1 brown"')
+    hf = {d for d, _ in span_search(s, qf, k=10)}
+    assert 3 in hf and 0 in hf and 2 not in hf  # quack via fuzzy, order respected
+
+    # slop allows reordering (in_order=False when slop > 0)
+    qs = parse_complex_phrase('"brown quick*"~2')
+    assert not qs.in_order
+    hs = {d for d, _ in span_search(s, qs, k=10)}
+    assert {0, 1, 2} <= hs
+
+    # rewrite is searcher-level: the span tree becomes plain SpanOr/SpanTerm
+    rq = rewrite_span_multiterm(s, q)
+    assert all(not isinstance(c, SpanMultiTermQuery) for c in rq.clauses)
+
+    # plain terms still work through the same parser
+    qp = parse_complex_phrase('"quick brown"')
+    assert all(isinstance(c, SpanTermQuery) for c in qp.clauses)
+    assert {d for d, _ in span_search(s, qp, k=10)} == {0}
