@@ -634,6 +634,37 @@ def q_embed_neardup_lsh(sf_dir: str):
     return embedding_neardup_pairs(ds, threshold=0.4, method="lsh", bits=6, probes=3)
 
 
+def _merged_for(sf_dir: str) -> str:
+    """Merge (or reuse) the cached documents index into a merged layout."""
+    from .merge import merge_index
+
+    meta, _ = _index_for(sf_dir)
+    out = meta.index_dir + "_merged"
+    merge_index(meta, out, bucket_size=4)
+    return out
+
+
+def q_merged_multiterm_counts(sf_dir: str):
+    """Round-3 scale-fix gate: prefix / wildcard / regexp / range / fuzzy
+    rewrites served from the MERGED (term-range-partitioned) layout — the
+    candidate slice comes from terms_in_range (covering parts only), with an
+    assertion that the full vocabulary is never concat-loaded. Counts must
+    hash-match the same SQL oracle as the segmented entries."""
+    from ..query import FuzzyQuery, PrefixQuery, RegexpQuery, TermRangeQuery, WildcardQuery
+    from .merge import MergedSearcher
+
+    m = MergedSearcher(_merged_for(sf_dir))
+    rows = [
+        {"q": "fuzzy", "n": np.int64(m.count(FuzzyQuery(term="spark", max_edits=1, prefix_length=1)))},
+        {"q": "prefix", "n": np.int64(m.count(PrefixQuery(prefix="sp")))},
+        {"q": "range", "n": np.int64(m.count(TermRangeQuery(lower="spa", upper="spz")))},
+        {"q": "regexp", "n": np.int64(m.count(RegexpQuery(pattern="sp[a-z]*k")))},
+        {"q": "wildcard", "n": np.int64(m.count(WildcardQuery(pattern="sp?rk")))},
+    ]
+    assert m.reader._terms_cache is None, "merged multiterm loaded the full vocabulary"
+    return pd.DataFrame(rows, columns=["q", "n"])
+
+
 def q_freetext_suggest(sf_dir: str):
     """FreeTextSuggester (shingle LM + stupid backoff) over the documents
     table: top next-token suggestions for a fixed context per language row.
@@ -736,6 +767,7 @@ QUERIES = {
     "lm_dirichlet_topk": q_lm_dirichlet_topk,
     "prefix_doc_count": q_prefix_doc_count,
     "regexp_doc_count": q_regexp_doc_count,
+    "merged_multiterm_counts": q_merged_multiterm_counts,
     "stemmed_term_df": q_stemmed_term_df,
     "semi_join_orders": q_semi_join_orders,
     "anti_join_customers": q_anti_join_customers,
@@ -853,6 +885,19 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000
         "regexp_doc_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(DISTINCT doc_id) AS n FROM toks WHERE regexp_matches(tok, '^(?:sp[a-z]*k)$')
+""",
+        "merged_multiterm_counts": f"""
+WITH {_TOKS_CTE},
+counts AS (
+  SELECT 'prefix' AS q, count(DISTINCT doc_id) AS n FROM toks WHERE tok LIKE 'sp%'
+  UNION ALL SELECT 'wildcard', count(DISTINCT doc_id) FROM toks WHERE tok LIKE 'sp_rk'
+  UNION ALL SELECT 'regexp', count(DISTINCT doc_id) FROM toks
+    WHERE regexp_matches(tok, '^(?:sp[a-z]*k)$')
+  UNION ALL SELECT 'range', count(DISTINCT doc_id) FROM toks WHERE tok BETWEEN 'spa' AND 'spz'
+  UNION ALL SELECT 'fuzzy', count(DISTINCT doc_id) FROM toks
+    WHERE tok LIKE 's%' AND levenshtein(tok, 'spark') <= 1
+)
+SELECT q, n FROM counts ORDER BY q
 """,
         "facet_lang_counts": f"""
 WITH {_TOKS_CTE}
