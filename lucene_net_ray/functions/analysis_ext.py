@@ -255,3 +255,98 @@ class NGramAnalyzer:
             "lowercase": self.lowercase,
             "edge": self.edge,
         }
+
+
+class PatternAnalyzer:
+    """PatternTokenizer analog (reference
+    Analysis/Pattern/PatternTokenizer.cs:38): tokens are either the match
+    group of the regex (group >= 0) or the text BETWEEN matches
+    (group == -1, the String.split mode)."""
+
+    kind = "pattern"
+
+    def __init__(self, pattern: str, group: int = -1, lowercase: bool = True):
+        import re as _re
+
+        self.pattern = pattern
+        self.group = group
+        self.lowercase = lowercase
+        self._re = _re.compile(pattern)
+        self.stop_words = frozenset()
+        self.max_token_length = 255
+
+    def __call__(self, text: str) -> list[str]:
+        if self.lowercase:
+            text = text.lower()
+        if self.group >= 0:
+            out = [m.group(self.group) for m in self._re.finditer(text)]
+        else:
+            out = self._re.split(text)
+        return [t for t in out if t]
+
+    def analyze_positions(self, ws_token: str):
+        raise NotImplementedError("positions unsupported for pattern analyzers")
+
+    def config(self) -> dict:
+        return {
+            "kind": "pattern",
+            "pattern": self.pattern,
+            "group": self.group,
+            "lowercase": self.lowercase,
+        }
+
+
+class DictionaryCompoundFilter:
+    """DictionaryCompoundWordTokenFilter analog (reference
+    Analysis/Compound/DictionaryCompoundWordTokenFilter.cs:30 +
+    CompoundWordTokenFilterBase.cs Decompose): every dictionary word of
+    length [min_subword, max_subword] found inside a token of length
+    >= min_word_size is emitted AFTER the original token (the reference
+    keeps the original and injects subwords at the same position).
+    only_longest_match keeps only the longest subword per start offset."""
+
+    def __init__(
+        self,
+        dictionary,
+        *,
+        min_word_size: int = 5,
+        min_subword_size: int = 2,
+        max_subword_size: int = 15,
+        only_longest_match: bool = False,
+    ):
+        self.dictionary = frozenset(w.lower() for w in dictionary)
+        self.min_word_size = min_word_size
+        self.min_subword_size = min_subword_size
+        self.max_subword_size = max_subword_size
+        self.only_longest_match = only_longest_match
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in terms:
+            out.append(t)
+            if len(t) < self.min_word_size:
+                continue
+            for i in range(len(t) - self.min_subword_size + 1):
+                longest = None
+                for size in range(self.min_subword_size, self.max_subword_size + 1):
+                    if i + size > len(t):
+                        break
+                    sub = t[i : i + size]
+                    if sub in self.dictionary:
+                        if self.only_longest_match:
+                            longest = sub
+                        else:
+                            out.append(sub)
+                if longest is not None:
+                    out.append(longest)
+        return out
+
+    def config(self) -> dict:
+        return {
+            "filter": "dictionary_compound",
+            "dict_size": len(self.dictionary),
+            "min_word_size": self.min_word_size,
+            "min_subword_size": self.min_subword_size,
+            "max_subword_size": self.max_subword_size,
+            "only_longest_match": self.only_longest_match,
+        }

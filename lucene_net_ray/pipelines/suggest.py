@@ -77,6 +77,62 @@ class AnalyzingSuggester:
         return cands[:k]
 
 
+def _prefix_edit_distance(query: str, cand: str, cap: int) -> int:
+    """min edit distance of `query` to any PREFIX of `cand` (banded DP rows
+    over cand; suggester keys are short, so plain DP is fine)."""
+    prev = list(range(len(query) + 1))
+    best = prev[-1]
+    for ch in cand:
+        cur = [prev[0] + 1]
+        for j, qc in enumerate(query, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (qc != ch)))
+        prev = cur
+        best = min(best, prev[-1])
+        if min(prev) > cap:
+            break
+    return best
+
+
+class FuzzySuggester(AnalyzingSuggester):
+    """FuzzySuggester analog (reference
+    Suggest/Suggest/Analyzing/FuzzySuggester.cs:60): AnalyzingSuggester whose
+    lookup key may differ from stored keys by up to ``max_edits`` edits. The
+    first ``non_fuzzy_prefix`` chars must match exactly and keys shorter
+    than ``min_fuzzy_length`` fall back to exact prefix lookup — the
+    reference's defaults (1 edit, prefix 1, min length 3)."""
+
+    def __init__(
+        self,
+        ds: ray.data.Dataset,
+        *,
+        max_edits: int = 1,
+        non_fuzzy_prefix: int = 1,
+        min_fuzzy_length: int = 3,
+        **kw,
+    ):
+        super().__init__(ds, **kw)
+        self.max_edits = max_edits
+        self.non_fuzzy_prefix = non_fuzzy_prefix
+        self.min_fuzzy_length = min_fuzzy_length
+
+    def lookup(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
+        key = " ".join(self._analyzer(prefix))
+        if len(key) < self.min_fuzzy_length:
+            return super().lookup(prefix, k)
+        head = key[: self.non_fuzzy_prefix]
+        lo = bisect.bisect_left(self._keys, head)
+        hi = bisect.bisect_right(self._keys, head + "\U0010FFFF")
+        best: dict[str, int] = {}
+        for i in range(lo, hi):
+            cand = self._keys[i][: len(key) + self.max_edits]
+            if _prefix_edit_distance(key, cand, self.max_edits) <= self.max_edits:
+                s, w = self._surfaces[i], self._weights[i]
+                if w > best.get(s, -1):
+                    best[s] = w
+        out = sorted(best.items(), key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+
 class FreeTextSuggester:
     """FreeTextSuggester analog (reference
     Suggest/Suggest/Analyzing/FreeTextSuggester.cs:120): an n-gram language

@@ -159,7 +159,7 @@ def build_segment(
     # memoized across tasks), and everything per-occurrence is integer numpy.
     # Tokens never span whitespace in the grammar, so analyzing per
     # whitespace-token is exactly analyzing the document.
-    if analyzer.kind not in ("keyword", "chain", "ngram") and n_docs:
+    if analyzer.kind not in ("keyword", "chain", "ngram", "pattern") and n_docs:
         ws = pc.utf8_split_whitespace(content_arr)
         ws_counts = pc.list_value_length(ws).to_numpy(zero_copy_only=False).astype(np.int64)
         flat_ws = pc.list_flatten(ws)

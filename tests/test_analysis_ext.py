@@ -105,3 +105,71 @@ def test_char_filters_and_chain(tmp_path):
     s = Searcher(meta, use_actors=False)
     assert s.count(TermQuery(term="cplusplus")) == 1
     assert s.count(TermQuery(term="h1")) == 0  # tags never indexed
+
+
+def test_pattern_analyzer():
+    """PatternTokenizer.cs:38 semantics: group>=0 emits matches, group==-1
+    splits on the pattern."""
+    from lucene_net_ray.functions.analysis_ext import PatternAnalyzer
+
+    split = PatternAnalyzer(r"[,;]\s*")
+    assert split("Foo, bar; Baz,qux") == ["foo", "bar", "baz", "qux"]
+    match = PatternAnalyzer(r"[a-z]+", group=0)
+    assert match("ab12cd ef") == ["ab", "cd", "ef"]
+    group = PatternAnalyzer(r"'([^']+)'", group=1)
+    assert group("'quoted' not 'this too'") == ["quoted", "this too"]
+    # pluggable into the index build like other analyzers
+    import pyarrow as pa
+
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import TermQuery
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        build_index_from_table(
+            pa.table({"content": ["Alpha, beta; gamma", "beta; delta"]}),
+            d + "/idx",
+            analyzer=split,
+        )
+        s = Searcher(d + "/idx", use_actors=False)
+        assert {h for h, _ in s.search(TermQuery(term="beta"), k=5)} == {0, 1}
+
+
+def test_dictionary_compound_filter():
+    """DictionaryCompoundWordTokenFilter.cs:30: original token kept, dictionary
+    subwords injected after it."""
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.functions.analysis_ext import ChainAnalyzer, DictionaryCompoundFilter
+
+    f = DictionaryCompoundFilter(["soft", "ball", "team", "donau", "dampf", "schiff"])
+    assert f(["softballteam"]) == ["softballteam", "soft", "ball", "team"]
+    assert f(["ball"]) == ["ball"]  # below min_word_size: not decomposed
+    assert f(["donaudampfschiff"]) == ["donaudampfschiff", "donau", "dampf", "schiff"]
+    # longest-match mode: 'soft' wins over any shorter dict entry at offset 0
+    f2 = DictionaryCompoundFilter(["so", "soft"], only_longest_match=True)
+    assert f2(["software"]) == ["software", "soft"]
+    chain = ChainAnalyzer(base=Analyzer(stop_words=None), filters=(f,))
+    assert chain("the softballteam") == ["the", "softballteam", "soft", "ball", "team"]
+
+
+def test_fuzzy_suggester():
+    """FuzzySuggester.cs:60: typo-tolerant prefix lookup, exact first char,
+    short keys fall back to exact."""
+    import ray.data
+
+    from lucene_net_ray.pipelines.suggest import FuzzySuggester
+
+    rows = [
+        {"suggestion": "spark cluster", "weight": 90},
+        {"suggestion": "sharp knife", "weight": 70},
+        {"suggestion": "spork", "weight": 50},
+        {"suggestion": "unrelated", "weight": 99},
+    ]
+    sg = FuzzySuggester(ray.data.from_items(rows), max_edits=1)
+    got = sg.lookup("spork")  # 1 edit from 'spark'
+    assert ("spork", 50) in got and ("spark cluster", 90) in got
+    assert got[0] == ("spark cluster", 90)  # weight order, like the reference
+    assert ("unrelated", 99) not in got  # first char must match
+    # short key: exact prefix only
+    assert sg.lookup("sp") == [("spark cluster", 90), ("spork", 50)]
