@@ -332,6 +332,9 @@ class Analyzer:
             "english_snowball": "porter2",
             "italian": "italian",
             "russian": "russian",
+            "swedish": "swedish",
+            "norwegian": "norwegian",
+            "danish": "danish",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

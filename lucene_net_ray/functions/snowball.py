@@ -505,3 +505,153 @@ SNOWBALL_STEMMERS = {
     "italian": italian_stem,
     "russian": russian_stem,
 }
+
+
+# ---------------------------------------------------------------------------
+# Scandinavian family: Swedish, Norwegian, Danish (published definitions:
+# "The Swedish/Norwegian/Danish stemming algorithm", snowballstem.org).
+# Shared shape: R1 (adjusted so >= 3 chars precede it), one big suffix step,
+# a consonant-pair step, and a small cleanup step.
+# ---------------------------------------------------------------------------
+
+def _scand_r1(w: str, vowels: frozenset) -> int:
+    return max(_region_after_vc(w, vowels, 0), 3)
+
+
+_SV_V = frozenset("aeiouyäåö")
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+_SV_STEP1 = tuple(sorted(
+    ["a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande", "arne",
+     "are", "aste", "en", "anden", "aren", "heten", "ern", "ar", "er",
+     "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades", "andes",
+     "ens", "arens", "hetens", "erns", "at", "andet", "het", "ast"],
+    key=len, reverse=True))
+_SV_STEP3 = ("fullt", "löst", "els", "lig", "ig")
+
+
+@lru_cache(maxsize=200_000)
+def swedish_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _SV_V)
+    matched = None
+    for suf in _SV_STEP1:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            matched = suf
+            break
+    if matched:
+        w = w[: -len(matched)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 and w[-2] in _SV_S_END:
+        w = w[:-1]
+    for suf in ("dd", "gd", "nn", "dt", "gt", "kt", "tt"):
+        if w.endswith(suf) and len(w) - 2 >= r1:
+            w = w[:-1]
+            break
+    for suf in _SV_STEP3:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            if suf == "löst":
+                w = w[:-1]  # -> lös
+            elif suf == "fullt":
+                w = w[:-1]  # -> full
+            else:
+                w = w[: -len(suf)]
+            break
+    return w
+
+
+_NO_V = frozenset("aeiouyæåø")
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+_NO_STEP1 = tuple(sorted(
+    [("a", "d"), ("e", "d"), ("ede", "d"), ("ande", "d"), ("ende", "d"),
+     ("ane", "d"), ("ene", "d"), ("hetene", "d"), ("en", "d"), ("heten", "d"),
+     ("ar", "d"), ("er", "d"), ("heter", "d"), ("as", "d"), ("es", "d"),
+     ("edes", "d"), ("endes", "d"), ("enes", "d"), ("hetenes", "d"),
+     ("ens", "d"), ("hetens", "d"), ("ers", "d"), ("ets", "d"), ("et", "d"),
+     ("het", "d"), ("ast", "d"), ("erte", "er"), ("ert", "er"), ("s", "s")],
+    key=lambda e: len(e[0]), reverse=True))
+_NO_STEP3 = tuple(sorted(
+    ["leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov", "slov",
+     "hetslov"], key=len, reverse=True))
+
+
+@lru_cache(maxsize=200_000)
+def norwegian_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _NO_V)
+    for suf, action in _NO_STEP1:
+        if not (w.endswith(suf) and len(w) - len(suf) >= r1):
+            continue
+        if action == "d":
+            w = w[: -len(suf)]
+        elif action == "er":
+            w = w[: -len(suf)] + "er"
+        else:  # s: valid s-ending, or k not preceded by a vowel
+            prev = w[-2] if len(w) >= 2 else ""
+            if prev in _NO_S_END or (
+                prev == "k" and (len(w) < 3 or w[-3] not in _NO_V)
+            ):
+                w = w[:-1]
+        break
+    for suf in ("dt", "vt"):
+        if w.endswith(suf) and len(w) - 2 >= r1:
+            w = w[:-1]
+            break
+    for suf in _NO_STEP3:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)]
+            break
+    return w
+
+
+_DA_V = frozenset("aeiouyæåø")
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+_DA_STEP1 = tuple(sorted(
+    ["hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene", "erne",
+     "ere", "en", "heden", "eren", "er", "heder", "erer", "heds", "es",
+     "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens", "erens",
+     "ers", "ets", "erets", "et", "eret"], key=len, reverse=True))
+
+
+@lru_cache(maxsize=200_000)
+def danish_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _DA_V)
+
+    def consonant_pair(w: str) -> str:
+        for suf in ("gd", "dt", "gt", "kt"):
+            if w.endswith(suf) and len(w) - 2 >= r1:
+                return w[:-1]
+        return w
+
+    matched = None
+    for suf in _DA_STEP1:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            matched = suf
+            break
+    if matched:
+        w = w[: -len(matched)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 and w[-2] in _DA_S_END:
+        w = w[:-1]
+    w = consonant_pair(w)
+    if w.endswith("igst"):
+        w = w[:-2]
+    for suf in ("elig", "løst", "lig", "els", "ig"):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            if suf == "løst":
+                w = w[:-1]  # -> løs
+            else:
+                w = w[: -len(suf)]
+                w = consonant_pair(w)
+            break
+    if (
+        len(w) >= 2
+        and w[-1] == w[-2]
+        and w[-1] not in _DA_V
+        and len(w) - 1 >= r1
+    ):
+        w = w[:-1]  # undouble
+    return w
+
+
+SNOWBALL_STEMMERS.update(
+    {"swedish": swedish_stem, "norwegian": norwegian_stem, "danish": danish_stem}
+)

@@ -275,7 +275,14 @@ def french_minimal_stem(w: str) -> str:
     return "".join(s[:n])
 
 
-from .snowball import italian_stem, porter2_stem, russian_stem  # noqa: E402
+from .snowball import (  # noqa: E402
+    danish_stem,
+    italian_stem,
+    norwegian_stem,
+    porter2_stem,
+    russian_stem,
+    swedish_stem,
+)
 
 STEMMERS = {
     "porter": porter_stem,
@@ -285,4 +292,7 @@ STEMMERS = {
     "porter2": porter2_stem,
     "italian": italian_stem,
     "russian": russian_stem,
+    "swedish": swedish_stem,
+    "norwegian": norwegian_stem,
+    "danish": danish_stem,
 }

@@ -121,3 +121,65 @@ def test_indexed_conflation_roundtrip(kind, doc, query_word, tmp_path):
     term = an(query_word)[0]
     hits = s.search(TermQuery(field="content", term=term), k=5)
     assert [d for d, _ in hits] == [0]
+
+
+SWEDISH_VECTORS = {
+    "bilarna": "bil", "flickorna": "flick", "stolen": "stol",
+    "friskt": "frisk", "farlig": "far", "klubbarnas": "klubb",
+    "jaktkarlens": "jaktkarl", "possessiv": "possessiv",
+}
+
+NORWEGIAN_VECTORS = {
+    "huset": "hus", "kirken": "kirk", "hans": "han",
+    "kjærlighetene": "kjær", "bok": "bok",
+}
+
+DANISH_VECTORS = {
+    "huset": "hus", "søde": "sød", "hallen": "hal",
+    "billigst": "bil", "venligst": "ven", "bog": "bog",
+}
+
+
+@pytest.mark.parametrize("word,expect", sorted(SWEDISH_VECTORS.items()))
+def test_swedish_vectors(word, expect):
+    from lucene_net_ray.functions.snowball import swedish_stem
+
+    assert swedish_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", sorted(NORWEGIAN_VECTORS.items()))
+def test_norwegian_vectors(word, expect):
+    from lucene_net_ray.functions.snowball import norwegian_stem
+
+    assert norwegian_stem(word) == expect
+
+
+@pytest.mark.parametrize("word,expect", sorted(DANISH_VECTORS.items()))
+def test_danish_vectors(word, expect):
+    from lucene_net_ray.functions.snowball import danish_stem
+
+    assert danish_stem(word) == expect
+
+
+@pytest.mark.parametrize(
+    "kind,doc,query_word",
+    [
+        ("swedish", "bilarna står på gatan", "bilar"),
+        ("norwegian", "kirken ligger ved huset", "kirke"),
+        ("danish", "hallen ved huset er stor", "hallerne"),
+    ],
+)
+def test_scandinavian_conflation_roundtrip(kind, doc, query_word, tmp_path):
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import TermQuery
+    from lucene_net_ray.state.index import IndexMeta
+
+    an = Analyzer(kind=kind, stop_words=None)
+    tbl = pa.table({"doc_id": pa.array([0], type=pa.int64()), "content": [doc]})
+    idx = str(tmp_path / f"idx_{kind}")
+    build_index_from_table(tbl, idx, analyzer=an)
+    s = Searcher(IndexMeta(idx), use_actors=False)
+    term = an(query_word)[0]
+    hits = s.search(TermQuery(field="content", term=term), k=5)
+    assert [d for d, _ in hits] == [0]
