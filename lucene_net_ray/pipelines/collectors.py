@@ -316,23 +316,31 @@ def postings_highlight(
     wrapped at their exact stored offsets."""
     import re as _re
 
-    field = field or searcher.field
-    if not hasattr(searcher, "_ph_readers"):
-        from ..state.segment import SegmentReader
-
-        searcher._ph_readers = [SegmentReader(d) for d in searcher.index.segment_dirs]
-    r = None
-    for cand in searcher._ph_readers:
-        if cand.doc_base <= docid < cand.doc_base + cand.doc_count:
-            r = cand
-            break
-    if r is None:
-        raise ValueError(f"docid {docid} outside index doc range")
-    local = docid - r.doc_base
-    text = r.doc_values(field)[local]
     qterms = sorted(_all_terms(q))
-    df = searcher._stats_for_terms(qterms)
-    n = searcher.index.max_doc
+    if hasattr(searcher, "reader"):  # MergedSearcher: one merged reader
+        r = searcher.reader
+        field = field or "content"
+        local = docid
+        text = r.stored_value(docid, field)
+        df = {t: r.term_stats(t)[0] for t in qterms}
+        n = r.doc_count
+    else:
+        field = field or searcher.field
+        if not hasattr(searcher, "_ph_readers"):
+            from ..state.segment import SegmentReader
+
+            searcher._ph_readers = [SegmentReader(d) for d in searcher.index.segment_dirs]
+        r = None
+        for cand in searcher._ph_readers:
+            if cand.doc_base <= docid < cand.doc_base + cand.doc_count:
+                r = cand
+                break
+        if r is None:
+            raise ValueError(f"docid {docid} outside index doc range")
+        local = docid - r.doc_base
+        text = r.doc_values(field)[local]
+        df = searcher._stats_for_terms(qterms)
+        n = searcher.index.max_doc
     starts, ends = r.position_char_offsets(local)
     ranges: list[tuple[int, int, float]] = []
     for t in qterms:

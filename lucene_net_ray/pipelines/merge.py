@@ -796,6 +796,42 @@ class MergedIndexReader:
     def has_positions(self) -> bool:
         return self.manifest.get("index_options") in ("positions", "offsets")
 
+    @property
+    def has_offsets(self) -> bool:
+        return self.manifest.get("index_options") == "offsets"
+
+    def _seg_of(self, docid: int) -> tuple[int, int]:
+        s = int(np.searchsorted(self.norms._bases, docid, side="right") - 1)
+        return s, docid - int(self.norms._bases[s])
+
+    def position_char_offsets(self, docid: int) -> tuple[np.ndarray, np.ndarray]:
+        """(starts, ends) per-position char offsets for a GLOBAL docid —
+        docs files carry pos_start/pos_end through the merge unchanged, so
+        the merged layout serves PostingsHighlighter too."""
+        if not self.has_offsets:
+            raise ValueError("index was not built with index_options='offsets'")
+        s, local = self._seg_of(docid)
+        t = pq.read_table(self._docs_files[s], columns=["pos_start", "pos_end"])
+        return (
+            np.asarray(t.column("pos_start")[local].values.to_numpy(zero_copy_only=False), dtype=np.int64),
+            np.asarray(t.column("pos_end")[local].values.to_numpy(zero_copy_only=False), dtype=np.int64),
+        )
+
+    def stored_value(self, docid: int, field: str):
+        """One doc's stored column value — reads only the owning segment's
+        docs file (column-pruned), never the whole store."""
+        s, local = self._seg_of(docid)
+        t = pq.read_table(self._docs_files[s], columns=[field])
+        return t.column(field)[local].as_py()
+
+    def doc_values(self, field: str) -> np.ndarray:
+        """Stored column across all segments (concatenated, global order)."""
+        parts = [
+            pq.read_table(f, columns=[field]).column(field).to_numpy(zero_copy_only=False)
+            for f in self._docs_files
+        ]
+        return np.concatenate(parts)
+
     def positions(self, term: str):
         """(docids, tfs, flat_positions, occ_offsets) — see SegmentReader."""
         if not self.has_positions:

@@ -117,3 +117,12 @@ def test_offsets_survive_merge(offsets_index, tmp_path):
     mr = MergedIndexReader(out)
     docids, tfs, flat, occ = mr.positions("public")
     assert docids.size > 0
+    # the full PostingsHighlighter path works on the merged layout too
+    from lucene_net_ray.pipelines.merge import MergedSearcher
+
+    ms = MergedSearcher(out)
+    q = parse_query("+public +import")
+    frags = postings_highlight(ms, 1, q, max_passages=3)
+    seg = Searcher(meta, use_actors=False)
+    assert frags == postings_highlight(seg, 1, q, max_passages=3)
+    assert "<b>public</b>" in " ".join(frags)
