@@ -421,6 +421,117 @@ def parse_complex_phrase(
     )
 
 
+def parse_surround(
+    s: str, default_field: str = "content", analyzer=None
+) -> Query:
+    """Surround query-parser subset (reference QueryParsers/Surround/ —
+    Parser/QueryParser.cs distance syntax): proximity operators ``W``
+    (ordered) and ``N`` (unordered) with an optional distance prefix
+    (``3W``, ``5N``; default distance 1 = adjacent), ``OR``, ``NOT``
+    (span-not), parentheses, and wildcard/prefix atoms. Lowers to the span
+    family: ``a 3W b`` -> SpanNear(slop=2, in_order=True); ``a N b`` ->
+    SpanNear(slop=0, in_order=False); ``a OR b`` -> SpanOr; ``a NOT b`` ->
+    SpanNot. ``AND`` (no proximity semantics) is not in the subset —
+    compose with the classic parser instead. Evaluate with spans.span_search.
+    """
+    from .functions.analysis import Analyzer
+    from .pipelines.spans import (
+        SpanMultiTermQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    analyzer = analyzer or Analyzer()
+    toks = re.findall(r"\(|\)|[^\s()]+", s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    _NEAR_RE = re.compile(r"^(\d*)([WwNn])$")
+
+    def atom() -> Query:
+        t = peek()
+        if t == "(":
+            take()
+            q = or_expr()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parens in surround query: {s!r}")
+            take()
+            return q
+        if t is None or t == ")" or t.upper() in ("OR", "NOT", "AND") or _NEAR_RE.match(t):
+            raise ValueError(f"expected term at {t!r} in surround query: {s!r}")
+        take()
+        a = _parse_atom(t, default_field, analyzer)
+        if isinstance(a, TermQuery):
+            return SpanTermQuery(field=default_field, term=a.term)
+        if isinstance(a, (PrefixQuery, WildcardQuery, FuzzyQuery, TermRangeQuery, RegexpQuery)):
+            return SpanMultiTermQuery(field=default_field, query=a)
+        raise ValueError(f"unsupported surround atom: {t!r}")
+
+    def near_expr() -> Query:
+        left = atom()
+        while True:
+            t = peek()
+            m = _NEAR_RE.match(t) if t and t not in ("(", ")") else None
+            if not m:
+                return left
+            take()
+            dist = int(m.group(1)) if m.group(1) else 1
+            ordered = m.group(2) in "Ww"
+            # chain same-operator runs into one n-ary near (surround is n-ary)
+            clauses = [left, atom()]
+            while True:
+                t2 = peek()
+                m2 = _NEAR_RE.match(t2) if t2 and t2 not in ("(", ")") else None
+                if (
+                    m2
+                    and (int(m2.group(1)) if m2.group(1) else 1) == dist
+                    and (m2.group(2) in "Ww") == ordered
+                ):
+                    take()
+                    clauses.append(atom())
+                else:
+                    break
+            left = SpanNearQuery(
+                clauses=tuple(clauses), slop=dist - 1, in_order=ordered, field=default_field
+            )
+
+    def not_expr() -> Query:
+        left = near_expr()
+        while peek() and peek().upper() == "NOT":
+            take()
+            left = SpanNotQuery(include=left, exclude=near_expr(), field=default_field)
+        return left
+
+    def or_expr() -> Query:
+        left = not_expr()
+        clauses = [left]
+        while peek() and peek().upper() == "OR":
+            take()
+            clauses.append(not_expr())
+        if len(clauses) == 1:
+            return left
+        return SpanOrQuery(clauses=tuple(clauses), field=default_field)
+
+    if not toks:
+        raise ValueError("empty surround query")
+    if any(t.upper() == "AND" for t in toks):
+        raise ValueError("surround subset does not support AND (use the classic parser)")
+    q = or_expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in surround query: {toks[pos:]!r}")
+    return q
+
+
 def parse_multi_field(
     s: str, fields: tuple[str, ...], default_field: str = "content", analyzer=None
 ) -> Query:

@@ -180,3 +180,62 @@ def test_complex_phrase_parser_and_search(tmp_path):
     qp = parse_complex_phrase('"quick brown"')
     assert all(isinstance(c, SpanTermQuery) for c in qp.clauses)
     assert {d for d, _ in span_search(s, qp, k=10)} == {0}
+
+
+def test_surround_parser(tmp_path):
+    """Surround subset (QueryParsers/Surround): W/N distance operators, OR,
+    NOT, parens, wildcards — lowered to spans and searched."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.pipelines.spans import (
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        span_search,
+    )
+    from lucene_net_ray.query import parse_surround
+
+    docs = [
+        "alpha beta gamma",        # 0
+        "alpha gamma beta",        # 1
+        "beta alpha gamma",        # 2
+        "alpha one two beta end",  # 3
+        "delta epsilon",           # 4
+    ]
+    idx = str(tmp_path / "idx")
+    build_index_from_table(pa.table({"content": docs}), idx,
+                           index_options="positions", target_rows_per_segment=3)
+    s = Searcher(idx, use_actors=False)
+
+    q = parse_surround("alpha W beta")
+    assert isinstance(q, SpanNearQuery) and q.slop == 0 and q.in_order
+    assert {d for d, _ in span_search(s, q, k=10)} == {0}
+
+    q = parse_surround("alpha N beta")  # unordered adjacent
+    assert {d for d, _ in span_search(s, q, k=10)} == {0, 2}
+
+    q = parse_surround("alpha 3W beta")  # ordered, up to 2 intervening
+    assert {d for d, _ in span_search(s, q, k=10)} == {0, 1, 3}
+
+    q = parse_surround("alpha W beta W gamma")  # n-ary chain
+    assert len(q.clauses) == 3
+    assert {d for d, _ in span_search(s, q, k=10)} == {0}
+
+    q = parse_surround("(alpha W beta) OR delta")
+    assert isinstance(q, SpanOrQuery)
+    assert {d for d, _ in span_search(s, q, k=10)} == {0, 4}
+
+    q = parse_surround("alpha NOT (alpha W beta)")
+    assert isinstance(q, SpanNotQuery)
+    assert {d for d, _ in span_search(s, q, k=10)} == {1, 2, 3}
+
+    q = parse_surround("alp* W beta")  # wildcard atom via SpanMultiTerm
+    assert {d for d, _ in span_search(s, q, k=10)} == {0}
+
+    with _pytest.raises(ValueError):
+        parse_surround("alpha AND beta")
+    with _pytest.raises(ValueError):
+        parse_surround("(alpha W beta")
