@@ -304,7 +304,16 @@ def build_segment(
             tfs_sorted = np.empty(0, dtype=np.int64)
         n_post = codes.size
 
-    sha = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in content_arr.to_pylist()]
+    # per-row sha256 straight from the Arrow utf8 buffer (memoryview slices
+    # — no Python-string materialization of the corpus shard)
+    sha: list[str] = []
+    for ch in (content_arr.chunks if isinstance(content_arr, pa.ChunkedArray) else [content_arr]):
+        odt = np.int64 if pa.types.is_large_string(ch.type) else np.int32
+        offs = np.frombuffer(ch.buffers()[1], dtype=odt)[ch.offset : ch.offset + len(ch) + 1]
+        mv = memoryview(ch.buffers()[2]) if ch.buffers()[2] is not None else memoryview(b"")
+        sha.extend(
+            hashlib.sha256(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(ch))
+        )
     norms = encode_norm_array(field_lens)
 
     enc = write_terms_and_postings(
