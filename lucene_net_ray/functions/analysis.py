@@ -335,6 +335,7 @@ class Analyzer:
             "swedish": "swedish",
             "norwegian": "norwegian",
             "danish": "danish",
+            "dutch": "dutch",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

@@ -655,3 +655,102 @@ def danish_stem(word: str) -> str:
 SNOWBALL_STEMMERS.update(
     {"swedish": swedish_stem, "norwegian": norwegian_stem, "danish": danish_stem}
 )
+
+
+# ---------------------------------------------------------------------------
+# Dutch ("The Dutch stemming algorithm", snowballstem.org)
+# ---------------------------------------------------------------------------
+
+_NL_V = frozenset("aeiouyè")
+_NL_ACCENT = str.maketrans("äáëéïíöóüú", "aaeeiioouu")
+
+
+def _nl_undouble(w: str) -> str:
+    return w[:-1] if w.endswith(("kk", "dd", "tt")) else w
+
+
+@lru_cache(maxsize=200_000)
+def dutch_stem(word: str) -> str:
+    w = word.translate(_NL_ACCENT)
+    # prelude: initial y, y after vowel -> Y; i between vowels -> I
+    chars = list(w)
+    for i, c in enumerate(chars):
+        if c == "y" and (i == 0 or chars[i - 1] in _NL_V):
+            chars[i] = "Y"
+        elif c == "i" and 0 < i < len(chars) - 1 and chars[i - 1] in _NL_V and chars[i + 1] in _NL_V:
+            chars[i] = "I"
+    w = "".join(chars)
+    r1 = max(_region_after_vc(w, _NL_V, 0), 3)
+    r2 = _region_after_vc(w, _NL_V, _region_after_vc(w, _NL_V, 0))
+
+    # step 1 (longest of heden / ene,en / se,s)
+    if w.endswith("heden") and len(w) - 5 >= r1:
+        w = w[:-5] + "heid"
+    else:
+        done = False
+        for suf in ("ene", "en"):
+            if w.endswith(suf) and len(w) - len(suf) >= r1:
+                base = w[: -len(suf)]
+                if base and base[-1] not in _NL_V and not base.endswith("gem"):
+                    w = _nl_undouble(base)
+                done = True
+                break
+        if not done:
+            for suf in ("se", "s"):
+                if w.endswith(suf) and len(w) - len(suf) >= r1:
+                    base = w[: -len(suf)]
+                    if base and base[-1] not in _NL_V and base[-1] != "j":
+                        w = base
+                    break
+
+    # step 2: suffix e after a non-vowel, in R1; remember for 3b's 'bar'
+    e_removed = False
+    if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 and w[-2] not in _NL_V:
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # step 3a: heid (R2, not after c), then a preceding en as in step 1
+    if w.endswith("heid") and len(w) - 4 >= r2 and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en") and len(w) - 2 >= r1:
+            base = w[:-2]
+            if base and base[-1] not in _NL_V and not base.endswith("gem"):
+                w = _nl_undouble(base)
+
+    # step 3b: d-suffixes (longest of end/ing/lijk/baar/bar/ig), in R2
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not (w.endswith(suf) and len(w) - len(suf) >= r2):
+            continue
+        if suf in ("end", "ing"):
+            w = w[: -len(suf)]
+            if w.endswith("ig") and len(w) - 2 >= r2 and (len(w) < 3 or w[-3] != "e"):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+        elif suf == "ig":
+            if len(w) - 2 >= r2 and (len(w) < 3 or w[-3] != "e"):
+                w = w[:-2]
+        elif suf == "lijk":
+            w = w[:-4]
+            if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 and w[-2] not in _NL_V:
+                w = _nl_undouble(w[:-1])
+        elif suf == "baar":
+            w = w[:-4]
+        elif suf == "bar" and e_removed:
+            w = w[:-3]
+        break
+
+    # step 4: undouble vowel (C V V D, V in aeou, D a non-vowel other than I)
+    if (
+        len(w) >= 4
+        and w[-1] not in _NL_V
+        and w[-1] != "I"
+        and w[-2] == w[-3]
+        and w[-2] in "aeou"
+        and w[-4] not in _NL_V
+    ):
+        w = w[:-2] + w[-1]
+    return w.replace("Y", "y").replace("I", "i")
+
+
+SNOWBALL_STEMMERS["dutch"] = dutch_stem

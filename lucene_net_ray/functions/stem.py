@@ -277,6 +277,7 @@ def french_minimal_stem(w: str) -> str:
 
 from .snowball import (  # noqa: E402
     danish_stem,
+    dutch_stem,
     italian_stem,
     norwegian_stem,
     porter2_stem,
@@ -295,4 +296,5 @@ STEMMERS = {
     "swedish": swedish_stem,
     "norwegian": norwegian_stem,
     "danish": danish_stem,
+    "dutch": dutch_stem,
 }

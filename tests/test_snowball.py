@@ -183,3 +183,40 @@ def test_scandinavian_conflation_roundtrip(kind, doc, query_word, tmp_path):
     term = an(query_word)[0]
     hits = s.search(TermQuery(field="content", term=term), k=5)
     assert [d for d, _ in hits] == [0]
+
+
+DUTCH_VECTORS = {
+    # vectors traced rule-by-rule through the published algorithm
+    "lichamelijk": "licham", "lichamelijke": "licham",
+    "opheffen": "opheff",  # en removed; undouble is kk/dd/tt only
+    "bedoeling": "bedoel", "maan": "man", "vrolijkheid": "vrolijk",
+    "kleinigheden": "kleinig",  # heden->heid (step1), heid removed in R2 (3a)
+    "zakken": "zak",  # en removed, kk undoubled
+    "beste": "best", "bestes": "bestes",  # s after vowel: invalid s-ending
+}
+
+
+@pytest.mark.parametrize("word,expect", sorted(DUTCH_VECTORS.items()))
+def test_dutch_vectors(word, expect):
+    from lucene_net_ray.functions.snowball import dutch_stem
+
+    assert dutch_stem(word) == expect
+
+
+def test_dutch_conflation_roundtrip(tmp_path):
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import TermQuery
+    from lucene_net_ray.state.index import IndexMeta
+
+    an = Analyzer(kind="dutch", stop_words=None)
+    tbl = pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()),
+         "content": ["de zakken staan bij de bedoeling"]}
+    )
+    idx = str(tmp_path / "idx_nl")
+    build_index_from_table(tbl, idx, analyzer=an)
+    s = Searcher(IndexMeta(idx), use_actors=False)
+    term = an("zak")[0]
+    hits = s.search(TermQuery(field="content", term=term), k=5)
+    assert [d for d, _ in hits] == [0]
