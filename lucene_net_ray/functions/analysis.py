@@ -336,6 +336,7 @@ class Analyzer:
             "norwegian": "norwegian",
             "danish": "danish",
             "dutch": "dutch",
+            "portuguese": "portuguese",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

@@ -754,3 +754,128 @@ def dutch_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS["dutch"] = dutch_stem
+
+
+# ---------------------------------------------------------------------------
+# Portuguese ("The Portuguese stemming algorithm", snowballstem.org)
+# ---------------------------------------------------------------------------
+
+_PT_V = frozenset("aeiouáéíóúâêô")
+
+_PT_R2_DELETE = (
+    "amentos", "imentos", "amento", "imento", "adoras", "adores", "aço~es",
+    "ismos", "istas", "adora", "aça~o", "antes", "ância", "ezas", "icos",
+    "icas", "ismo", "ável", "ível", "ista", "osos", "osas", "ador", "ante",
+    "eza", "ico", "ica", "oso", "osa",
+)
+_PT_VERB = tuple(sorted(
+    ["ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá", "era",
+     "irá", "ava", "asse", "esse", "isse", "aste", "este", "iste", "ei",
+     "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam", "aram",
+     "eram", "iram", "avam", "em", "arem", "erem", "irem", "assem", "essem",
+     "issem", "ado", "ido", "ando", "endo", "indo", "ara~o", "era~o",
+     "ira~o", "ar", "er", "ir", "as", "adas", "idas", "ias", "arias",
+     "erias", "irias", "arás", "aras", "erás", "eras", "irás", "avas", "es",
+     "ardes", "erdes", "irdes", "ares", "eres", "ires", "asses", "esses",
+     "isses", "astes", "estes", "istes", "is", "ais", "eis", "íeis",
+     "aríeis", "eríeis", "iríeis", "áreis", "areis", "éreis", "ereis",
+     "íreis", "ireis", "ásseis", "ésseis", "ísseis", "áveis", "ados",
+     "idos", "ámos", "amos", "íamos", "aríamos", "eríamos", "iríamos",
+     "áramos", "éramos", "íramos", "ávamos", "emos", "aremos", "eremos",
+     "iremos", "ássemos", "êssemos", "íssemos", "imos", "armos", "ermos",
+     "irmos", "eu", "iu", "ou", "ira", "iras"],
+    key=len, reverse=True))
+
+
+@lru_cache(maxsize=200_000)
+def portuguese_stem(word: str) -> str:
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv = _rv_romance(w, _PT_V)
+    r1 = _region_after_vc(w, _PT_V, 0)
+    r2 = _region_after_vc(w, _PT_V, r1)
+
+    removed = False
+    # step 1: standard suffixes — longest match decides
+    cands = sorted(
+        set(_PT_R2_DELETE)
+        | {"logias", "logia", "uço~es", "uça~o", "ências", "ência", "amente",
+           "mente", "idades", "idade", "ivas", "ivos", "iva", "ivo", "iras",
+           "ira"},
+        key=len, reverse=True,
+    )
+    m = next((s for s in cands if w.endswith(s)), None)
+    if m is not None:
+        base = len(w) - len(m)
+        if m in ("logias", "logia"):
+            if base >= r2:
+                w, removed = w[:base] + "log", True
+        elif m in ("uço~es", "uça~o"):
+            if base >= r2:
+                w, removed = w[:base] + "u", True
+        elif m in ("ências", "ência"):
+            if base >= r2:
+                w, removed = w[:base] + "ente", True
+        elif m == "amente":
+            if base >= r1:
+                w, removed = w[:base], True
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif (w.endswith("os") or w.endswith("ic") or w.endswith("ad")) and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif m == "mente":
+            if base >= r2:
+                w, removed = w[:base], True
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and len(w) - len(pre) >= r2:
+                        w = w[: -len(pre)]
+                        break
+        elif m in ("idades", "idade"):
+            if base >= r2:
+                w, removed = w[:base], True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and len(w) - len(pre) >= r2:
+                        w = w[: -len(pre)]
+                        break
+        elif m in ("ivas", "ivos", "iva", "ivo"):
+            if base >= r2:
+                w, removed = w[:base], True
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif m in ("iras", "ira"):
+            if base >= rv and base >= 1 and w[base - 1] == "e":
+                w, removed = w[:base] + "ir", True
+        else:  # plain delete-in-R2 group
+            if base >= r2:
+                w, removed = w[:base], True
+
+    # step 2: verb suffixes in RV, only if step 1 removed nothing
+    if not removed:
+        for s in _PT_VERB:
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                w, removed = w[: -len(s)], True
+                break
+
+    # step 3: a final i after c, in RV, only if something was removed
+    if removed and w.endswith("i") and len(w) - 1 >= rv and len(w) >= 2 and w[-2] == "c":
+        w = w[:-1]
+
+    # step 4: residual suffix, only if steps 1 AND 2 did nothing
+    if not removed:
+        for s in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                w = w[: -len(s)]
+                break
+
+    # step 5: residual e / é / ê in RV, then gu/ci cleanup; or ç -> c
+    if w and w[-1] in "eéê" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if (w.endswith("gu") or w.endswith("ci")) and len(w) - 1 >= rv:
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+SNOWBALL_STEMMERS["portuguese"] = portuguese_stem

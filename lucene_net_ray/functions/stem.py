@@ -281,6 +281,7 @@ from .snowball import (  # noqa: E402
     italian_stem,
     norwegian_stem,
     porter2_stem,
+    portuguese_stem,
     russian_stem,
     swedish_stem,
 )
@@ -297,4 +298,5 @@ STEMMERS = {
     "norwegian": norwegian_stem,
     "danish": danish_stem,
     "dutch": dutch_stem,
+    "portuguese": portuguese_stem,
 }

@@ -220,3 +220,38 @@ def test_dutch_conflation_roundtrip(tmp_path):
     term = an("zak")[0]
     hits = s.search(TermQuery(field="content", term=term), k=5)
     assert [d for d, _ in hits] == [0]
+
+
+PORTUGUESE_VECTORS = {
+    "abandonada": "abandon", "cantando": "cant", "felicidade": "felic",
+    "biologia": "biolog", "menina": "menin", "almoço": "almoc",
+    "bananeira": "bananeir", "nacionalidade": "nacional",
+    "importantes": "import", "canções": "cançõ",
+    "generosamente": "gener",  # amente in R1, then os in R2
+}
+
+
+@pytest.mark.parametrize("word,expect", sorted(PORTUGUESE_VECTORS.items()))
+def test_portuguese_vectors(word, expect):
+    from lucene_net_ray.functions.snowball import portuguese_stem
+
+    assert portuguese_stem(word) == expect
+
+
+def test_portuguese_conflation_roundtrip(tmp_path):
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import TermQuery
+    from lucene_net_ray.state.index import IndexMeta
+
+    an = Analyzer(kind="portuguese", stop_words=None)
+    tbl = pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()),
+         "content": ["as meninas cantando na praça abandonada"]}
+    )
+    idx = str(tmp_path / "idx_pt")
+    build_index_from_table(tbl, idx, analyzer=an)
+    s = Searcher(IndexMeta(idx), use_actors=False)
+    term = an("cantar")[0]
+    hits = s.search(TermQuery(field="content", term=term), k=5)
+    assert [d for d, _ in hits] == [0]
