@@ -337,6 +337,7 @@ class Analyzer:
             "danish": "danish",
             "dutch": "dutch",
             "portuguese": "portuguese",
+            "spanish_snowball": "spanish_snowball",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

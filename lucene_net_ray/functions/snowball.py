@@ -879,3 +879,157 @@ def portuguese_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS["portuguese"] = portuguese_stem
+
+
+# ---------------------------------------------------------------------------
+# Spanish ("The Spanish stemming algorithm", snowballstem.org)
+# ---------------------------------------------------------------------------
+
+_ES_V = frozenset("aeiouáéíóúü")
+_ES_PRON = tuple(sorted(
+    ["me", "se", "sela", "selo", "selas", "selos", "la", "le", "lo", "las",
+     "les", "los", "nos"], key=len, reverse=True))
+_ES_DEACCENT = str.maketrans("áéíóú", "aeiou")
+_ES_R2_DELETE = (
+    "amientos", "imientos", "amiento", "imiento", "anzas", "ismos", "ables",
+    "ibles", "istas", "anza", "icos", "icas", "ismo", "able", "ible",
+    "ista", "osos", "osas", "ico", "ica", "oso", "osa",
+)
+_ES_ADOR = ("adoras", "adores", "aciones", "adora", "ación", "ador",
+            "antes", "ancias", "ante", "ancia")
+_ES_VERB2B = tuple(sorted(
+    ["arían", "arías", "arán", "arás", "aríais", "aría", "aréis", "aríamos",
+     "aremos", "ará", "aré", "erían", "erías", "erán", "erás", "eríais",
+     "ería", "eréis", "eríamos", "eremos", "erá", "eré", "irían", "irías",
+     "irán", "irás", "iríais", "iría", "iréis", "iríamos", "iremos", "irá",
+     "iré", "aba", "ada", "ida", "ía", "ara", "iera", "ad", "ed", "id",
+     "ase", "iese", "aste", "iste", "an", "aban", "ían", "aran", "ieran",
+     "asen", "iesen", "aron", "ieron", "ado", "ido", "ando", "iendo", "ió",
+     "ar", "er", "ir", "as", "abas", "adas", "idas", "ías", "aras",
+     "ieras", "ases", "ieses", "ís", "áis", "abais", "íais", "arais",
+     "ierais", "aseis", "ieseis", "asteis", "isteis", "ados", "idos",
+     "amos", "ábamos", "íamos", "imos", "áramos", "iéramos", "iésemos",
+     "ásemos", "en", "es", "éis", "emos"],
+    key=len, reverse=True))
+_ES_Y_SUF = tuple(sorted(
+    ["ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yó", "yas", "yes",
+     "yais", "yamos"], key=len, reverse=True))
+
+
+@lru_cache(maxsize=200_000)
+def spanish_snowball_stem(word: str) -> str:
+    w = word
+    rv = _rv_romance(w, _ES_V)
+    r1 = _region_after_vc(w, _ES_V, 0)
+    r2 = _region_after_vc(w, _ES_V, r1)
+
+    # step 0: attached pronoun after a gerund/infinitive base, in RV; an
+    # accented ending (case a: iéndo/ándo/ár/ér/ír) is deaccented
+    for p in _ES_PRON:
+        if w.endswith(p) and len(w) - len(p) >= rv:
+            base = w[: len(w) - len(p)]
+            low = base.translate(_ES_DEACCENT)
+            for g in ("iendo", "ando", "ar", "er", "ir"):
+                if low.endswith(g) and len(base) - len(g) >= rv:
+                    w = base[: -len(g)] + g  # pronoun dropped, ending deaccented
+                    break
+            else:
+                if (
+                    base.endswith("yendo")
+                    and len(base) >= 6
+                    and base[-6] == "u"
+                    and len(base) - 5 >= rv
+                ):
+                    w = base
+            break
+
+    removed = False
+    cands = sorted(
+        set(_ES_R2_DELETE) | set(_ES_ADOR)
+        | {"logías", "logía", "uciones", "ución", "encias", "encia",
+           "amente", "mente", "idades", "idad", "ivas", "ivos", "iva", "ivo"},
+        key=len, reverse=True)
+    m = next((s for s in cands if w.endswith(s)), None)
+    if m is not None:
+        base = len(w) - len(m)
+        if m in ("logías", "logía"):
+            if base >= r2:
+                w, removed = w[:base] + "log", True
+        elif m in ("uciones", "ución"):
+            if base >= r2:
+                w, removed = w[:base] + "u", True
+        elif m in ("encias", "encia"):
+            if base >= r2:
+                w, removed = w[:base] + "ente", True
+        elif m == "amente":
+            if base >= r1:
+                w, removed = w[:base], True
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif (w.endswith("os") or w.endswith("ic") or w.endswith("ad")) and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif m == "mente":
+            if base >= r2:
+                w, removed = w[:base], True
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and len(w) - len(pre) >= r2:
+                        w = w[: -len(pre)]
+                        break
+        elif m in ("idades", "idad"):
+            if base >= r2:
+                w, removed = w[:base], True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and len(w) - len(pre) >= r2:
+                        w = w[: -len(pre)]
+                        break
+        elif m in ("ivas", "ivos", "iva", "ivo"):
+            if base >= r2:
+                w, removed = w[:base], True
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif m in _ES_ADOR:
+            if base >= r2:
+                w, removed = w[:base], True
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        else:
+            if base >= r2:
+                w, removed = w[:base], True
+
+    if not removed:
+        # step 2a: verb suffixes beginning with y, preceded by u, in RV
+        for s in _ES_Y_SUF:
+            if (
+                w.endswith(s)
+                and len(w) - len(s) >= rv
+                and len(w) - len(s) >= 1
+                and w[len(w) - len(s) - 1] == "u"
+            ):
+                w, removed = w[: -len(s)], True
+                break
+    if not removed:
+        # step 2b: other verb suffixes in RV
+        for s in _ES_VERB2B:
+            if w.endswith(s) and len(w) - len(s) >= rv:
+                w = w[: -len(s)]
+                if s in ("en", "es", "éis", "emos") and w.endswith("gu") and len(w) - 1 >= rv:
+                    w = w[:-1]
+                removed = True
+                break
+
+    # step 3: residual suffix in RV
+    for s in ("os", "a", "o", "á", "í", "ó"):
+        if w.endswith(s) and len(w) - len(s) >= rv:
+            w = w[: -len(s)]
+            break
+    else:
+        if w and w[-1] in "eé" and len(w) - 1 >= rv:
+            w = w[:-1]
+            if w.endswith("gu") and len(w) - 1 >= rv:
+                w = w[:-1]
+    return w.translate(_ES_DEACCENT)
+
+
+SNOWBALL_STEMMERS["spanish_snowball"] = spanish_snowball_stem

@@ -283,6 +283,7 @@ from .snowball import (  # noqa: E402
     porter2_stem,
     portuguese_stem,
     russian_stem,
+    spanish_snowball_stem,
     swedish_stem,
 )
 
@@ -299,4 +300,5 @@ STEMMERS = {
     "danish": danish_stem,
     "dutch": dutch_stem,
     "portuguese": portuguese_stem,
+    "spanish_snowball": spanish_snowball_stem,
 }

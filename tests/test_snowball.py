@@ -255,3 +255,37 @@ def test_portuguese_conflation_roundtrip(tmp_path):
     term = an("cantar")[0]
     hits = s.search(TermQuery(field="content", term=term), k=5)
     assert [d for d, _ in hits] == [0]
+
+
+SPANISH_SNOWBALL_VECTORS = {
+    "cantando": "cant", "felicidad": "felic", "biología": "biolog",
+    "niñas": "niñ", "importantes": "import", "generosamente": "gener",
+    "canciones": "cancion", "comiéndoselo": "com", "cantándosela": "cant",
+    "guerra": "guerr", "lógicas": "logic",  # postlude deaccents
+}
+
+
+@pytest.mark.parametrize("word,expect", sorted(SPANISH_SNOWBALL_VECTORS.items()))
+def test_spanish_snowball_vectors(word, expect):
+    from lucene_net_ray.functions.snowball import spanish_snowball_stem
+
+    assert spanish_snowball_stem(word) == expect
+
+
+def test_spanish_snowball_conflation_roundtrip(tmp_path):
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import TermQuery
+    from lucene_net_ray.state.index import IndexMeta
+
+    an = Analyzer(kind="spanish_snowball", stop_words=None)
+    tbl = pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()),
+         "content": ["las niñas cantando canciones importantes"]}
+    )
+    idx = str(tmp_path / "idx_es2")
+    build_index_from_table(tbl, idx, analyzer=an)
+    s = Searcher(IndexMeta(idx), use_actors=False)
+    term = an("cantar")[0]
+    hits = s.search(TermQuery(field="content", term=term), k=5)
+    assert [d for d, _ in hits] == [0]
