@@ -338,6 +338,7 @@ class Analyzer:
             "dutch": "dutch",
             "portuguese": "portuguese",
             "spanish_snowball": "spanish_snowball",
+            "german_snowball": "german_snowball",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

@@ -1033,3 +1033,78 @@ def spanish_snowball_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS["spanish_snowball"] = spanish_snowball_stem
+
+
+# ---------------------------------------------------------------------------
+# German ("The German stemming algorithm", snowballstem.org)
+# ---------------------------------------------------------------------------
+
+_DE_V = frozenset("aeiouyäöü")
+_DE_S_END = frozenset("bdfghklmnrt")
+_DE_ST_END = frozenset("bdfghklmnt")
+_DE_UNUMLAUT = str.maketrans("äöü", "aou")
+
+
+@lru_cache(maxsize=200_000)
+def german_snowball_stem(word: str) -> str:
+    w = word.replace("ß", "ss")
+    chars = list(w)
+    for i, c in enumerate(chars):  # u/y between vowels are consonants
+        if c in "uy" and 0 < i < len(chars) - 1 and chars[i - 1] in _DE_V and chars[i + 1] in _DE_V:
+            chars[i] = c.upper()
+    w = "".join(chars)
+    r1 = max(_region_after_vc(w, _DE_V, 0), 3)
+    r2 = _region_after_vc(w, _DE_V, _region_after_vc(w, _DE_V, 0))
+
+    # step 1
+    for suf in ("ern", "em", "er", "en", "es", "e", "s"):
+        if not (w.endswith(suf) and len(w) - len(suf) >= r1):
+            continue
+        if suf in ("ern", "em", "er"):
+            w = w[: -len(suf)]
+        elif suf in ("en", "es", "e"):
+            w = w[: -len(suf)]
+            if w.endswith("niss"):
+                w = w[:-1]
+        else:  # s
+            if len(w) >= 2 and w[-2] in _DE_S_END:
+                w = w[:-1]
+        break
+    # step 2
+    for suf in ("est", "en", "er", "st"):
+        if not (w.endswith(suf) and len(w) - len(suf) >= r1):
+            continue
+        if suf == "st":
+            if len(w) >= 6 and w[-3] in _DE_ST_END:  # st-ending with 3+ before
+                w = w[:-2]
+        else:
+            w = w[: -len(suf)]
+        break
+    # step 3: d-suffixes
+    for suf in ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"):
+        if not (w.endswith(suf) and len(w) - len(suf) >= r2):
+            continue
+        if suf in ("end", "ung"):
+            w = w[: -len(suf)]
+            if w.endswith("ig") and len(w) - 2 >= r2 and (len(w) < 3 or w[-3] != "e"):
+                w = w[:-2]
+        elif suf in ("ig", "ik", "isch"):
+            if len(w) < len(suf) + 1 or w[-len(suf) - 1] != "e":
+                w = w[: -len(suf)]
+        elif suf in ("lich", "heit"):
+            w = w[: -len(suf)]
+            for pre in ("er", "en"):
+                if w.endswith(pre) and len(w) - 2 >= r1:
+                    w = w[:-2]
+                    break
+        elif suf == "keit":
+            w = w[: -len(suf)]
+            for pre in ("lich", "ig"):
+                if w.endswith(pre) and len(w) - len(pre) >= r2:
+                    w = w[: -len(pre)]
+                    break
+        break
+    return w.translate(_DE_UNUMLAUT).replace("U", "u").replace("Y", "y")
+
+
+SNOWBALL_STEMMERS["german_snowball"] = german_snowball_stem

@@ -278,6 +278,7 @@ def french_minimal_stem(w: str) -> str:
 from .snowball import (  # noqa: E402
     danish_stem,
     dutch_stem,
+    german_snowball_stem,
     italian_stem,
     norwegian_stem,
     porter2_stem,
@@ -301,4 +302,5 @@ STEMMERS = {
     "dutch": dutch_stem,
     "portuguese": portuguese_stem,
     "spanish_snowball": spanish_snowball_stem,
+    "german_snowball": german_snowball_stem,
 }

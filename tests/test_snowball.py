@@ -289,3 +289,36 @@ def test_spanish_snowball_conflation_roundtrip(tmp_path):
     term = an("cantar")[0]
     hits = s.search(TermQuery(field="content", term=term), k=5)
     assert [d for d, _ in hits] == [0]
+
+
+GERMAN_SNOWBALL_VECTORS = {
+    "bücher": "buch", "kinder": "kind", "freundlichkeit": "freundlich",
+    "schönheit": "schonheit", "aufgaben": "aufgab", "häuser": "haus",
+    "verständnisse": "verstandnis", "bedeutung": "bedeut",
+}
+
+
+@pytest.mark.parametrize("word,expect", sorted(GERMAN_SNOWBALL_VECTORS.items()))
+def test_german_snowball_vectors(word, expect):
+    from lucene_net_ray.functions.snowball import german_snowball_stem
+
+    assert german_snowball_stem(word) == expect
+
+
+def test_german_snowball_conflation_roundtrip(tmp_path):
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import TermQuery
+    from lucene_net_ray.state.index import IndexMeta
+
+    an = Analyzer(kind="german_snowball", stop_words=None)
+    tbl = pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()),
+         "content": ["die bücher der kinder mit bedeutung"]}
+    )
+    idx = str(tmp_path / "idx_de2")
+    build_index_from_table(tbl, idx, analyzer=an)
+    s = Searcher(IndexMeta(idx), use_actors=False)
+    term = an("buch")[0]
+    hits = s.search(TermQuery(field="content", term=term), k=5)
+    assert [d for d, _ in hits] == [0]
