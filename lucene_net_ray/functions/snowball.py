@@ -1,9 +1,9 @@
-"""Snowball stemmers: English (Porter2), Italian, Russian.
+"""Snowball stemmers: English (Porter2), Italian, Russian, Swedish,
+Norwegian, Danish, Dutch, Portuguese, Spanish, German.
 
 Clean-room implementations of the PUBLISHED Snowball algorithm definitions
-(M.F. Porter, snowballstem.org — "The English (Porter2) stemming algorithm",
-"The Italian stemming algorithm", "The Russian stemming algorithm"), the
-same algorithms behind the reference's SnowballFilter
+(M.F. Porter, snowballstem.org — "The <language> stemming algorithm" pages),
+the same algorithms behind the reference's SnowballFilter
 (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Snowball/SnowballFilter.cs:30
 and the generated stemmers under Tartarus/Snowball/Ext/). No reference code
 was consulted; only the public algorithm prose.
