@@ -741,6 +741,20 @@ def q_ann_lsh_topk(sf_dir: str):
     return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF coarse-quantizer ANN (rows-only — approximate; recall vs brute
+    force asserted in test_dedup_ann.py). Bounded training sample, broadcast
+    centroids, probe-limited batch scoring, distributed reduce."""
+    from ..stages.ann import ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qtbl = emb.filter(pa.compute.less(emb.column("vec_id"), 5)).sort_by("vec_id")
+    queries = np.array(qtbl.column("embedding").to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = ivf_topk(ds, queries, k=TOPK, n_clusters=16, n_probe=6, train_sample=20_000)
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+
+
 def q_multimodal_features(sf_dir: str):
     from ..stages.multimodal import media_feature_pipeline, synthesize_media_table
 
@@ -790,6 +804,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
 }
 

@@ -203,3 +203,87 @@ def lsh_topk(
         lambda g: _topk_group(g, k), batch_format="pyarrow"
     )
     return sorted(final.take_all(), key=lambda r: (r["query_id"], r["rank"]))
+
+
+def _kmeans_cosine(sample: np.ndarray, n_clusters: int, iters: int, seed: int) -> np.ndarray:
+    """Spherical k-means on NORMALIZED vectors (cosine == dot): numpy Lloyd
+    iterations over the (bounded) training sample. Returns normalized
+    centroids (n_clusters, dim)."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    cents = sample[rng.choice(n, size=min(n_clusters, n), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_clusters: int = 64,
+    n_probe: int = 8,
+    train_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 5,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    query_ids: list[int] | None = None,
+) -> list[dict]:
+    """IVF (inverted-file) approximate cosine top-k — the coarse-quantizer
+    scale path next to LSH: spherical k-means over a BOUNDED training sample
+    (only `train_sample` rows ever reach the driver), centroids broadcast
+    once via ray.put, every batch scores only rows whose cluster is among
+    each query's `n_probe` nearest centroids, and the global answer reduces
+    through the same groupby(query_id).map_groups as brute force. Per-query
+    work ~ n_probe/n_clusters of the corpus; recall tested against brute
+    force. Returns rows {query_id, rank, vec_id, cosine}."""
+    q = np.asarray(queries, dtype=np.float64)
+    qn = _normalize(q)
+    qids = query_ids or list(range(q.shape[0]))
+
+    sample_rows = ds.select_columns([vec_column]).limit(train_sample).take_all()
+    sample = _normalize(np.asarray([r[vec_column] for r in sample_rows], dtype=np.float64))
+    cents = _kmeans_cosine(sample, n_clusters, iters, seed)
+    cents_ref = ray.put(cents)
+    qn_ref = ray.put(qn)
+    # per-query probe sets (nq x n_probe), tiny — broadcast with the task
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, : min(n_probe, cents.shape[0])]
+    probe_sets = [frozenset(int(c) for c in row) for row in probes]
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        cmat = ray.get(cents_ref)
+        qmat = ray.get(qn_ref)
+        vecs = _normalize(_as_matrix(batch.column(vec_column)))
+        ids = batch.column(id_column).to_numpy()
+        clusters = np.argmax(vecs @ cmat.T, axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(qmat.shape[0]):
+            m = np.isin(clusters, list(probe_sets[qi]))
+            if not m.any():
+                continue
+            sims = vecs[m] @ qmat[qi]
+            bids = ids[m]
+            idx = np.lexsort((bids, -sims))[: min(k, sims.size)]
+            out_q.extend([qids[qi]] * idx.size)
+            out_id.extend(bids[idx].tolist())
+            out_sim.extend(sims[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+    final = partials.groupby("query_id").map_groups(
+        lambda g: _topk_group(g, k), batch_format="pyarrow"
+    )
+    return sorted(final.take_all(), key=lambda r: (r["query_id"], r["rank"]))

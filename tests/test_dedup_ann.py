@@ -251,3 +251,36 @@ def test_multimodal_frame_sampling():
     ).take_all()
     key = lambda f: (f["content_id"], f["frame_index"])  # noqa: E731
     assert sorted(frames, key=key) == sorted(frames2, key=key)
+
+
+def test_ivf_topk_recall():
+    """IVF coarse-quantizer ANN: bounded driver sample, broadcast centroids,
+    probe-limited scoring — recall vs brute force must be high at generous
+    n_probe and exact when probing every cluster."""
+    import numpy as np
+    import ray.data
+
+    from lucene_net_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal((400, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(400)]
+    ds = ray.data.from_items(rows)
+    queries = base[:5] + 0.01 * rng.standard_normal((5, 16))
+    exact = brute_force_topk(ds, queries, k=5)
+    # probing ALL clusters degenerates to exact brute force
+    full = ivf_topk(ds, queries, k=5, n_clusters=8, n_probe=8, train_sample=400)
+    assert full == exact
+    # limited probes: each query's own near-identical vector must be found,
+    # and recall@5 stays high
+    approx = ivf_topk(ds, queries, k=5, n_clusters=8, n_probe=3, train_sample=400)
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    want = {(r["query_id"], r["vec_id"]) for r in exact}
+    assert all((qi, qi) in got for qi in range(5))
+    assert len(got & want) / len(want) >= 0.6
+    # every returned cosine matches the exact cosine for that pair
+    exact_map = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_map:
+            assert r["cosine"] == exact_map[key]
