@@ -63,6 +63,18 @@ class SpanFirstQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery(Query):
+    """Spans of `match` whose positions fall in [start, end) — the
+    SpanPositionRangeQuery analog (Search/Spans/SpanPositionRangeQuery.cs);
+    SpanFirstQuery is the start=0 special case."""
+
+    match: Query = None
+    start: int = 0
+    end: int = 1
+    field: str = "content"
+
+
+@dataclass(frozen=True)
 class SpanMultiTermQuery(Query):
     """A multi-term query (Prefix/Wildcard/Fuzzy/TermRange/Regexp) embedded
     in a span tree (SpanMultiTermQueryWrapper analog, reference
@@ -127,6 +139,14 @@ def rewrite_span_multiterm(searcher, q):
             field=q.field,
             boost=q.boost,
         )
+    if isinstance(q, SpanPositionRangeQuery):
+        return SpanPositionRangeQuery(
+            match=rewrite_span_multiterm(searcher, q.match),
+            start=q.start,
+            end=q.end,
+            field=q.field,
+            boost=q.boost,
+        )
     return q
 
 
@@ -140,7 +160,7 @@ def span_terms(q) -> set[str]:
         return out
     if isinstance(q, SpanNotQuery):
         return span_terms(q.include) | span_terms(q.exclude)
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return span_terms(q.match)
     raise TypeError(q)
 
@@ -164,6 +184,11 @@ def enumerate_spans(q, pos_maps: dict[str, dict[int, list[int]]], doc: int) -> l
         return sorted(set(out))
     if isinstance(q, SpanFirstQuery):
         return [s for s in enumerate_spans(q.match, pos_maps, doc) if s[1] <= q.end]
+    if isinstance(q, SpanPositionRangeQuery):
+        return [
+            s for s in enumerate_spans(q.match, pos_maps, doc)
+            if s[0] >= q.start and s[1] <= q.end
+        ]
     if isinstance(q, SpanNotQuery):
         inc = enumerate_spans(q.include, pos_maps, doc)
         exc = enumerate_spans(q.exclude, pos_maps, doc)

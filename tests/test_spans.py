@@ -239,3 +239,25 @@ def test_surround_parser(tmp_path):
         parse_surround("alpha AND beta")
     with _pytest.raises(ValueError):
         parse_surround("(alpha W beta")
+
+
+def test_span_position_range(span_setup):
+    """SpanPositionRangeQuery: spans constrained to [start, end) positions
+    (SpanFirstQuery generalization, SpanPositionRangeQuery.cs)."""
+    from lucene_net_ray.pipelines.spans import (
+        SpanPositionRangeQuery,
+        SpanTermQuery,
+        enumerate_spans,
+        span_search,
+    )
+
+    s = span_setup
+    q0 = SpanTermQuery(term="fox")
+    full = span_search(s, q0, k=20)
+    # start=0 degenerates to SpanFirst semantics
+    q = SpanPositionRangeQuery(match=q0, start=0, end=10_000)
+    assert span_search(s, q, k=20) == full
+    # a window that excludes position 0 drops docs whose only 'fox' is first
+    q2 = SpanPositionRangeQuery(match=q0, start=1, end=10_000)
+    sub = {d for d, _ in span_search(s, q2, k=20)}
+    assert sub <= {d for d, _ in full}
