@@ -622,10 +622,33 @@ class SegmentReader:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         return self.postings_by_index(i)
 
+    # serving actors hit the same head terms on every query of a batch; the
+    # decode (vByte scan + cumsum) dominated bulk-eval profiles, so decoded
+    # postings live in a bounded FIFO cache. Budget is in ELEMENTS, not
+    # terms, so one head posting list cannot blow the actor's heap. Arrays
+    # are returned read-only: every consumer must copy before mutating.
+    _POSTINGS_CACHE_ELEMS = 4_000_000  # ~64 MB of int64 pairs per reader
+
     def postings_by_index(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        if not hasattr(self, "_post_cache"):
+            self._post_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            self._post_cache_elems = 0
+        hit = self._post_cache.get(i)
+        if hit is not None:
+            return hit
         do, dl = self._doc_off[i], self._doc_len[i]
         fo, fl = self._frq_off[i], self._frq_len[i]
-        return codec.decode_postings(self._post[do : do + dl], self._post[fo : fo + fl])
+        d, tf = codec.decode_postings(self._post[do : do + dl], self._post[fo : fo + fl])
+        d.flags.writeable = False
+        tf.flags.writeable = False
+        while self._post_cache and self._post_cache_elems + d.size > self._POSTINGS_CACHE_ELEMS:
+            k0 = next(iter(self._post_cache))  # FIFO eviction
+            ed, _etf = self._post_cache.pop(k0)
+            self._post_cache_elems -= ed.size
+        if d.size <= self._POSTINGS_CACHE_ELEMS:
+            self._post_cache[i] = (d, tf)
+            self._post_cache_elems += d.size
+        return d, tf
 
     def positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """(docids, tfs, flat_positions, occ_offsets) for a term.
