@@ -773,13 +773,37 @@ class MergedIndexReader:
             if col.size:
                 yield np.unique(col)
 
+    _POSTINGS_CACHE_ELEMS = 4_000_000  # ~64 MB of int64 pairs per reader
+
     def term_stats(self, term: str) -> tuple[int, int]:
+        if not hasattr(self, "_stats_cache"):
+            self._stats_cache: dict[str, tuple[int, int]] = {}
+        hit = self._stats_cache.get(term)
+        if hit is not None:
+            return hit
         t = self._rows_for_term(term, ["term", "bucket", "first_seg", "df", "ttf"])
         if t is None:
-            return 0, 0
-        return int(pa.compute.sum(t.column("df")).as_py()), int(pa.compute.sum(t.column("ttf")).as_py())
+            out = (0, 0)
+        else:
+            out = (
+                int(pa.compute.sum(t.column("df")).as_py()),
+                int(pa.compute.sum(t.column("ttf")).as_py()),
+            )
+        if len(self._stats_cache) >= 65536:
+            self._stats_cache.pop(next(iter(self._stats_cache)))
+        self._stats_cache[term] = out
+        return out
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        # decoded-postings FIFO cache, element-budgeted like SegmentReader's
+        # (serving hits the same head terms on every query; the per-term
+        # footer + row-group read was the merged p50's dominant cost)
+        if not hasattr(self, "_post_cache"):
+            self._post_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            self._post_cache_elems = 0
+        hit = self._post_cache.get(term)
+        if hit is not None:
+            return hit
         t = self._rows_for_term(term, self._BLOB_COLS)
         if t is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -790,7 +814,18 @@ class MergedIndexReader:
             )
             doc_parts.append(d)
             tf_parts.append(tf)
-        return np.concatenate(doc_parts), np.concatenate(tf_parts)
+        d = np.concatenate(doc_parts)
+        tf = np.concatenate(tf_parts)
+        d.flags.writeable = False
+        tf.flags.writeable = False
+        while self._post_cache and self._post_cache_elems + d.size > self._POSTINGS_CACHE_ELEMS:
+            k0 = next(iter(self._post_cache))
+            ed, _etf = self._post_cache.pop(k0)
+            self._post_cache_elems -= ed.size
+        if d.size <= self._POSTINGS_CACHE_ELEMS:
+            self._post_cache[term] = (d, tf)
+            self._post_cache_elems += d.size
+        return d, tf
 
     @property
     def has_positions(self) -> bool:
