@@ -26,23 +26,17 @@ import numpy as np
 BLOCK_SIZE = 128  # Lucene41PostingsFormat.cs:376
 
 
-def vbyte_encode(values: np.ndarray) -> np.ndarray:
-    """Vectorized vByte encode of a uint64/int64 array -> uint8 array."""
+def vbyte_encode(values: np.ndarray, lens: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized vByte encode of a uint64/int64 array -> uint8 array.
+
+    Pass precomputed ``lens`` (from vbyte_lengths) to skip the length scan —
+    the segment writer needs both the stream AND the per-value lengths, and
+    computing them twice dominated build profiles."""
     vals = np.asarray(values, dtype=np.uint64)
     if vals.size == 0:
         return np.empty(0, dtype=np.uint8)
-    # number of 7-bit groups per value (>=1)
-    nbits = np.zeros(vals.shape, dtype=np.int64)
-    nz = vals > 0
-    # bit_length via log2 on floats is unsafe for large ints; use frexp-free loop
-    tmp = vals.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp = tmp >> np.uint64(7)
-    lens = np.maximum(nbits, 1)
+    if lens is None:
+        lens = vbyte_lengths(vals)
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
     total = int(lens.sum())
     out = np.zeros(total, dtype=np.uint8)
@@ -73,16 +67,18 @@ def vbyte_decode(buf: np.ndarray) -> np.ndarray:
 
 
 def vbyte_lengths(values: np.ndarray) -> np.ndarray:
-    """Encoded byte length of each value (for block offset computation)."""
+    """Encoded byte length of each value (for block offset computation).
+
+    Branch-free comparison chain — one compare+add pass per 7-bit level
+    actually present (no full-array shift copies)."""
     vals = np.asarray(values, dtype=np.uint64)
     lens = np.ones(vals.shape, dtype=np.int64)
-    tmp = vals >> np.uint64(7)
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        lens[nz] += 1
-        tmp = tmp >> np.uint64(7)
+    if vals.size:
+        vmax = int(vals.max())
+        k = 1
+        while vmax >> (7 * k):
+            lens += vals >= (np.uint64(1) << np.uint64(7 * k))
+            k += 1
     return lens
 
 

@@ -284,8 +284,8 @@ def _merge_sorted_batch(batch: pa.Table) -> pa.Table:
         prev_last[1:] = last_doc[:-1]
     v = np.where(is_start, first_doc, first_doc - prev_last).astype(np.uint64)
     assert (row_len > 0).all(), "df>=1 invariant: no empty doc streams reach merge"
-    new_heads = codec.vbyte_encode(v)
     new_lens = codec.vbyte_lengths(v)
+    new_heads = codec.vbyte_encode(v, lens=new_lens)
     head_offs = np.concatenate(([0], np.cumsum(new_lens)))
     tail_len = row_len - k
     out_row_len = new_lens + tail_len

@@ -433,8 +433,8 @@ def write_terms_and_postings(
 
     doc_lens_b = codec.vbyte_lengths(deltas)
     frq_lens_b = codec.vbyte_lengths(tfs_sorted)
-    doc_stream = codec.vbyte_encode(deltas)
-    frq_stream = codec.vbyte_encode(tfs_sorted)
+    doc_stream = codec.vbyte_encode(deltas, lens=doc_lens_b)
+    frq_stream = codec.vbyte_encode(tfs_sorted, lens=frq_lens_b)
     doc_cum = np.concatenate(([0], np.cumsum(doc_lens_b)))
     frq_cum = np.concatenate(([0], np.cumsum(frq_lens_b)))
 
@@ -468,8 +468,8 @@ def write_terms_and_postings(
 
     # --- optional positions stream (delta-gapped within each posting) -----
     if pos_deltas is not None and n_post:
-        pos_stream = codec.vbyte_encode(pos_deltas)
         pos_lens_b = codec.vbyte_lengths(pos_deltas)
+        pos_stream = codec.vbyte_encode(pos_deltas, lens=pos_lens_b)
         pos_cum_b = np.concatenate(([0], np.cumsum(pos_lens_b)))
         occ_cum = np.concatenate(([0], np.cumsum(tfs_sorted)))  # posting -> occurrence offset
         term_pos_start_b = pos_cum_b[occ_cum[starts]]
