@@ -339,6 +339,7 @@ class Analyzer:
             "portuguese": "portuguese",
             "spanish_snowball": "spanish_snowball",
             "german_snowball": "german_snowball",
+            "french_snowball": "french_snowball",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

@@ -1108,3 +1108,218 @@ def german_snowball_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS["german_snowball"] = german_snowball_stem
+
+
+# ---------------------------------------------------------------------------
+# French ("The French stemming algorithm", snowballstem.org)
+# ---------------------------------------------------------------------------
+
+_FR_V = frozenset("aeiouyâàëéêèïîôûù")
+_FR_STEP1 = tuple(sorted(
+    ["ance", "iqUe", "isme", "able", "iste", "eux", "ances", "iqUes",
+     "ismes", "ables", "istes", "atrice", "ateur", "ation", "atrices",
+     "ateurs", "ations", "logie", "logies", "usion", "ution", "usions",
+     "utions", "ence", "ences", "ement", "ements", "ité", "ités", "if",
+     "ive", "ifs", "ives", "eaux", "aux", "euse", "euses", "issement",
+     "issements", "amment", "emment", "ment", "ments"],
+    key=len, reverse=True))
+_FR_STEP2A = tuple(sorted(
+    ["îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai", "iraIent",
+     "irais", "irait", "iras", "irent", "irez", "iriez", "irions", "irons",
+     "iront", "is", "issaIent", "issais", "issait", "issant", "issante",
+     "issantes", "issants", "isse", "issent", "isses", "issez", "issiez",
+     "issions", "issons", "it"], key=len, reverse=True))
+_FR_STEP2B_RV = tuple(sorted(
+    ["é", "ée", "ées", "és", "èrent", "er", "era", "erai", "eraIent",
+     "erais", "erait", "eras", "erez", "eriez", "erions", "erons", "eront",
+     "ez", "iez"], key=len, reverse=True))
+_FR_STEP2B_A = tuple(sorted(
+    ["âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant", "ante",
+     "antes", "ants", "as", "asse", "assent", "asses", "assiez", "assions"],
+    key=len, reverse=True))
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    if n >= 3 and w[0] in _FR_V and w[1] in _FR_V:
+        return 3
+    for pre in ("par", "col", "tap"):  # exceptional RV starters
+        if w.startswith(pre):
+            return 3
+    for i in range(1, n):
+        if w[i] in _FR_V:
+            return i + 1
+    return n
+
+
+@lru_cache(maxsize=200_000)
+def french_stem(word: str) -> str:
+    chars = list(word)
+    n = len(chars)
+    for i, c in enumerate(chars):
+        prev_v = i > 0 and chars[i - 1] in _FR_V
+        next_v = i < n - 1 and chars[i + 1] in _FR_V
+        if c in "ui" and prev_v and next_v:
+            chars[i] = c.upper()
+        elif c == "y" and (prev_v or next_v):
+            chars[i] = "Y"
+        elif c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+    w = "".join(chars)
+    rv = _fr_rv(w)
+    r1 = _region_after_vc(w, _FR_V, 0)
+    r2 = _region_after_vc(w, _FR_V, r1)
+
+    altered = False
+    do_2a = True
+    m = next((s for s in _FR_STEP1 if w.endswith(s)), None)
+    if m is not None:
+        base = len(w) - len(m)
+        if m in ("ance", "iqUe", "isme", "able", "iste", "eux", "ances",
+                 "iqUes", "ismes", "ables", "istes"):
+            if base >= r2:
+                w, altered, do_2a = w[:base], True, False
+        elif m in ("atrice", "ateur", "ation", "atrices", "ateurs", "ations"):
+            if base >= r2:
+                w, altered, do_2a = w[:base], True, False
+                if w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif m in ("logie", "logies"):
+            if base >= r2:
+                w, altered, do_2a = w[:base] + "log", True, False
+        elif m in ("usion", "ution", "usions", "utions"):
+            if base >= r2:
+                w, altered, do_2a = w[:base] + "u", True, False
+        elif m in ("ence", "ences"):
+            if base >= r2:
+                w, altered, do_2a = w[:base] + "ent", True, False
+        elif m in ("ement", "ements"):
+            if base >= rv:
+                w, altered, do_2a = w[:base], True, False
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if len(w) - 3 >= r2:
+                        w = w[:-3]
+                    elif len(w) - 3 >= r1:
+                        w = w[:-3] + "eux"
+                elif (w.endswith("abl") or w.endswith("iqU")) and len(w) - 3 >= r2:
+                    w = w[:-3]
+                elif (w.endswith("ièr") or w.endswith("Ièr")) and len(w) - 3 >= rv:
+                    w = w[:-3] + "i"
+        elif m in ("ité", "ités"):
+            if base >= r2:
+                w, altered, do_2a = w[:base], True, False
+                if w.endswith("abil"):
+                    if len(w) - 4 >= r2:
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif m in ("if", "ive", "ifs", "ives"):
+            if base >= r2:
+                w, altered, do_2a = w[:base], True, False
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if len(w) - 2 >= r2:
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif m == "eaux":
+            w, altered, do_2a = w[:-1], True, False  # eaux -> eau
+        elif m == "aux":
+            if base >= r1:
+                w, altered, do_2a = w[:base] + "al", True, False
+        elif m in ("euse", "euses"):
+            if base >= r2:
+                w, altered, do_2a = w[:base], True, False
+            elif base >= r1:
+                w, altered, do_2a = w[:base] + "eux", True, False
+        elif m in ("issement", "issements"):
+            if base >= r1 and base >= 1 and w[base - 1] not in _FR_V:
+                w, altered, do_2a = w[:base], True, False
+        elif m == "amment":
+            if base >= rv:
+                w, altered = w[:base] + "ant", True  # 2a still runs
+        elif m == "emment":
+            if base >= rv:
+                w, altered = w[:base] + "ent", True
+        elif m in ("ment", "ments"):
+            if base >= 1 and w[base - 1] in _FR_V and base - 1 >= rv:
+                w, altered = w[:base], True
+
+    removed_2 = False
+    if do_2a or not altered:
+        for s in _FR_STEP2A:
+            base = len(w) - len(s)
+            if w.endswith(s) and base >= rv and base >= 1 and w[base - 1] not in _FR_V and base - 1 >= rv:
+                w, removed_2, altered = w[:base], True, True
+                break
+        if not removed_2:
+            # step 2b
+            if w.endswith("ions") and len(w) - 4 >= r2:
+                w, removed_2, altered = w[:-4], True, True
+            else:
+                m2 = next(
+                    (s for s in sorted(_FR_STEP2B_RV + _FR_STEP2B_A, key=len, reverse=True)
+                     if w.endswith(s)),
+                    None,
+                )
+                if m2 is not None and len(w) - len(m2) >= rv:
+                    w = w[: len(w) - len(m2)]
+                    removed_2 = altered = True
+                    if m2 in _FR_STEP2B_A and w.endswith("e") and len(w) - 1 >= rv:
+                        w = w[:-1]
+
+    if altered:
+        # step 3
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in "aiouès":
+            w = w[:-1]
+        if w.endswith("ion") and len(w) - 3 >= r2 and len(w) >= 4 and w[-4] in "st":
+            w = w[:-3]
+        else:
+            m4 = next((s for s in ("ière", "Ière", "ier", "Ier") if w.endswith(s)), None)
+            if m4 is not None and len(w) - len(m4) >= rv:
+                w = w[: len(w) - len(m4)] + "i"
+            elif w.endswith("e") and len(w) - 1 >= rv:
+                w = w[:-1]
+            elif w.endswith("guë") and len(w) - 1 >= rv:
+                w = w[:-1]
+
+    # step 5: undouble
+    for suf in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(suf):
+            w = w[:-1]
+            break
+    # step 6: un-accent é/è followed by non-vowels at the end
+    i = len(w) - 1
+    seen_cons = False
+    while i >= 0:
+        if w[i] in _FR_V:
+            if seen_cons and w[i] in "éè":
+                w = w[:i] + "e" + w[i + 1 :]
+            break
+        seen_cons = True
+        i -= 1
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+SNOWBALL_STEMMERS["french"] = french_stem

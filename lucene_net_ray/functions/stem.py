@@ -278,6 +278,7 @@ def french_minimal_stem(w: str) -> str:
 from .snowball import (  # noqa: E402
     danish_stem,
     dutch_stem,
+    french_stem,
     german_snowball_stem,
     italian_stem,
     norwegian_stem,
@@ -303,4 +304,5 @@ STEMMERS = {
     "portuguese": portuguese_stem,
     "spanish_snowball": spanish_snowball_stem,
     "german_snowball": german_snowball_stem,
+    "french_snowball": french_stem,
 }

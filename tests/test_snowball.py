@@ -322,3 +322,39 @@ def test_german_snowball_conflation_roundtrip(tmp_path):
     term = an("buch")[0]
     hits = s.search(TermQuery(field="content", term=term), k=5)
     assert [d for d, _ in hits] == [0]
+
+
+FRENCH_SNOWBALL_VECTORS = {
+    "continuité": "continu", "majestueux": "majestu", "grandement": "grand",
+    "chantaient": "chant", "mangeassent": "mang", "belle": "bel",
+    "nationale": "national", "importantes": "import", "jouer": "jou",
+    "volontairement": "volontair",
+    "création": "création",  # R2 empty: ation/ion cannot delete
+    "chanteur": "chanteur",  # ateur outside R2
+}
+
+
+@pytest.mark.parametrize("word,expect", sorted(FRENCH_SNOWBALL_VECTORS.items()))
+def test_french_snowball_vectors(word, expect):
+    from lucene_net_ray.functions.snowball import french_stem
+
+    assert french_stem(word) == expect
+
+
+def test_french_snowball_conflation_roundtrip(tmp_path):
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import TermQuery
+    from lucene_net_ray.state.index import IndexMeta
+
+    an = Analyzer(kind="french_snowball", stop_words=None)
+    tbl = pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()),
+         "content": ["ils chantaient grandement dans la belle salle"]}
+    )
+    idx = str(tmp_path / "idx_fr2")
+    build_index_from_table(tbl, idx, analyzer=an)
+    s = Searcher(IndexMeta(idx), use_actors=False)
+    term = an("chanter")[0]
+    hits = s.search(TermQuery(field="content", term=term), k=5)
+    assert [d for d, _ in hits] == [0]
