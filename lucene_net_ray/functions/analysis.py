@@ -340,6 +340,7 @@ class Analyzer:
             "spanish_snowball": "spanish_snowball",
             "german_snowball": "german_snowball",
             "french_snowball": "french_snowball",
+            "arabic": "arabic",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

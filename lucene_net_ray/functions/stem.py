@@ -306,3 +306,45 @@ STEMMERS = {
     "german_snowball": german_snowball_stem,
     "french_snowball": french_stem,
 }
+
+
+# ---------------------------------------------------------------------------
+# Arabic light10 (Larkey, Ballesteros & Connell 2002) — the algorithm behind
+# the reference's Analysis/Ar/ArabicNormalizer.cs + ArabicStemmer.cs
+# ---------------------------------------------------------------------------
+
+_AR_DIACRITICS = frozenset("ًٌٍَُِّْ")
+_AR_NORM = str.maketrans({"أ": "ا", "إ": "ا", "آ": "ا", "ى": "ي", "ة": "ه"})
+_AR_PREFIXES = ("وال", "بال", "كال", "فال", "ال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+
+
+@lru_cache(maxsize=200_000)
+def arabic_normalize(w: str) -> str:
+    """ArabicNormalizer: strip tashkeel + tatweel, fold hamza/teh forms."""
+    w = "".join(c for c in w if c not in _AR_DIACRITICS and c != "ـ")
+    return w.translate(_AR_NORM)
+
+
+@lru_cache(maxsize=200_000)
+def arabic_stem(w: str) -> str:
+    """Light10: normalize, strip one definite-article prefix (remainder >= 2
+    chars; bare 'و' needs >= 3) and then all matching suffixes (remainder >=
+    2) — ArabicStemmer.cs semantics."""
+    w = arabic_normalize(w)
+    for p in _AR_PREFIXES:
+        if w.startswith(p) and len(w) - len(p) >= (3 if p == "و" else 2):
+            w = w[len(p):]
+            break
+    changed = True
+    while changed:
+        changed = False
+        for s in _AR_SUFFIXES:
+            if w.endswith(s) and len(w) - len(s) >= 2:
+                w = w[: -len(s)]
+                changed = True
+                break
+    return w
+
+
+STEMMERS["arabic"] = arabic_stem

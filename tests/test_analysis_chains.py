@@ -327,3 +327,23 @@ def test_language_analyzer_index(tmp_path):
     # 'häusern' and 'haus' conflate
     q = parse_query("häusern", analyzer=an)
     assert s.count(q) == 2
+
+
+def test_arabic_light10():
+    """Arabic light10 (Analysis/Ar/ArabicStemmer.cs + ArabicNormalizer.cs):
+    definite-article prefixes and attached suffixes strip; hamza/teh forms
+    normalize; the كتب family conflates."""
+    from lucene_net_ray.functions.stem import arabic_normalize, arabic_stem
+
+    assert arabic_stem("الكتاب") == "كتاب"
+    assert arabic_stem("والكتب") == "كتب"
+    assert arabic_stem("مكتبة") == "مكتب"
+    assert arabic_stem("كتابها") == "كتاب"
+    assert arabic_stem("للكتاب") == "كتاب"
+    assert arabic_normalize("أحمد") == "احمد"
+    assert arabic_normalize("مدرسة") == "مدرسه"
+    # short remainders are protected
+    assert arabic_stem("وال") == "وال"
+    # analyzer kind plugs in
+    an = Analyzer(kind="arabic", stop_words=None)
+    assert an("الكتاب والكتب") == ["كتاب", "كتب"]
