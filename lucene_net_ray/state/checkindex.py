@@ -36,6 +36,16 @@ def check_index(index: IndexMeta | str) -> dict:
         assert np.array_equal(encode_norm_array(field_len), r.norms), f"{seg_dir}: norms"
         doc_ids = docs.column("doc_id").to_numpy()
         assert np.array_equal(doc_ids, r.doc_base + np.arange(r.doc_count)), f"{seg_dir}: doc_ids"
+        if r.has_offsets:
+            # offsets mode: every position of every doc must map to a valid,
+            # non-inverted char range
+            ps = docs.column("pos_start")
+            pe = docs.column("pos_end")
+            for d in range(r.doc_count):
+                s_arr = np.asarray(ps[d].as_py(), dtype=np.int64)
+                e_arr = np.asarray(pe[d].as_py(), dtype=np.int64)
+                assert s_arr.size == e_arr.size, f"{seg_dir} doc {d}: offsets arity"
+                assert (s_arr <= e_arr).all(), f"{seg_dir} doc {d}: inverted offsets"
 
         sum_ttf_from_terms = 0
         for i in range(len(r.terms)):

@@ -126,3 +126,11 @@ def test_offsets_survive_merge(offsets_index, tmp_path):
     seg = Searcher(meta, use_actors=False)
     assert frags == postings_highlight(seg, 1, q, max_passages=3)
     assert "<b>public</b>" in " ".join(frags)
+
+
+def test_check_index_validates_offsets(offsets_index):
+    from lucene_net_ray.state.checkindex import check_index
+
+    meta, docs = offsets_index
+    totals = check_index(meta)
+    assert totals["docs"] == len(docs)
