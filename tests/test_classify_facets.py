@@ -28,8 +28,13 @@ def test_naive_bayes_train_and_classify():
             {"text": "parliament passed the policy vote"},
         ]
     )
-    preds = [r["pred_label"] for r in classify_dataset(test_ds, model).take_all()]
-    assert preds == ["sport", "politics"]
+    # NOTE: Ray Data does not preserve block order under load
+    # (preserve_order defaults off), so key predictions by row content
+    preds = {
+        r["text"]: r["pred_label"] for r in classify_dataset(test_ds, model).take_all()
+    }
+    assert preds["the striker scored a goal"] == "sport"
+    assert preds["parliament passed the policy vote"] == "politics"
     # hand-check one score: laplace smoothing over vocab
     s = nb_log_scores(model, ["goal"])
     assert s["sport"] > s["politics"]
