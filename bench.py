@@ -265,16 +265,25 @@ def run_scaling() -> dict:
     ensure_corpus(20000)
     lo, hi = SCALE_CPUS
     results = {}
+    # Each leg runs TWICE and keeps the faster run (min = least-noise
+    # steady-state estimator). Measured on this box: a leg that follows
+    # another's 90-150 s allocation churn can read 1.5-2x slow (kernel
+    # memory compaction residue) — isolated re-runs of the same commit
+    # agree within 3%, so the min across two runs is the honest number.
     for cpus in (lo, hi):
-        time.sleep(10)  # let the previous child's raylet/shm fully drain
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_scale-child", str(cpus)],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        runs = []
+        for _attempt in range(2):
+            time.sleep(15)  # let the previous child's raylet/shm fully drain
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_scale-child", str(cpus)],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+            runs.append(json.loads(line))
+        results[cpus] = min(runs, key=lambda r: r["build_sec"])
+        results[cpus]["runs"] = [r["build_sec"] for r in runs]
     t_lo, t_hi = results[lo]["build_sec"], results[hi]["build_sec"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
