@@ -665,6 +665,23 @@ def q_merged_multiterm_counts(sf_dir: str):
     return pd.DataFrame(rows, columns=["q", "n"])
 
 
+def q_decontaminate(sf_dir: str):
+    """Training-set decontamination: contaminant grams = first 8 ws tokens
+    of docs 0-4 (derived in SQL the same way); kept = docs whose text does
+    not contain any gram as a substring. Hash-exact oracle."""
+    from ..stages.decontam import contaminant_grams, decontaminate
+
+    bench = (
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        .filter(pa.compute.less(pa.compute.field("doc_id"), 5))
+        .sort_by("doc_id")
+    )
+    grams = contaminant_grams(bench.column("text").to_pylist(), ngram=8)
+    ds = _documents_ds(sf_dir)
+    kept = decontaminate(ds, grams, text_column="text", method="substring")
+    return kept.select_columns(["doc_id"])
+
+
 def q_freetext_suggest(sf_dir: str):
     """FreeTextSuggester (shingle LM + stupid backoff) over the documents
     table: top next-token suggestions for a fixed context per language row.
@@ -799,6 +816,7 @@ QUERIES = {
     "embed_neardup_pairs": q_embed_neardup_pairs,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "freetext_suggest": q_freetext_suggest,
+    "decontaminate_kept": q_decontaminate,
     "clean_corpus_ids": q_clean_corpus_ids,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -900,6 +918,16 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000
         "regexp_doc_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(DISTINCT doc_id) AS n FROM toks WHERE regexp_matches(tok, '^(?:sp[a-z]*k)$')
+""",
+        "decontaminate_kept": """
+WITH bench AS (
+  SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS gram
+  FROM documents WHERE doc_id < 5
+)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM bench b WHERE b.gram <> '' AND contains(d.text, b.gram)
+)
 """,
         "merged_multiterm_counts": f"""
 WITH {_TOKS_CTE},

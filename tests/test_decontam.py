@@ -1,0 +1,53 @@
+"""Training-set decontamination (public GPT-3/PaLM-style n-gram overlap)."""
+
+import numpy as np
+import ray.data
+
+from lucene_net_ray.stages.decontam import contaminant_grams, decontaminate
+
+
+def _ds(texts):
+    return ray.data.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+
+BENCH = ["the quick brown fox jumps over the lazy dog tonight"]
+
+
+def test_substring_decontamination():
+    grams = contaminant_grams(BENCH, ngram=8)
+    assert grams == ["the quick brown fox jumps over the lazy"]
+    corpus = [
+        "prefix text the quick brown fox jumps over the lazy dog end",  # leaked
+        "the quick brown fox stops here",                               # partial only
+        "completely unrelated words in this document",
+        BENCH[0],                                                       # the benchmark itself
+    ]
+    kept = {r["doc_id"] for r in decontaminate(_ds(corpus), grams).take_all()}
+    assert kept == {1, 2}
+
+
+def test_shingle_decontamination_matches_substring_for_full_grams():
+    grams = contaminant_grams(BENCH, ngram=8)
+    corpus = [
+        "aaa bbb the quick brown fox jumps over the lazy ccc",  # leaked (token-aligned)
+        "the quick brown fox stops here",
+        "totally clean document about other things entirely",
+        "xx " * 20,
+    ]
+    sub = {r["doc_id"] for r in decontaminate(_ds(corpus), grams, method="substring").take_all()}
+    shi = {r["doc_id"] for r in decontaminate(_ds(corpus), grams, method="shingle", ngram=8).take_all()}
+    assert sub == shi == {1, 2, 3}
+
+
+def test_shingle_threshold():
+    bench = ["a b c d", "w x y z"]
+    grams = contaminant_grams(bench, ngram=4)
+    corpus = [
+        "a b c d and w x y z together",  # 2 gram hits
+        "only a b c d here",             # 1 hit
+        "nothing shared at all",
+    ]
+    k1 = {r["doc_id"] for r in decontaminate(_ds(corpus), grams, method="shingle", ngram=4, threshold=1).take_all()}
+    k2 = {r["doc_id"] for r in decontaminate(_ds(corpus), grams, method="shingle", ngram=4, threshold=2).take_all()}
+    assert k1 == {2}
+    assert k2 == {1, 2}
