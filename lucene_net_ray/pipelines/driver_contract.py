@@ -665,6 +665,31 @@ def q_merged_multiterm_counts(sf_dir: str):
     return pd.DataFrame(rows, columns=["q", "n"])
 
 
+def q_lm_quality(sf_dir: str):
+    """Backoff-LM quality scores over the documents table (perplexity-filter
+    analog). Rows-only — the LM has no SQL analog; determinism + ordering
+    semantics tested in test_decontam.py."""
+    from ..stages.textstats import lm_quality_scores
+
+    ds = _documents_ds(sf_dir)
+    out = lm_quality_scores(ds, text_column="text", grams=2)
+    import pandas as pd_
+
+    df = out.select_columns(["doc_id", "lm_logprob"]).to_pandas()
+    df["lm_logprob"] = df["lm_logprob"].round(6)
+    return df
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 10 lowest-md5(text) docs per lang.
+    Hash-exact oracle (row_number over md5 order in SQL)."""
+    from ..stages.clean import stratified_sample
+
+    ds = _documents_ds(sf_dir)
+    out = stratified_sample(ds, "lang", 10, id_column="doc_id", text_column="text")
+    return out.select_columns(["doc_id", "lang"])
+
+
 def q_decontaminate(sf_dir: str):
     """Training-set decontamination: contaminant grams = first 8 ws tokens
     of docs 0-4 (derived in SQL the same way); kept = docs whose text does
@@ -817,6 +842,8 @@ QUERIES = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "freetext_suggest": q_freetext_suggest,
     "decontaminate_kept": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "lm_quality_scores": q_lm_quality,
     "clean_corpus_ids": q_clean_corpus_ids,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -918,6 +945,14 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000
         "regexp_doc_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(DISTINCT doc_id) AS n FROM toks WHERE regexp_matches(tok, '^(?:sp[a-z]*k)$')
+""",
+        "stratified_sample": """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 10
 """,
         "decontaminate_kept": """
 WITH bench AS (

@@ -109,3 +109,41 @@ def _with_quality(batch: pa.Table, text_column: str) -> pa.Table:
 
     q = quality_score_batch(batch, text_column=text_column)
     return batch.append_column("quality", q.column("quality"))
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    n_per_group: int,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> "ray.data.Dataset":
+    """Deterministic stratified sampling: keep the ``n_per_group`` rows with
+    the LOWEST md5(text) per key group (a seedless, shuffle-stable choice —
+    the standard trick for reproducible corpus subsampling at scale; the
+    hash order is uniform over rows, so this IS a uniform sample per
+    stratum). One groupby(key) shuffle; groups stream through map_groups, so
+    per-task memory is one group, never the corpus. SQL-expressible
+    (row_number() over md5 order) — hash-exact oracle."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        hx: list[str] = []
+        for ch in chunks:
+            odt = np.int64 if pa.types.is_large_string(ch.type) else np.int32
+            offs = np.frombuffer(ch.buffers()[1], dtype=odt)[ch.offset : ch.offset + len(ch) + 1]
+            mv = memoryview(ch.buffers()[2]) if ch.buffers()[2] is not None else memoryview(b"")
+            hx.extend(hashlib.md5(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(ch)))
+        return batch.append_column("__h", pa.array(hx, type=pa.string()))
+
+    def take_lowest(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("__h", "ascending"), (id_column, "ascending")])
+        return t.slice(0, n_per_group).drop_columns(["__h"])
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby(key_column)
+        .map_groups(take_lowest, batch_format="pyarrow")
+    )

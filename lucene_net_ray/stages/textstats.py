@@ -213,3 +213,57 @@ def fingerprint_batch(batch: pa.Table, *, text_column: str = "text") -> pa.Table
     out = {c: batch.column(c) for c in batch.column_names if c != text_column}
     out["fingerprint"] = pa.array(fps.view(np.int64), type=pa.int64())
     return pa.table(out)
+
+
+def lm_quality_scores(
+    ds: "ray.data.Dataset",
+    reference_ds: "ray.data.Dataset | None" = None,
+    *,
+    text_column: str = "text",
+    grams: int = 2,
+) -> "ray.data.Dataset":
+    """Language-model quality scoring (the perplexity-filter stage of LLM
+    data pipelines, public CCNet/GPT-3 methodology): train a stupid-backoff
+    n-gram LM on ``reference_ds`` (default: the corpus itself) with ONE Ray
+    aggregation, broadcast the model-sized count table via ray.put, and give
+    every doc its mean token log-probability (higher = more natural text).
+    Adds ``lm_logprob`` (float64). Deterministic; rows-only check (no SQL
+    analog for the backoff LM)."""
+    import math
+
+    import ray
+
+    from ..pipelines.suggest import FreeTextSuggester
+
+    sg = FreeTextSuggester(reference_ds or ds, text_column=text_column, grams=grams)
+    counts_ref = ray.put((sg._count, sg._total_uni))
+    analyzer = sg._analyzer
+    alpha = FreeTextSuggester.ALPHA
+    floor = 1e-9
+
+    def score(batch: pa.Table) -> pa.Table:
+        counts, total_uni = ray.get(counts_ref)
+        out = []
+        for text in batch.column(text_column).to_pylist():
+            toks = analyzer(text)
+            if not toks:
+                out.append(math.log(floor))
+                continue
+            lp = 0.0
+            for i, tok in enumerate(toks):
+                p = 0.0
+                # longest context first, stupid backoff
+                for order in range(min(i, grams - 1), -1, -1):
+                    ctx = " ".join(toks[i - order : i])
+                    gram = (ctx + " " + tok) if ctx else tok
+                    c = counts.get(gram)
+                    if c:
+                        denom = counts.get(ctx, 0) if order else total_uni
+                        if denom:
+                            p = (alpha ** (min(i, grams - 1) - order)) * c / denom
+                            break
+                lp += math.log(max(p, floor))
+            out.append(lp / len(toks))
+        return batch.append_column("lm_logprob", pa.array(out, type=pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -51,3 +51,18 @@ def test_shingle_threshold():
     k2 = {r["doc_id"] for r in decontaminate(_ds(corpus), grams, method="shingle", ngram=4, threshold=2).take_all()}
     assert k1 == {2}
     assert k2 == {1, 2}
+
+
+def test_lm_quality_scores():
+    """Natural repeated-pattern text must outscore token soup under the
+    self-trained backoff LM; scores are deterministic."""
+    from lucene_net_ray.stages.textstats import lm_quality_scores
+
+    natural = ["the cat sat on the mat"] * 6
+    soup = ["zq pf mat the wk cat xv"]
+    ds = _ds(natural + soup)
+    rows = lm_quality_scores(ds, text_column="text", grams=2).take_all()
+    by_id = {r["doc_id"]: r["lm_logprob"] for r in rows}
+    assert all(by_id[i] > by_id[6] for i in range(6))
+    rows2 = lm_quality_scores(ds, text_column="text", grams=2).take_all()
+    assert {r["doc_id"]: r["lm_logprob"] for r in rows2} == by_id
