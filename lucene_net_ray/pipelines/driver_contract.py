@@ -665,6 +665,23 @@ def q_merged_multiterm_counts(sf_dir: str):
     return pd.DataFrame(rows, columns=["q", "n"])
 
 
+def q_tumbling_windows(sf_dir: str):
+    """Hourly tumbling-window aggregate over events. Hash-exact oracle."""
+    from ..stages.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return tumbling_window_agg(ds, window_us=3_600_000_000)
+
+
+def q_sessionize(sf_dir: str):
+    """30-minute-gap session windows per user over events. Hash-exact
+    oracle (lag-over-partition sessionization in SQL)."""
+    from ..stages.windows import sessionize
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ds, gap_us=1_800_000_000)
+
+
 def q_lm_quality(sf_dir: str):
     """Backoff-LM quality scores over the documents table (perplexity-filter
     analog). Rows-only — the LM has no SQL analog; determinism + ordering
@@ -844,6 +861,8 @@ QUERIES = {
     "decontaminate_kept": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "lm_quality_scores": q_lm_quality,
+    "tumbling_windows": q_tumbling_windows,
+    "session_windows": q_sessionize,
     "clean_corpus_ids": q_clean_corpus_ids,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -945,6 +964,30 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000
         "regexp_doc_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(DISTINCT doc_id) AS n FROM toks WHERE regexp_matches(tok, '^(?:sp[a-z]*k)$')
+""",
+        "tumbling_windows": """
+SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win,
+       event_type AS key,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "session_windows": """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value, min(epoch_us(ts)) AS start_us
+FROM s GROUP BY user_id, sid
 """,
         "stratified_sample": """
 WITH ranked AS (

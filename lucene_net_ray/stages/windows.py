@@ -1,0 +1,116 @@
+"""Windowed aggregates over event streams (the custom-operator class the
+charter calls out: "a windowed aggregate ... as a composition of map_batches
++ groupby().map_groups + sort").
+
+  tumbling_window_agg  fixed epoch-aligned windows: the window id is a pure
+                       per-row function (vectorized in map_batches), so the
+                       ONLY exchange is the final groupby(win, keys) over
+                       already-partial aggregates — no sort, no sessions
+                       state. Partitioning assumption: none (stateless).
+  sessionize           session windows (gap > timeout splits): needs all of
+                       one user's events together, so it is ONE
+                       groupby(user).map_groups; inside the group the sort +
+                       gap-split + per-session reduce are vectorized numpy.
+                       Partitioning assumption: a single user's events fit a
+                       worker (true at any realistic fan-out; a user with
+                       10^9 events would need salting by coarse time range).
+
+Both are SQL-expressible (epoch arithmetic / lag-over-partition
+sessionization) and carry hash-exact oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def tumbling_window_agg(
+    ds: ray.data.Dataset,
+    *,
+    window_us: int = 3_600_000_000,
+    ts_column: str = "ts",
+    value_column: str = "value",
+    key_column: str = "event_type",
+) -> ray.data.Dataset:
+    """(win, key, n_events, sum_value) per epoch-aligned tumbling window."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = batch.column(ts_column).cast(pa.int64()).to_numpy()
+        win = us // window_us
+        t = pa.table(
+            {
+                "win": pa.array(win, type=pa.int64()),
+                "key": batch.column(key_column),
+                "value": batch.column(value_column).cast(pa.float64()),
+            }
+        )
+        # combiner-before-shuffle: pre-aggregate within the batch
+        return (
+            t.group_by(["win", "key"])
+            .aggregate([("value", "sum"), ([], "count_all")])
+            .rename_columns(["win", "key", "value_sum", "n"])
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["win", "key"])
+        .sum(["value_sum", "n"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "win": batch.column("win"),
+                "key": batch.column("key"),
+                "n_events": batch.column("sum(n)").cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(batch.column("sum(value_sum)").to_numpy(), 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    *,
+    gap_us: int = 1_800_000_000,
+    ts_column: str = "ts",
+    user_column: str = "user_id",
+    value_column: str = "value",
+    id_column: str = "event_id",
+) -> ray.data.Dataset:
+    """(user_id, session_id, n_events, sum_value, start_us) session windows:
+    a new session starts when the gap to the previous event of the same user
+    exceeds ``gap_us``. session_id numbers sessions per user from 1 in time
+    order (ties broken by event id — deterministic on both engine and SQL
+    sides)."""
+
+    def split_sessions(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(ts_column, "ascending"), (id_column, "ascending")])
+        us = t.column(ts_column).cast(pa.int64()).to_numpy()
+        vals = t.column(value_column).cast(pa.float64()).to_numpy()
+        brk = np.ones(us.size, dtype=np.int64)
+        if us.size > 1:
+            brk[1:] = (us[1:] - us[:-1] > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], us.size)
+        uid = t.column(user_column)[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(starts.size, uid), type=pa.int64()),
+                "session_id": pa.array(sid[starts], type=pa.int64()),
+                "n_events": pa.array(ends - starts, type=pa.int64()),
+                "sum_value": pa.array(
+                    np.round(np.add.reduceat(vals, starts), 6), type=pa.float64()
+                ),
+                "start_us": pa.array(us[starts], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby(user_column).map_groups(split_sessions, batch_format="pyarrow")

@@ -1,0 +1,64 @@
+"""Windowed aggregates: tumbling + session windows over crafted events."""
+
+import datetime as dt
+
+import pyarrow as pa
+import ray.data
+
+from lucene_net_ray.stages.windows import sessionize, tumbling_window_agg
+
+
+def _events(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=r[1]) for r in rows],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+                "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        )
+    )
+
+
+def test_tumbling_windows():
+    # two hourly windows; per (win, type) counts and sums
+    rows = [
+        (0, 10, 1, "click", 1.0),
+        (1, 20, 1, "click", 2.0),
+        (2, 30, 2, "view", 5.0),
+        (3, 3700, 1, "click", 7.0),  # next hour
+    ]
+    got = {
+        (r["win"], r["key"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_window_agg(_events(rows)).take_all()
+    }
+    base = dt.datetime(2024, 1, 1).timestamp() * 1_000_000 // 3_600_000_000
+    assert got[(base, "click")] == (2, 3.0)
+    assert got[(base, "view")] == (1, 5.0)
+    assert got[(base + 1, "click")] == (1, 7.0)
+
+
+def test_sessionize():
+    GAP = 1800  # seconds
+    rows = [
+        (0, 0, 1, "a", 1.0),
+        (1, 100, 1, "a", 2.0),          # same session (gap 100s)
+        (2, 100 + GAP + 1, 1, "a", 4.0),  # gap > 30min -> new session
+        (3, 50, 2, "a", 9.0),            # other user
+    ]
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+        for r in sessionize(_events(rows), gap_us=GAP * 1_000_000).take_all()
+    }
+    assert got[(1, 1)] == (2, 3.0)
+    assert got[(1, 2)] == (1, 4.0)
+    assert got[(2, 1)] == (1, 9.0)
+    # a gap of exactly the timeout does NOT split (strict >)
+    rows2 = [(0, 0, 1, "a", 1.0), (1, GAP, 1, "a", 2.0)]
+    got2 = sessionize(_events(rows2), gap_us=GAP * 1_000_000).take_all()
+    assert len(got2) == 1 and got2[0]["n_events"] == 2
