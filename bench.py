@@ -180,10 +180,21 @@ def merge_bench(index_dir: str) -> dict:
         t2 = time.perf_counter()
         ms.search(q, k=10)
         times.append(time.perf_counter() - t2)
+    # multiterm rewrites on the merged layout (round-3 terms_in_range fix:
+    # covering parts only, never a full-vocab load)
+    mt = [parse_query(s) for s in ("pub*", "stat?c", "merg~1", "[pa TO pz]")]
+    ms.search(mt[0], k=10)  # warm
+    mt_times = []
+    for q in mt * 2:
+        t3 = time.perf_counter()
+        ms.search(q, k=10)
+        mt_times.append(time.perf_counter() - t3)
+    assert ms.reader._terms_cache is None, "merged multiterm loaded the vocabulary"
     return {
         "merge_sec": round(merge_sec, 3),
         "term_stats_sec": round(stats_sec, 3),
         "merged_query_p50": round(statistics.median(times), 4),
+        "merged_multiterm_p50": round(statistics.median(mt_times), 4),
         "top_df_term": top[0]["term"] if top else None,
     }
 
@@ -234,6 +245,7 @@ def run_full() -> dict:
             "merge": m["merge_sec"],
             "term_stats": m["term_stats_sec"],
             "merged_query_p50": m["merged_query_p50"],
+            "merged_multiterm_p50": m["merged_multiterm_p50"],
             **{f"q_{k}": v for k, v in lat.items()},
             "bulk_eval": tp["bulk_sec"],
             **d,
