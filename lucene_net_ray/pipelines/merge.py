@@ -946,3 +946,201 @@ class MergedSearcher:
     def count(self, q) -> int:
         q = self._rewrite(q)
         return self._SegmentScorer(self.reader, self._stats(q)).count(q)
+
+
+@ray.remote
+class MergedRangeActor:
+    """Serves a CONTIGUOUS term-range slice of a merged index: the actor's
+    MergedIndexReader is trimmed to its part files, so resident memory is
+    O(its slice of the parts manifest + bounded postings cache) — the merged
+    layout's answer to the segment-group serving actors. Actor order follows
+    global term order, and within one term the chunk order across part files
+    IS docID order, so cross-actor results concatenate without re-sorting."""
+
+    def __init__(self, out_dir: str, part_indices: list[int]):
+        r = MergedIndexReader(out_dir)
+        keep = sorted(part_indices)
+        r._parts = [r._parts[i] for i in keep]
+        r._part_paths = [r._part_paths[i] for i in keep]
+        r._tmin = [r._tmin[i] for i in keep]
+        r._tmax = [r._tmax[i] for i in keep]
+        self.reader = r
+
+    def postings_many(self, terms: list[str]) -> dict:
+        return {t: self.reader.postings(t) for t in terms}
+
+    def positions_many(self, terms: list[str]) -> dict:
+        return {t: self.reader.positions(t) for t in terms}
+
+    def stats_many(self, terms: list[str]) -> dict:
+        return {t: self.reader.term_stats(t) for t in terms}
+
+    def terms_in_range(self, lo: str, hi: str):
+        return self.reader.terms_in_range(lo, hi)
+
+    def term_parts(self) -> list:
+        return list(self.reader.iter_term_parts())
+
+
+class _ShardedMergedReader:
+    """SegmentReader surface backed by a MergedRangeActor group: per-term
+    lookups route to the covering actor(s) (lazy, cached); norms and stored
+    docs come from the local per-segment files (shared storage). No `blocks`
+    attribute, so the scorer's WAND path cleanly falls back to exhaustive."""
+
+    def __init__(self, out_dir: str, actors: list, bounds: list[tuple[str, str]], manifest: dict):
+        self._actors = actors
+        self._bounds = bounds
+        self.manifest = manifest
+        self.doc_base = 0
+        self.doc_count = manifest["max_doc"]
+        self.sum_ttf = manifest["sum_ttf"]
+        segs = manifest["segments"]
+        docs_dir = os.path.join(out_dir, "docs")
+        files = [os.path.join(docs_dir, f"seg{r['seg_id']:06d}.parquet") for r in segs]
+        counts = np.array([r["doc_count"] for r in segs], dtype=np.int64)
+        bases = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        self.norms = _LazyNorms(files, bases, counts)
+        self._docs_files = files
+        self._post: dict[str, tuple] = {}
+        self._pos: dict[str, tuple] = {}
+        self._stats: dict[str, tuple] = {}
+
+    def _covering(self, term: str) -> list[int]:
+        return [
+            i for i, (lo, hi) in enumerate(self._bounds) if lo <= term <= hi
+        ]
+
+    # -- batched prefetch (one round trip per actor for a whole query) ------
+    def prefetch(self, terms: list[str], *, positions: bool = False) -> None:
+        positions = positions and self.has_positions
+        per_actor: dict[int, list[str]] = {}
+        for t in terms:
+            if t in self._post and (not positions or t in self._pos):
+                continue
+            for i in self._covering(t):
+                per_actor.setdefault(i, []).append(t)
+        if not per_actor:
+            return
+        futs = []
+        for i, ts in per_actor.items():
+            futs.append((i, ts, self._actors[i].postings_many.remote(ts),
+                         self._actors[i].stats_many.remote(ts),
+                         self._actors[i].positions_many.remote(ts) if positions else None))
+        for i, ts, pf, sf, posf in futs:
+            posts = ray.get(pf)
+            stats = ray.get(sf)
+            poss = ray.get(posf) if posf is not None else {}
+            for t in ts:
+                d, tf = posts[t]
+                if t in self._post:  # term straddles an actor boundary:
+                    d0, tf0 = self._post[t]  # actor order == docID order
+                    d, tf = np.concatenate((d0, d)), np.concatenate((tf0, tf))
+                self._post[t] = (d, tf)
+                df, ttf = stats[t]
+                if t in self._stats:
+                    df0, ttf0 = self._stats[t]
+                    df, ttf = df + df0, ttf + ttf0
+                self._stats[t] = (df, ttf)
+                if positions and t in poss:
+                    if t in self._pos:
+                        d0, tf0, fl0, oc0 = self._pos[t]
+                        d1, tf1, fl1, oc1 = poss[t]
+                        self._pos[t] = (
+                            np.concatenate((d0, d1)),
+                            np.concatenate((tf0, tf1)),
+                            np.concatenate((fl0, fl1)),
+                            np.concatenate((oc0, oc1[1:] + oc0[-1])),
+                        )
+                    else:
+                        self._pos[t] = poss[t]
+
+    def postings(self, term: str):
+        if term not in self._post:
+            self.prefetch([term])
+        return self._post.get(
+            term, (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        )
+
+    def term_stats(self, term: str):
+        if term not in self._stats:
+            self.prefetch([term])
+        return self._stats.get(term, (0, 0))
+
+    @property
+    def has_positions(self) -> bool:
+        return self.manifest.get("index_options") in ("positions", "offsets")
+
+    def positions(self, term: str):
+        if term not in self._pos:
+            self.prefetch([term], positions=True)
+        e = np.empty(0, dtype=np.int64)
+        return self._pos.get(term, (e, e, e, np.zeros(1, dtype=np.int64)))
+
+    def terms_in_range(self, lo: str, hi: str) -> np.ndarray:
+        futs = [
+            self._actors[i].terms_in_range.remote(lo, hi)
+            for i, (alo, ahi) in enumerate(self._bounds)
+            if not (ahi < lo or alo > hi)
+        ]
+        parts = [p for p in ray.get(futs) if p.size]
+        return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
+
+    def iter_term_parts(self):
+        for a in self._actors:  # ascending term order across actors
+            for arr in ray.get(a.term_parts.remote()):
+                yield arr
+
+    def doc_values(self, field: str) -> np.ndarray:
+        parts = [
+            pq.read_table(f, columns=[field]).column(field).to_numpy(zero_copy_only=False)
+            for f in self._docs_files
+        ]
+        return np.concatenate(parts)
+
+
+class ShardedMergedSearcher:
+    """MergedSearcher semantics over a MergedRangeActor group: the parts
+    manifest is split into `num_actors` contiguous term ranges, each served
+    by one actor. Queries prefetch all term postings with ONE round trip per
+    covering actor, then score locally — asserted result-identical to the
+    single-process MergedSearcher in tests."""
+
+    def __init__(self, out_dir: str, num_actors: int = 4):
+        local = MergedIndexReader(out_dir)
+        order = sorted(range(len(local._parts)), key=lambda i: local._tmin[i])
+        n = max(1, min(num_actors, len(order)))
+        groups = [
+            order[g * len(order) // n : (g + 1) * len(order) // n] for g in range(n)
+        ]
+        groups = [g for g in groups if g]
+        self._actors = [
+            MergedRangeActor.remote(out_dir, g) for g in groups
+        ]
+        bounds = [
+            (min(local._tmin[i] for i in g), max(local._tmax[i] for i in g))
+            for g in groups
+        ]
+        self.reader = _ShardedMergedReader(out_dir, self._actors, bounds, local.manifest)
+        from .scorer import SegmentScorer, expand_multiterm, query_terms
+
+        self._SegmentScorer = SegmentScorer
+        self._expand = expand_multiterm
+        self._query_terms = query_terms
+
+    _rewrite = MergedSearcher._rewrite  # searcher-level fuzzy TopTermsRewrite
+
+    def _stats(self, q) -> dict:
+        terms = sorted(self._query_terms(q))
+        self.reader.prefetch(terms, positions=False)
+        df = {t: self.reader.term_stats(t)[0] for t in terms}
+        return {"max_doc": self.reader.doc_count, "sum_ttf": self.reader.sum_ttf, "df": df}
+
+    def search(self, q, k: int = 10):
+        q = self._rewrite(q)
+        scorer = self._SegmentScorer(self.reader, self._stats(q))
+        return scorer.top_k(q, k)
+
+    def count(self, q) -> int:
+        q = self._rewrite(q)
+        return self._SegmentScorer(self.reader, self._stats(q)).count(q)

@@ -235,3 +235,30 @@ def test_merge_resume_and_crash_safety(tmp_path):
     ms = MergedSearcher(out2)
     q = parse_query("public")
     assert ms.search(q, k=10) == s.search(q, k=10)
+
+
+def test_sharded_merged_searcher_equals_local(setup):
+    """Round-3: term-range-sharded merged serving actors — every query type
+    must be result-identical to the single-process MergedSearcher (and hence
+    to the oracle), with each actor holding only its slice of the parts
+    manifest."""
+    from lucene_net_ray.pipelines.merge import ShardedMergedSearcher
+
+    meta, merged_dir, _ = setup
+    local = MergedSearcher(merged_dir)
+    sharded = ShardedMergedSearcher(merged_dir, num_actors=3)
+    assert len(sharded._actors) >= 2  # genuinely sharded
+    for qs in [
+        "public",
+        "+public +query",
+        "query token score",
+        "+query -public",
+        "pub*",
+        "qu?ry",
+        "/qu[a-z]+/",
+        "[pa TO pz]",
+        "query~1",
+    ]:
+        q = parse_query(qs)
+        assert sharded.search(q, k=10) == local.search(q, k=10), qs
+        assert sharded.count(q) == local.count(q), qs
