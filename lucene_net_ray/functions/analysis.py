@@ -341,6 +341,7 @@ class Analyzer:
             "german_snowball": "german_snowball",
             "french_snowball": "french_snowball",
             "arabic": "arabic",
+            "indonesian": "indonesian",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

@@ -348,3 +348,120 @@ def arabic_stem(w: str) -> str:
 
 
 STEMMERS["arabic"] = arabic_stem
+
+
+# ---------------------------------------------------------------------------
+# Indonesian (Tala 2003) — semantics of the reference's
+# Analysis/Id/IndonesianStemmer.cs:35 (flags gate illegal affix pairs;
+# syllable budget: rules only fire while > 2 vowels remain)
+# ---------------------------------------------------------------------------
+
+_ID_V = frozenset("aeiou")
+
+
+@lru_cache(maxsize=200_000)
+def indonesian_stem(word: str, derivational: bool = True) -> str:
+    w = word
+    syll = sum(c in _ID_V for c in w)
+    flags = set()
+
+    def particle(w):
+        nonlocal syll
+        if w.endswith(("kah", "lah", "pun")):
+            syll -= 1
+            return w[:-3]
+        return w
+
+    def possessive(w):
+        nonlocal syll
+        if w.endswith(("ku", "mu")):
+            syll -= 1
+            return w[:-2]
+        if w.endswith("nya"):
+            syll -= 1
+            return w[:-3]
+        return w
+
+    def first_prefix(w):
+        nonlocal syll
+        if w.startswith("meng"):
+            flags.add("meng"); syll -= 1; return w[4:]
+        if w.startswith("meny") and len(w) > 4 and w[4] in _ID_V:
+            flags.add("meng"); syll -= 1; return "s" + w[4:]
+        if w.startswith(("men", "mem")):
+            flags.add("meng"); syll -= 1; return w[3:]
+        if w.startswith("me"):
+            flags.add("meng"); syll -= 1; return w[2:]
+        if w.startswith("peng"):
+            flags.add("peng"); syll -= 1; return w[4:]
+        if w.startswith("peny") and len(w) > 4 and w[4] in _ID_V:
+            flags.add("peng"); syll -= 1; return "s" + w[4:]
+        if w.startswith("peny"):
+            flags.add("peng"); syll -= 1; return w[4:]
+        if w.startswith("pen") and len(w) > 3 and w[3] in _ID_V:
+            flags.add("peng"); syll -= 1; return "t" + w[3:]
+        if w.startswith(("pen", "pem")):
+            flags.add("peng"); syll -= 1; return w[3:]
+        if w.startswith("di"):
+            flags.add("di"); syll -= 1; return w[2:]
+        if w.startswith("ter"):
+            flags.add("ter"); syll -= 1; return w[3:]
+        if w.startswith("ke"):
+            flags.add("ke"); syll -= 1; return w[2:]
+        return w
+
+    def second_prefix(w):
+        nonlocal syll
+        if w.startswith("ber"):
+            flags.add("ber"); syll -= 1; return w[3:]
+        if w == "belajar":
+            flags.add("ber"); syll -= 1; return w[3:]
+        if (
+            w.startswith("be") and len(w) > 4
+            and w[2] not in _ID_V and w[3] == "e" and w[4] == "r"
+        ):
+            flags.add("ber"); syll -= 1; return w[2:]
+        if w.startswith("per"):
+            syll -= 1; return w[3:]
+        if w == "pelajar":
+            syll -= 1; return w[3:]
+        if w.startswith("pe"):
+            flags.add("pe"); syll -= 1; return w[2:]
+        return w
+
+    def suffix(w):
+        nonlocal syll
+        if w.endswith("kan") and not flags & {"ke", "peng", "pe"}:
+            syll -= 1; return w[:-3]
+        if w.endswith("an") and not flags & {"di", "meng", "ter"}:
+            syll -= 1; return w[:-2]
+        if (
+            w.endswith("i") and not w.endswith("si")
+            and not flags & {"ber", "ke", "peng"}
+        ):
+            syll -= 1; return w[:-1]
+        return w
+
+    if syll > 2:
+        w = particle(w)
+    if syll > 2:
+        w = possessive(w)
+    if derivational:
+        old = w
+        if syll > 2:
+            w = first_prefix(w)
+        if w != old:  # a first-order rule fired: suffix, then 2nd prefix
+            old = w
+            if syll > 2:
+                w = suffix(w)
+            if w != old and syll > 2:
+                w = second_prefix(w)
+        else:
+            if syll > 2:
+                w = second_prefix(w)
+            if syll > 2:
+                w = suffix(w)
+    return w
+
+
+STEMMERS["indonesian"] = indonesian_stem

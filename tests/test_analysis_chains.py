@@ -347,3 +347,25 @@ def test_arabic_light10():
     # analyzer kind plugs in
     an = Analyzer(kind="arabic", stop_words=None)
     assert an("الكتاب والكتب") == ["كتاب", "كتب"]
+
+
+def test_indonesian_stemmer():
+    """Tala-algorithm vectors (Analysis/Id/IndonesianStemmer.cs:35 semantics:
+    particle -> possessive -> prefix/suffix with illegal-pair flags)."""
+    from lucene_net_ray.functions.stem import indonesian_stem
+
+    vectors = {
+        "bukunya": "buku", "bukukah": "buku", "menyapu": "sapu",
+        "penulis": "tulis", "penyakit": "sakit", "membaca": "baca",
+        "berlari": "lari", "kemampuan": "mampu", "pembangunan": "bangun",
+        "belajar": "ajar", "makanan": "makan", "dimakan": "makan",
+        "mengambil": "ambil",
+        # illegal pair: ke- removed blocks -kan removal
+        "kekurangan": "kurang",
+        # syllable budget: short words untouched
+        "itu": "itu",
+    }
+    for w, e in vectors.items():
+        assert indonesian_stem(w) == e, (w, indonesian_stem(w), e)
+    an = Analyzer(kind="indonesian", stop_words=None)
+    assert an("membaca bukunya") == ["baca", "buku"]
