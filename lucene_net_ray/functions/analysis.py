@@ -342,6 +342,8 @@ class Analyzer:
             "french_snowball": "french_snowball",
             "arabic": "arabic",
             "indonesian": "indonesian",
+            "hindi": "hindi",
+            "czech": "czech",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

@@ -465,3 +465,87 @@ def indonesian_stem(word: str, derivational: bool = True) -> str:
 
 
 STEMMERS["indonesian"] = indonesian_stem
+
+
+# ---------------------------------------------------------------------------
+# Hindi light (Ramanathan & Rao 2003) — semantics of the reference's
+# Analysis/Hi/HindiStemmer.cs:25 (longest of the published suffix table,
+# guarded by minimum remaining length)
+# ---------------------------------------------------------------------------
+
+_HI_SUFFIXES = (
+    (6, ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")),
+    (5, ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+         "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+         "ियों", "ियां")),
+    (4, ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+         "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+         "ुआं")),
+    (3, ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती",
+         "ता", "ाँ", "ां", "ों", "ें")),
+    (2, ("ो", "े", "ू", "ु", "ी", "ि", "ा")),
+)
+
+
+@lru_cache(maxsize=200_000)
+def hindi_stem(w: str) -> str:
+    for min_len, sufs in _HI_SUFFIXES:
+        if len(w) > min_len:
+            for s in sufs:
+                if w.endswith(s):
+                    return w[: -len(s)]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Czech light (Dolamic & Savoy) — semantics of the reference's
+# Analysis/Cz/CzechStemmer.cs:30 (case endings, possessives, palatalization
+# normalization)
+# ---------------------------------------------------------------------------
+
+_CZ_FINAL_V = frozenset("aeiouůyáéíýě")
+
+
+@lru_cache(maxsize=200_000)
+def czech_stem(word: str) -> str:
+    w = word
+    # remove case endings
+    if len(w) > 7 and w.endswith("atech"):
+        w = w[:-5]
+    elif len(w) > 6 and w.endswith(("ětem", "etem", "atům")):
+        w = w[:-4]
+    elif len(w) > 5 and w.endswith(
+        ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+         "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+         "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+    ):
+        w = w[:-3]
+    elif len(w) > 4 and w.endswith(
+        ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým", "mi", "ou")
+    ):
+        w = w[:-2]
+    elif len(w) > 3 and w[-1] in _CZ_FINAL_V:
+        w = w[:-1]
+    # remove possessives
+    if len(w) > 5 and w.endswith(("ov", "in", "ův")):
+        w = w[:-2]
+    # normalize palatalization
+    if not w:
+        return w
+    if w.endswith("čt"):
+        return w[:-2] + "ck"
+    if w.endswith("št"):
+        return w[:-2] + "sk"
+    if w[-1] in "cč":
+        return w[:-1] + "k"
+    if w[-1] in "zž":
+        return w[:-1] + "h"
+    if len(w) > 1 and w[-2] == "e":
+        return w[:-2] + w[-1]
+    if len(w) > 2 and w[-2] == "ů":
+        return w[:-2] + "o" + w[-1]
+    return w
+
+
+STEMMERS["hindi"] = hindi_stem
+STEMMERS["czech"] = czech_stem

@@ -369,3 +369,22 @@ def test_indonesian_stemmer():
         assert indonesian_stem(w) == e, (w, indonesian_stem(w), e)
     an = Analyzer(kind="indonesian", stop_words=None)
     assert an("membaca bukunya") == ["baca", "buku"]
+
+
+def test_hindi_and_czech_stemmers():
+    """HindiStemmer.cs:25 suffix table (strict len > N guards) and
+    CzechStemmer.cs:30 case/possessive/palatalization semantics."""
+    from lucene_net_ray.functions.stem import czech_stem, hindi_stem
+
+    assert hindi_stem("लड़की") == "लड़क"
+    assert hindi_stem("लड़कियों") == "लड़क"
+    assert hindi_stem("खाना") == "खा"     # len guard: 3-char suffix needs len>4
+    assert hindi_stem("घर") == "घर"       # too short to stem
+    assert czech_stem("pánové") == "pán"
+    assert czech_stem("městech") == "měst"
+    assert czech_stem("matčin") == "matk"   # possessive then č->k
+    assert czech_stem("ženami") == "žn"     # e-deletion palatalization
+    assert czech_stem("prací") == "prak"
+    for kind, text, probe in [("hindi", "लड़कियों", "लड़की"), ("czech", "pánové", "pán")]:
+        an = Analyzer(kind=kind, stop_words=None)
+        assert an(text)[0] == an(probe)[0]
