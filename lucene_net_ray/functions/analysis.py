@@ -344,6 +344,8 @@ class Analyzer:
             "indonesian": "indonesian",
             "hindi": "hindi",
             "czech": "czech",
+            "bulgarian": "bulgarian",
+            "finnish": "finnish",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

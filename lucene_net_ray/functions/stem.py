@@ -549,3 +549,176 @@ def czech_stem(word: str) -> str:
 
 STEMMERS["hindi"] = hindi_stem
 STEMMERS["czech"] = czech_stem
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian light (Savoy BUIR) — semantics of the reference's
+# Analysis/Bg/BulgarianStemmer.cs:36 (article, plural, e-endings, ен/ъ fixes)
+# ---------------------------------------------------------------------------
+
+def _bg_article(w: str) -> str:
+    if len(w) > 6 and w.endswith("ият"):
+        return w[:-3]
+    if len(w) > 5 and w.endswith(("ът", "то", "те", "та", "ия")):
+        return w[:-2]
+    if len(w) > 4 and w.endswith("ят"):
+        return w[:-2]
+    return w
+
+
+def _bg_plural(w: str) -> str:
+    if len(w) > 6:
+        if w.endswith("овци"):
+            return w[:-3]
+        if w.endswith("ове"):
+            return w[:-3]
+        if w.endswith("еве"):
+            return w[:-3] + "й"
+    if len(w) > 5:
+        if w.endswith("ища"):
+            return w[:-3]
+        if w.endswith("та"):
+            return w[:-2]
+        if w.endswith("ци"):
+            return w[:-2] + "к"
+        if w.endswith("зи"):
+            return w[:-2] + "г"
+        if w[-3] == "е" and w[-1] == "и":
+            return w[:-3] + "я" + w[-2]
+    if len(w) > 4:
+        if w.endswith("си"):
+            return w[:-2] + "х"
+        if w.endswith("и"):
+            return w[:-1]
+    return w
+
+
+@lru_cache(maxsize=200_000)
+def bulgarian_stem(word: str) -> str:
+    w = word
+    if len(w) < 4:
+        return w
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+    w = _bg_article(w)
+    w = _bg_plural(w)
+    if len(w) > 3:
+        if w.endswith("я"):
+            w = w[:-1]
+        if w.endswith(("а", "о", "е")):
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Finnish light (Savoy CLEF-2003) — semantics of the reference's
+# Analysis/Fi/FinnishLightStemmer.cs:35
+# ---------------------------------------------------------------------------
+
+_FI_FOLD = str.maketrans("äåö", "aao")
+_FI_V = frozenset("aeiouy")
+
+
+def _fi_step1(w: str) -> str:
+    if len(w) > 8:
+        if w.endswith("kin"):
+            return _fi_step1(w[:-3])
+        if w.endswith("ko"):
+            return _fi_step1(w[:-2])
+    if len(w) > 11:
+        if w.endswith("dellinen"):
+            return w[:-8]
+        if w.endswith("dellisuus"):
+            return w[:-9]
+    return w
+
+
+def _fi_step2(w: str) -> str:
+    if len(w) > 5:
+        if w.endswith(("lla", "tse", "sti")):
+            return w[:-3]
+        if w.endswith("ni"):
+            return w[:-2]
+        if w.endswith("aa"):
+            return w[:-1]
+    return w
+
+
+def _fi_step3(w: str) -> str:
+    if len(w) > 8:
+        if w.endswith("nnen"):
+            return w[:-4] + "s"
+        if w.endswith("ntena"):
+            return w[:-5] + "s"
+        if w.endswith("tten"):
+            return w[:-4]
+        if w.endswith("eiden"):
+            return w[:-5]
+    if len(w) > 6:
+        if w.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return w[:-4]
+        if w[-3] == "h" and w[-2] in _FI_V and w[-1] == "n":
+            return w[:-3]
+        if w.endswith("den"):
+            return w[:-3] + "s"
+        if w.endswith("ksen"):
+            return w[:-4] + "s"
+        if w.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return w[:-3]
+    if len(w) > 5:
+        if w.endswith(("na", "ne")):
+            return w[:-2]
+        if w.endswith("nei"):
+            return w[:-3]
+    if len(w) > 4:
+        if w.endswith(("ja", "ta")):
+            return w[:-2]
+        if w[-1] == "a":
+            return w[:-1]
+        if w[-1] == "n" and w[-2] in _FI_V:
+            return w[:-2]
+        if w[-1] == "n":
+            return w[:-1]
+    return w
+
+
+def _fi_norm1(w: str) -> str:
+    if len(w) > 5 and w.endswith("hde"):
+        w = w[:-3] + "ksi"
+    if len(w) > 4 and w.endswith(("ei", "at")):
+        return w[:-2]
+    if len(w) > 3 and w[-1] in "tsjeai":
+        return w[:-1]
+    return w
+
+
+def _fi_norm2(w: str) -> str:
+    if len(w) > 8 and w[-1] in "eou":
+        w = w[:-1]
+    if len(w) > 4:
+        if w[-1] == "i":
+            w = w[:-1]
+        if len(w) > 4:
+            out = [w[0]]
+            for c in w[1:]:
+                if c == out[-1] and c in "kpt":
+                    continue
+                out.append(c)
+            w = "".join(out)
+    return w
+
+
+@lru_cache(maxsize=200_000)
+def finnish_light_stem(word: str) -> str:
+    if len(word) < 4:
+        return word
+    w = word.translate(_FI_FOLD)
+    return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(w)))))
+
+
+STEMMERS["bulgarian"] = bulgarian_stem
+STEMMERS["finnish"] = finnish_light_stem

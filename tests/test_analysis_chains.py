@@ -388,3 +388,24 @@ def test_hindi_and_czech_stemmers():
     for kind, text, probe in [("hindi", "लड़कियों", "लड़की"), ("czech", "pánové", "pán")]:
         an = Analyzer(kind=kind, stop_words=None)
         assert an(text)[0] == an(probe)[0]
+
+
+def test_bulgarian_and_finnish_stemmers():
+    """BulgarianStemmer.cs:36 (article/plural/е-endings) and
+    FinnishLightStemmer.cs:35 (Savoy CLEF-2003) semantics."""
+    from lucene_net_ray.functions.stem import bulgarian_stem, finnish_light_stem
+
+    # Bulgarian: definite articles and plurals conflate to the stem
+    assert bulgarian_stem("градът") == "град"
+    assert bulgarian_stem("градове") == "град"
+    assert bulgarian_stem("книгите") == "книг"
+    assert bulgarian_stem("хубава") == "хубав"
+    assert bulgarian_stem("ден") == "ден"  # < 4 chars: untouched
+    # Finnish: case endings strip, folded vowels, kpt undoubling
+    assert finnish_light_stem("taloissa") == "talo"
+    assert finnish_light_stem("autoilla") == "auto"
+    assert finnish_light_stem("presidentti") == "president"
+    assert finnish_light_stem("pöytä") == "poy"  # norm1 strips final t
+    for kind, a_, b_ in [("bulgarian", "градът", "градове"), ("finnish", "taloissa", "talo")]:
+        an = Analyzer(kind=kind, stop_words=None)
+        assert an(a_)[0] == an(b_)[0]
