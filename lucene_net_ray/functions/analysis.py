@@ -346,6 +346,7 @@ class Analyzer:
             "czech": "czech",
             "bulgarian": "bulgarian",
             "finnish": "finnish",
+            "hungarian": "hungarian",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

@@ -722,3 +722,85 @@ def finnish_light_stem(word: str) -> str:
 
 STEMMERS["bulgarian"] = bulgarian_stem
 STEMMERS["finnish"] = finnish_light_stem
+
+
+# ---------------------------------------------------------------------------
+# Hungarian light (Savoy) — semantics of the reference's
+# Analysis/Hu/HungarianLightStemmer.cs:35 (fold, case, possessive, plural,
+# final-vowel normalize; vowel set includes y)
+# ---------------------------------------------------------------------------
+
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+_HU_V = frozenset("aeiouy")
+
+
+def _hu_case(w: str) -> str:
+    if len(w) > 6 and w.endswith("kent"):
+        return w[:-4]
+    if len(w) > 5:
+        if w.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                       "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+            return w[:-3]
+        if w.endswith(("al", "el")) and w[-3] not in _HU_V and w[-3] == w[-4]:
+            return w[:-3]
+    if len(w) > 4:
+        if w.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                       "be", "ul", "ig")):
+            return w[:-2]
+        if w.endswith(("on", "en")) and w[-3] not in _HU_V:
+            return w[:-2]
+        if w[-1] in "tn":
+            return w[:-1]
+        if w[-1] in "ae" and w[-2] == w[-3] and w[-2] not in _HU_V:
+            return w[:-2]
+    return w
+
+
+def _hu_possessive(w: str) -> str:
+    if len(w) > 6:
+        if w[-5] not in _HU_V and w.endswith(("atok", "otok", "etek")):
+            return w[:-4]
+        if w.endswith(("itek", "itok")):
+            return w[:-4]
+    if len(w) > 5:
+        if w[-4] not in _HU_V and w.endswith(("unk", "tok", "tek")):
+            return w[:-3]
+        if w[-4] in _HU_V and w.endswith("juk"):
+            return w[:-3]
+        if w.endswith("ink"):
+            return w[:-3]
+    if len(w) > 4:
+        if w[-3] not in _HU_V and w.endswith(("am", "em", "om", "ad", "ed", "od", "uk")):
+            return w[:-2]
+        if w[-3] in _HU_V and w.endswith(("nk", "ja", "je")):
+            return w[:-2]
+        if w.endswith(("im", "id", "ik")):
+            return w[:-2]
+    if len(w) > 3:
+        if w[-1] in "ae" and w[-2] not in _HU_V:
+            return w[:-1]
+        if w[-1] in "md" and w[-2] in _HU_V:
+            return w[:-1]
+        if w[-1] == "i":
+            return w[:-1]
+    return w
+
+
+def _hu_plural(w: str) -> str:
+    if len(w) > 3 and w[-1] == "k":
+        if w[-2] in "aoe" and len(w) > 4:
+            return w[:-2]
+        return w[:-1]
+    return w
+
+
+@lru_cache(maxsize=200_000)
+def hungarian_light_stem(word: str) -> str:
+    w = word.translate(_HU_FOLD)
+    w = _hu_plural(_hu_possessive(_hu_case(w)))
+    if len(w) > 3 and w[-1] in "aeio":
+        w = w[:-1]
+    return w
+
+
+STEMMERS["hungarian"] = hungarian_light_stem

@@ -409,3 +409,17 @@ def test_bulgarian_and_finnish_stemmers():
     for kind, a_, b_ in [("bulgarian", "градът", "градове"), ("finnish", "taloissa", "talo")]:
         an = Analyzer(kind=kind, stop_words=None)
         assert an(a_)[0] == an(b_)[0]
+
+
+def test_hungarian_light_stemmer():
+    """HungarianLightStemmer.cs:35 semantics (fold, case, possessive,
+    plural, final-vowel normalize)."""
+    from lucene_net_ray.functions.stem import hungarian_light_stem
+
+    assert hungarian_light_stem("házak") == "haz"
+    assert hungarian_light_stem("házban") == "haz"
+    assert hungarian_light_stem("könyvek") == "konyv"
+    assert hungarian_light_stem("könyvet") == "konyv"
+    assert hungarian_light_stem("emberek") == "ember"
+    an = Analyzer(kind="hungarian", stop_words=None)
+    assert an("házak házban")[0] == an("házak házban")[1]
