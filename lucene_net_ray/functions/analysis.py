@@ -347,6 +347,7 @@ class Analyzer:
             "bulgarian": "bulgarian",
             "finnish": "finnish",
             "hungarian": "hungarian",
+            "persian": "persian",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

@@ -804,3 +804,22 @@ def hungarian_light_stem(word: str) -> str:
 
 
 STEMMERS["hungarian"] = hungarian_light_stem
+
+
+# ---------------------------------------------------------------------------
+# Persian normalizer — Analysis/Fa/PersianNormalizer.cs:33 semantics
+# (yeh/kaf/heh variant folding, hamza-above removal)
+# ---------------------------------------------------------------------------
+
+_FA_NORM = str.maketrans(
+    {"ی": "ي", "ے": "ي", "ک": "ك",
+     "ۀ": "ه", "ہ": "ه", "ٔ": None}
+)
+
+
+@lru_cache(maxsize=200_000)
+def persian_normalize(w: str) -> str:
+    return w.translate(_FA_NORM)
+
+
+STEMMERS["persian"] = persian_normalize

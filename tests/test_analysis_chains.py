@@ -423,3 +423,12 @@ def test_hungarian_light_stemmer():
     assert hungarian_light_stem("emberek") == "ember"
     an = Analyzer(kind="hungarian", stop_words=None)
     assert an("házak házban")[0] == an("házak házban")[1]
+
+
+def test_persian_normalizer():
+    from lucene_net_ray.functions.stem import persian_normalize
+
+    assert persian_normalize("یےکۀہ") == "ييكهه"
+    assert persian_normalize("هٔ") == "ه"  # hamza-above removed
+    an = Analyzer(kind="persian", stop_words=None)
+    assert an("کی") == ["كي"]
