@@ -348,6 +348,7 @@ class Analyzer:
             "finnish": "finnish",
             "hungarian": "hungarian",
             "persian": "persian",
+            "latvian": "latvian",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

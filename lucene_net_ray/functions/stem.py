@@ -823,3 +823,57 @@ def persian_normalize(w: str) -> str:
 
 
 STEMMERS["persian"] = persian_normalize
+
+
+# ---------------------------------------------------------------------------
+# Latvian light (Rīga light stemmer) — semantics of the reference's
+# Analysis/Lv/LatvianStemmer.cs:23 (the C#-converted file lost the affix
+# initializer; the table below is the published Lucene LatvianStemmer one):
+# strip the longest matching affix when the word keeps > vc vowels and >= 3
+# chars of stem, then un-palatalize the boundary.
+# ---------------------------------------------------------------------------
+
+_LV_V = frozenset("aāeēiīouū")
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False), ("ai", 2, False),
+    ("ei", 2, False), ("ām", 1, False), ("am", 1, False), ("ēm", 1, False),
+    ("īm", 1, False), ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False), ("os", 1, True),
+    ("ij", 1, False), ("īs", 1, False), ("ēs", 1, False), ("is", 1, False),
+    ("ie", 1, False), ("u", 1, True), ("a", 1, False), ("i", 1, False),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False), ("ī", 1, False),
+    ("ū", 1, False), ("o", 1, False), ("s", 0, False), ("š", 0, False),
+)
+
+
+def _lv_unpalatalize(w: str, removed_first: str) -> str:
+    if removed_first == "u":
+        if w.endswith("kš"):
+            return w[:-2] + "kst"
+        if w.endswith("ņņ"):
+            return w[:-2] + "nn"
+    if w.endswith(("pj", "bj", "mj", "vj")):
+        return w[:-1]
+    for suf, rep in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                     ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+        if w.endswith(suf):
+            return w[:-2] + rep
+    if w and w[-1] in "čļņ":
+        return w[:-1] + {"č": "c", "ļ": "l", "ņ": "n"}[w[-1]]
+    return w
+
+
+@lru_cache(maxsize=200_000)
+def latvian_stem(word: str) -> str:
+    w = word
+    nv = sum(c in _LV_V for c in w)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if nv > vc and len(w) >= len(affix) + 3 and w.endswith(affix):
+            stem = w[: -len(affix)]
+            return _lv_unpalatalize(stem, affix[0]) if palatalizes else stem
+    return w
+
+
+STEMMERS["latvian"] = latvian_stem

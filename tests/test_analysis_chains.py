@@ -432,3 +432,17 @@ def test_persian_normalizer():
     assert persian_normalize("هٔ") == "ه"  # hamza-above removed
     an = Analyzer(kind="persian", stop_words=None)
     assert an("کی") == ["كي"]
+
+
+def test_latvian_stemmer():
+    """LatvianStemmer.cs:23 semantics (affix table + unpalatalization)."""
+    from lucene_net_ray.functions.stem import latvian_stem
+
+    assert latvian_stem("cilvēkiem") == "cilvēk"
+    assert latvian_stem("grāmatas") == "grāmat"
+    assert latvian_stem("valodās") == "valod"
+    assert latvian_stem("tirgus") == "tirg"
+    assert latvian_stem("ceļu") == "cel"   # u-affix palatalizes ļ -> l
+    assert latvian_stem("zem") == "zem"    # stem floor: >= 3 chars remain
+    an = Analyzer(kind="latvian", stop_words=None)
+    assert an("grāmatas grāmatām")[0] == an("grāmatas grāmatām")[1]
