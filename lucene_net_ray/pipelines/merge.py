@@ -421,10 +421,26 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
         batch_format="pyarrow",
         batch_size=None,
     )
-    merged = term_rows.sort(["term", "bucket", "seg_id"]).map_batches(
+    # Coalesce the per-segment blocks before the sort. Ray's sort-map stage
+    # emits one partition SLICE per (input block x output range); with one
+    # block per segment that is n_segments^2 slices, and slices under Ray's
+    # ~100 KB inline threshold are stored in the DRIVER'S in-process object
+    # store — measured ~1.1 GB of driver heap per 2M docs (O(data) driver
+    # memory, a scale-killer). Sizing the sort's partition count from the
+    # postings volume keeps every slice comfortably above the inline
+    # threshold (driver stays flat) and sizes the output part files for
+    # range-pruned serving (~target_part_bytes each).
+    total_bytes = sum(r.get("postings_bytes", 0) for r in index.manifest["segments"])
+    target_part_bytes = 256 << 20
+    n_parts = max(8, min(len(seg_rows), total_bytes // target_part_bytes + 1))
+    merged = term_rows.repartition(n_parts).sort(["term", "bucket", "seg_id"]).map_batches(
         _merge_sorted_batch, batch_format="pyarrow", batch_size=None
     )
-    merged.write_parquet(parts_dir)
+    # Small row groups are what make per-term serving cheap: the reader
+    # prunes by the term column's ROW-GROUP statistics, so the unit of IO per
+    # term is one row group, not one part file. 512 rows ~ a few hundred KB
+    # at typical chunk sizes regardless of how many part files the sort made.
+    merged.write_parquet(parts_dir, row_group_size=512)
 
     # per-part term-range manifest: rows within each file are sorted, so
     # min/max = first/last row. Read ONLY the first and last row group's
@@ -497,28 +513,56 @@ def _doc_base(index: IndexMeta, seg_id: int) -> int:
 class _LazyNorms:
     """Global norm-byte accessor backed by per-segment docs files.
 
-    Supports numpy fancy indexing by GLOBAL docid without ever materializing
-    the full norms array: per-segment slices load lazily and live in a
-    bounded cache (at cluster scale an actor serves a segment subset, so its
-    cache holds only its own segments)."""
+    Norms are ONE BYTE per doc, so any index a single process would serve
+    flattens into trivial memory (8M docs = 8 MB). Below ``flat_budget``
+    docs the whole array materializes on first access (one pass over the
+    per-segment files) and lookups are plain fancy indexing — the per-block
+    lookups of a WAND walk must not pay a dict+searchsorted round per call,
+    and a count-bounded cache thrashes catastrophically when segments >>
+    cache slots (measured: 20k parquet re-reads for ONE head-term query on
+    a 1000-segment index). Above the budget, per-segment slices live in a
+    BYTE-budgeted FIFO cache."""
 
-    def __init__(self, files: list[str], bases: np.ndarray, counts: np.ndarray, max_cached: int = 64):
+    def __init__(
+        self,
+        files: list[str],
+        bases: np.ndarray,
+        counts: np.ndarray,
+        max_cached_bytes: int = 256 << 20,
+        flat_budget: int = 64_000_000,
+    ):
         self._files = files
         self._bases = bases
         self._counts = counts
-        self._max_cached = max_cached
+        self._max_cached_bytes = max_cached_bytes
         self._cache: dict[int, np.ndarray] = {}
+        self._cache_bytes = 0
+        self._total = int(counts.sum()) if len(counts) else 0
+        self._flat: np.ndarray | None = None
+        self._use_flat = self._total <= flat_budget
 
     def _load(self, s: int) -> np.ndarray:
         arr = self._cache.get(s)
         if arr is None:
             arr = pq.read_table(self._files[s], columns=["norm"]).column("norm").to_numpy()
-            if len(self._cache) >= self._max_cached:
-                self._cache.pop(next(iter(self._cache)))
+            while self._cache and self._cache_bytes + arr.nbytes > self._max_cached_bytes:
+                k0 = next(iter(self._cache))
+                self._cache_bytes -= self._cache.pop(k0).nbytes
             self._cache[s] = arr
+            self._cache_bytes += arr.nbytes
         return arr
 
+    def _flatten(self) -> np.ndarray:
+        if self._flat is None:
+            self._flat = np.empty(self._total, dtype=np.uint8)
+            for s, f in enumerate(self._files):
+                arr = pq.read_table(f, columns=["norm"]).column("norm").to_numpy()
+                self._flat[self._bases[s] : self._bases[s] + self._counts[s]] = arr
+        return self._flat
+
     def __getitem__(self, docids) -> np.ndarray:
+        if self._use_flat:
+            return self._flatten()[docids]
         docids = np.asarray(docids, dtype=np.int64)
         segs = np.searchsorted(self._bases, docids, side="right") - 1
         out = np.empty(docids.shape, dtype=np.uint8)
@@ -773,7 +817,11 @@ class MergedIndexReader:
             if col.size:
                 yield np.unique(col)
 
-    _POSTINGS_CACHE_ELEMS = 4_000_000  # ~64 MB of int64 pairs per reader
+    # 32M elements ~ 512 MB of int64 pairs: sized so even head terms of a
+    # multi-million-doc slice stay cached in a serving actor (re-decoding a
+    # head term re-allocates ~100 MB, which this sandbox VM's ~25 MB/s
+    # page-fault ceiling turns into seconds per query)
+    _POSTINGS_CACHE_ELEMS = 32_000_000
 
     def term_stats(self, term: str) -> tuple[int, int]:
         if not hasattr(self, "_stats_cache"):
@@ -807,15 +855,21 @@ class MergedIndexReader:
         t = self._rows_for_term(term, self._BLOB_COLS)
         if t is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        doc_parts, tf_parts = [], []
+        # preallocate ONE output pair from the df column and decode each
+        # chunk into its slice — a list-of-chunks + concatenate doubles the
+        # fresh-allocation volume, which dominates head-term latency on
+        # allocation-slow hosts
+        total = int(pa.compute.sum(t.column("df")).as_py())
+        d = np.empty(total, dtype=np.int64)
+        tf = np.empty(total, dtype=np.int64)
+        pos = 0
         for i in range(t.num_rows):
-            d, tf = codec.decode_postings(
+            cd, ctf = codec.decode_postings(
                 t.column("doc_blob")[i].as_py(), t.column("frq_blob")[i].as_py()
             )
-            doc_parts.append(d)
-            tf_parts.append(tf)
-        d = np.concatenate(doc_parts)
-        tf = np.concatenate(tf_parts)
+            d[pos : pos + cd.size] = cd
+            tf[pos : pos + cd.size] = ctf
+            pos += cd.size
         d.flags.writeable = False
         tf.flags.writeable = False
         while self._post_cache and self._post_cache_elems + d.size > self._POSTINGS_CACHE_ELEMS:

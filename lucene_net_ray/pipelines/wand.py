@@ -89,9 +89,22 @@ def wand_top_k(
     a_score = np.float32(search_after[0]) if search_after else None
     a_doc = (search_after[1] - reader.doc_base) if search_after else None
 
-    for z in order.tolist():
+    # Adaptive bail-out: the zone walk is a Python loop, worth it only when
+    # block-max pruning actually skips zones. After PROBE zones, count how
+    # many remaining zones still bound >= the k-th score (one vectorized
+    # pass); if pruning is not converging, abandon the walk and score
+    # exhaustively (vectorized over full postings) — same exact result.
+    # Corpora with uniform tf/norm spread (zero skip headroom) otherwise
+    # turn a 100 ms query into tens of seconds at 10^7 df.
+    PROBE = 256
+
+    for zi, z in enumerate(order.tolist()):
         if len(heap) >= k and safe_bounds[z] < heap[0][0]:
             break  # every remaining zone bounds strictly lower
+        if zi == PROBE and len(heap) >= k:
+            remaining = np.count_nonzero(safe_bounds[order[zi:]] >= heap[0][0])
+            if remaining > 4 * PROBE:
+                return _exhaustive_top_k(reader, term_weights, cache, k, search_after)
         lo = int(zone_lo[z])
         hi = int(bounds[z])
         zone_docs: list[np.ndarray] = []
@@ -145,6 +158,46 @@ def wand_top_k(
     out = [(-nd, float(s)) for s, nd in heap]
     out.sort(key=lambda h: (-h[1], h[0]))
     return out
+
+
+def _exhaustive_top_k(
+    reader,
+    term_weights: list[tuple[str, np.float32]],
+    cache: np.ndarray,
+    k: int,
+    search_after: tuple[float, int] | None,
+) -> list[tuple[int, float]]:
+    """Vectorized full-decode scoring with identical float semantics to the
+    zone walk (f32 term scores, f64 accumulate, f32 final)."""
+    norms = reader.norms
+    docs_l, scores_l = [], []
+    for term, w in term_weights:
+        if w <= 0:
+            continue
+        d, tf = reader.postings(term)
+        if d.size == 0:
+            continue
+        s = sim.score_tf(tf, norms[d], np.float32(w), cache)
+        docs_l.append(d)
+        scores_l.append(s)
+    if not docs_l:
+        return []
+    if len(docs_l) == 1:
+        uniq, final = docs_l[0], scores_l[0]
+    else:
+        alld = np.concatenate(docs_l)
+        alls = np.concatenate(scores_l)
+        uniq = np.unique(alld)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, np.searchsorted(uniq, alld), alls.astype(np.float64))
+        final = acc.astype(np.float32)
+    if search_after is not None:
+        a_score = np.float32(search_after[0])
+        a_doc = search_after[1] - reader.doc_base
+        keep = (final < a_score) | ((final == a_score) & (uniq > a_doc))
+        uniq, final = uniq[keep], final[keep]
+    idx = np.lexsort((uniq, -final))[:k]
+    return [(int(uniq[i]), float(final[i])) for i in idx]
 
 
 def is_wand_eligible(q) -> list[tuple[str, float]] | None:

@@ -113,14 +113,15 @@ def test_merged_reader_is_lazy(setup):
 
     r = MergedIndexReader(merged_dir)
     assert r._terms_cache is None  # vocabulary not materialized on open
-    assert not r.norms._cache  # no norms loaded on open
+    assert not r.norms._cache and r.norms._flat is None  # no norms on open
     assert r.files_read == 0
     d, t = r.postings("public")
     assert d.size > 0
     assert r.files_read <= len(r._parts)  # only covering parts touched
-    # norms load lazily per segment slice when scoring needs them
+    # norms load lazily when scoring first needs them (flat regime here:
+    # 1 byte/doc, whole array ~ doc_count bytes)
     _ = r.norms[d[:5]]
-    assert 0 < len(r.norms._cache) <= len(r._docs_files)
+    assert r.norms._flat is not None and r.norms._flat.size == r.doc_count
     # absent term resolves from the manifest / row-group stats alone
     before = r.files_read
     assert r.term_stats("zzzz_not_a_term_zzzz") == (0, 0)
