@@ -126,11 +126,11 @@ class ClassicSegmentScorer:
         if musts:
             req = evals[musts[0]][0]
             for key in musts[1:]:
-                req = np.intersect1d(req, evals[key][0], assume_unique=True)
+                req = _intersect_sorted(req, evals[key][0])
         union_src = [evals[k][0] for k in set(musts + shoulds)]
         docs = np.unique(np.concatenate(union_src)) if union_src else np.empty(0, dtype=np.int64)
         if req is not None:
-            docs = np.intersect1d(docs, req, assume_unique=True)
+            docs = _intersect_sorted(docs, req)
         acc = np.zeros(docs.size, dtype=np.float64)
         matched = np.zeros(docs.size, dtype=np.int64)
         for key in musts + shoulds:
@@ -257,7 +257,7 @@ class LMSegmentScorer:
             docs = np.unique(np.concatenate([d for d, _ in evals]))
             if musts:
                 for d, _ in evals[: len(musts)]:
-                    docs = np.intersect1d(docs, d, assume_unique=True)
+                    docs = _intersect_sorted(docs, d)
             acc = np.zeros(docs.size, dtype=np.float64)
             for d, s in evals:
                 ix = np.searchsorted(docs, d)
@@ -407,6 +407,22 @@ def _iter_term_chunks(reader):
         yield from f()
     else:
         yield reader.terms
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED unique docid arrays via binary search —
+    postings are always sorted, so np.intersect1d's concat-and-sort
+    (O((n+m) log(n+m)) and a 2x temporary) is wasted work; this is
+    O(min log max) with a min-sized output."""
+    if a.size > b.size:
+        a, b = b, a
+    if a.size == 0:
+        return a
+    idx = np.searchsorted(b, a)
+    valid = idx < b.size
+    hit = np.zeros(a.size, dtype=bool)
+    hit[valid] = b[idx[valid]] == a[valid]
+    return a[hit]
 
 
 def expand_multiterm(reader: SegmentReader, q: Query) -> list[tuple[str, float]]:
@@ -834,7 +850,7 @@ class SegmentScorer:
             keysets.append(doc_per_occ * SHIFT + adj)
         common = keysets[0]
         for ks in keysets[1:]:
-            common = np.intersect1d(common, ks, assume_unique=True)
+            common = _intersect_sorted(common, ks)
         if common.size == 0:
             return empty
         docs, freqs = np.unique(common // SHIFT, return_counts=True)
@@ -868,7 +884,7 @@ class SegmentScorer:
         per_slot = [(postings_by_term[t], t, p) for t, p in zip(q.terms, qpos)]
         common = per_slot[0][0][0]
         for (d, *_), _t, _p in per_slot[1:]:
-            common = np.intersect1d(common, d, assume_unique=True)
+            common = _intersect_sorted(common, d)
         if common.size == 0:
             return empty
         out_docs, out_freqs = [], []
@@ -938,7 +954,7 @@ class SegmentScorer:
             order = sorted(range(len(must_evals)), key=lambda i: (self._cost(musts[i]), i))
             req_docs = must_evals[order[0]][0]
             for i in order[1:]:
-                req_docs = np.intersect1d(req_docs, must_evals[i][0], assume_unique=True)
+                req_docs = _intersect_sorted(req_docs, must_evals[i][0])
             req_scores = np.zeros(req_docs.size, dtype=np.float32)
             for i in order:  # sequential float32 adds in cost order
                 d, s = must_evals[i]
