@@ -349,6 +349,7 @@ class Analyzer:
             "hungarian": "hungarian",
             "persian": "persian",
             "latvian": "latvian",
+            "greek": "greek",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

@@ -877,3 +877,7 @@ def latvian_stem(word: str) -> str:
 
 
 STEMMERS["latvian"] = latvian_stem
+
+from .greek import greek_stem  # noqa: E402
+
+STEMMERS["greek"] = greek_stem
