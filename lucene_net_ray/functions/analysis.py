@@ -350,6 +350,7 @@ class Analyzer:
             "persian": "persian",
             "latvian": "latvian",
             "greek": "greek",
+            "sorani": "sorani",
         }
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")

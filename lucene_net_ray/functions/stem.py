@@ -881,3 +881,89 @@ STEMMERS["latvian"] = latvian_stem
 from .greek import greek_stem  # noqa: E402
 
 STEMMERS["greek"] = greek_stem
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish — semantics of the reference's Analysis/Ckb/
+# SoraniNormalizer.cs (yeh/kaf/heh/reh folding, ZWNJ + harakat removal)
+# and SoraniStemmer.cs (postposition, possessive, ezafe/definite endings)
+# ---------------------------------------------------------------------------
+
+import unicodedata as _ud
+
+_CKB_MAP = {"ي": "ی", "ى": "ی", "ك": "ک",
+            "ة": "ە", "ھ": "ه", "ڒ": "ڕ"}
+_CKB_DEL = frozenset("ـًٌٍَُِّْ")
+
+
+@lru_cache(maxsize=200_000)
+def sorani_normalize(w: str) -> str:
+    out: list[str] = []
+    for ch in w:
+        if ch == "‌":  # ZWNJ: heh before it becomes AE
+            if out and out[-1] == "ه":
+                out[-1] = "ە"
+            continue
+        if ch in _CKB_DEL or _ud.category(ch) == "Cf":
+            continue
+        out.append(_CKB_MAP.get(ch, ch))
+    s = "".join(out)
+    if s.endswith("ه"):  # final heh -> AE
+        s = s[:-1] + "ە"
+    if s.startswith("ر"):  # initial reh -> rreh
+        s = "ڕ" + s[1:]
+    return s
+
+
+@lru_cache(maxsize=200_000)
+def sorani_stem(word: str) -> str:
+    w = sorani_normalize(word)
+    # postposition
+    if len(w) > 5 and w.endswith("دا"):
+        w = w[:-2]
+    elif len(w) > 4 and w.endswith("نا"):
+        w = w[:-1]
+    elif len(w) > 6 and w.endswith("ەوە"):
+        w = w[:-3]
+    # possessive pronoun
+    if len(w) > 6 and w.endswith(("مان", "یان", "تان")):
+        w = w[:-3]
+    # ezafe / definite / plural endings (first match returns)
+    if len(w) > 6 and w.endswith("ێکی"):
+        return w[:-3]
+    if len(w) > 7 and w.endswith("یەکی"):
+        return w[:-4]
+    if len(w) > 5 and w.endswith("ێک"):
+        return w[:-2]
+    if len(w) > 6 and w.endswith("یەک"):
+        return w[:-3]
+    if len(w) > 6 and w.endswith("ەکە"):
+        return w[:-3]
+    if len(w) > 5 and w.endswith("کە"):
+        return w[:-2]
+    if len(w) > 7 and w.endswith("ەکان"):
+        return w[:-4]
+    if len(w) > 6 and w.endswith("کان"):
+        return w[:-3]
+    if len(w) > 7 and w.endswith("یانی"):
+        return w[:-4]
+    if len(w) > 6 and w.endswith("انی"):
+        return w[:-3]
+    if len(w) > 6 and w.endswith("یان"):
+        return w[:-3]
+    if len(w) > 5 and w.endswith("ان"):
+        return w[:-2]
+    if len(w) > 7 and w.endswith("یانە"):
+        return w[:-4]
+    if len(w) > 6 and w.endswith("انە"):
+        return w[:-3]
+    if len(w) > 5 and w.endswith(("ایە", "ەیە")):
+        return w[:-2]
+    if len(w) > 4 and w.endswith("ە"):
+        return w[:-1]
+    if len(w) > 4 and w.endswith("ی"):
+        return w[:-1]
+    return w
+
+
+STEMMERS["sorani"] = sorani_stem

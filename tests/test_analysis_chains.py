@@ -446,3 +446,16 @@ def test_latvian_stemmer():
     assert latvian_stem("zem") == "zem"    # stem floor: >= 3 chars remain
     an = Analyzer(kind="latvian", stop_words=None)
     assert an("grāmatas grāmatām")[0] == an("grāmatas grāmatām")[1]
+
+
+def test_sorani_stemmer():
+    """SoraniNormalizer.cs + SoraniStemmer.cs semantics."""
+    from lucene_net_ray.functions.stem import sorani_normalize, sorani_stem
+
+    assert sorani_normalize("كتاب") == "کتاب"   # arabic kaf -> keheh
+    assert sorani_normalize("رەش") == "ڕەش"     # initial reh -> rreh
+    assert sorani_stem("پیاوەکان") == "پیاو"    # definite plural
+    assert sorani_stem("پیاوان") == "پیاو"      # indefinite plural
+    assert sorani_stem("پیاوێک") == "پیاو"      # indefinite singular
+    an = Analyzer(kind="sorani", stop_words=None)
+    assert an("پیاوەکان پیاوان")[0] == an("پیاوەکان پیاوان")[1]
