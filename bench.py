@@ -223,6 +223,30 @@ def data_pipeline_bench(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     brute_force_topk(ray.data.read_parquet(emb_path), queries, k=10)
     out["ann_brute_sec"] = round(time.perf_counter() - t0, 3)
+
+    from lucene_net_ray.stages.ann import ivf_topk
+    from lucene_net_ray.stages.decontam import contaminant_grams, decontaminate
+    from lucene_net_ray.stages.windows import sessionize, tumbling_window_agg
+
+    t0 = time.perf_counter()
+    ivf_topk(ray.data.read_parquet(emb_path), queries, k=10, n_clusters=16, n_probe=4)
+    out["ann_ivf_sec"] = round(time.perf_counter() - t0, 3)
+
+    bench_texts = emb.num_rows and pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).column("text").slice(0, 20).to_pylist()
+    grams = contaminant_grams(bench_texts, ngram=8)
+    t0 = time.perf_counter()
+    decontaminate(docs, grams).count()
+    out["decontaminate_sec"] = round(time.perf_counter() - t0, 3)
+
+    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    t0 = time.perf_counter()
+    tumbling_window_agg(events).count()
+    out["tumbling_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    sessionize(events).count()
+    out["sessionize_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 
