@@ -665,6 +665,23 @@ def q_merged_multiterm_counts(sf_dir: str):
     return pd.DataFrame(rows, columns=["q", "n"])
 
 
+def q_media_neardup(sf_dir: str):
+    """Multimodal near-dup pairs over a deterministic synthetic media corpus
+    with injected duplicates (rows-only; decode is honestly stubbed — the
+    banding/Hamming plumbing is what this exercises)."""
+    import pyarrow as pa_
+
+    from ..stages.multimodal import MEDIA_SCHEMA, media_neardup_pairs, synthesize_media_table
+
+    rows = synthesize_media_table(96, seed=5).to_pylist()
+    for i, (src, new) in enumerate([(0, 200), (3, 201), (7, 202), (11, 203)]):
+        dup = dict(rows[src])
+        dup["content_id"] = new
+        rows.append(dup)
+    ds = ray.data.from_arrow(pa_.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    return media_neardup_pairs(ds, max_hamming=4)
+
+
 def q_tumbling_windows(sf_dir: str):
     """Hourly tumbling-window aggregate over events. Hash-exact oracle."""
     from ..stages.windows import tumbling_window_agg
@@ -862,6 +879,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "lm_quality_scores": q_lm_quality,
     "tumbling_windows": q_tumbling_windows,
+    "media_neardup": q_media_neardup,
     "session_windows": q_sessionize,
     "clean_corpus_ids": q_clean_corpus_ids,
     "lang_id": q_lang_id,

@@ -177,3 +177,107 @@ def media_feature_pipeline(
     return decoded.map_batches(
         ResizeStage, batch_format="pyarrow", batch_size=256, concurrency=concurrency
     )
+
+
+class MediaHashStage:
+    """Actor-pool stage: feature vector -> 64-bit perceptual-hash-style code
+    (sign bits of seeded random projections, built once per actor). The
+    multimodal analog of SimHash: near-identical media produce codes within
+    a small Hamming distance."""
+
+    def __init__(self, feature_dim: int = 16, bits: int = 64, seed: int = 31):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((bits, feature_dim))
+        self.bits = bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column("feature")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(len(arr), -1)
+        m = m - m.mean(axis=1, keepdims=True)  # center like pHash's DCT mean
+        signs = (m @ self.planes.T) > 0
+        codes = (signs.astype(np.uint64) << np.arange(self.bits, dtype=np.uint64)).sum(axis=1)
+        return batch.append_column("media_hash", pa.array(codes, type=pa.uint64()))
+
+
+def media_neardup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    max_hamming: int = 8,
+    bands: int = 4,
+    max_bucket: int = 10_000,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Near-duplicate MEDIA pairs: decode -> feature -> 64-bit code ->
+    SimHash-style pigeonhole banding (a pair within ``max_hamming`` of 64
+    bits must agree exactly on at least one of ``bands`` 16-bit bands for
+    max_hamming < bands) -> exact Hamming check inside each band bucket via
+    groupby(bucket).map_groups. Composes the multimodal actor-pool plumbing
+    with the dedup banding design; subquadratic, no driver materialization.
+    Output: (content_a, content_b, hamming), each pair once."""
+    feats = media_feature_pipeline(ds, concurrency=concurrency)
+    hashed = feats.map_batches(
+        MediaHashStage, batch_format="pyarrow", concurrency=concurrency
+    )
+
+    band_bits = 64 // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        codes = batch.column("media_hash").to_numpy()
+        ids = batch.column("content_id").to_numpy()
+        n = codes.size
+        out_band, out_id, out_code = [], [], []
+        for b in range(bands):
+            band = (codes >> np.uint64(b * band_bits)) & np.uint64((1 << band_bits) - 1)
+            # bucket key = (band index, band value): collisions only within a band
+            out_band.append(band.astype(np.int64) * bands + b)
+            out_id.append(ids)
+            out_code.append(codes)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_band), type=pa.int64()),
+                "content_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "code": pa.array(np.concatenate(out_code), type=pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "content_a": pa.array([], type=pa.int64()),
+                "content_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < 2 or n > max_bucket:
+            return empty
+        ids = group.column("content_id").to_numpy()
+        codes = group.column("code").to_numpy()
+        xor = codes[:, None] ^ codes[None, :]
+        ham = np.zeros((n, n), dtype=np.int64)
+        x = xor.copy()
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+            if not x.any():
+                break
+        ii, jj = np.nonzero((ham <= max_hamming) & (ids[:, None] < ids[None, :]))
+        return pa.table(
+            {
+                "content_a": pa.array(ids[ii], type=pa.int64()),
+                "content_b": pa.array(ids[jj], type=pa.int64()),
+                "hamming": pa.array(ham[ii, jj], type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        hashed.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # a pair can collide in several bands: dedupe with one small groupby
+    agg = pairs.groupby(["content_a", "content_b"]).min("hamming")
+    return agg.rename_columns({"min(hamming)": "hamming"})

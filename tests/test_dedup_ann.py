@@ -284,3 +284,33 @@ def test_ivf_topk_recall():
         key = (r["query_id"], r["vec_id"])
         if key in exact_map:
             assert r["cosine"] == exact_map[key]
+
+
+def test_media_neardup_pairs():
+    """Multimodal near-dup composition: decode -> feature -> 64-bit code ->
+    band-bucketed Hamming pairs. With the deterministic fake decoder,
+    identical payloads give identical codes (hamming 0); distinct payloads
+    land far apart."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        media_neardup_pairs,
+        synthesize_media_table,
+    )
+
+    tbl = synthesize_media_table(30, seed=9).to_pylist()
+    # duplicate three payloads under new content ids
+    for src, new in [(0, 100), (4, 101), (8, 102)]:
+        dup = dict(tbl[src])
+        dup["content_id"] = new
+        tbl.append(dup)
+    ds = ray.data.from_arrow(pa.Table.from_pylist(tbl, schema=MEDIA_SCHEMA))
+    got = media_neardup_pairs(ds, max_hamming=4).take_all()
+    pairs = {(r["content_a"], r["content_b"]): r["hamming"] for r in got}
+    assert pairs.get((0, 100)) == 0
+    assert pairs.get((4, 101)) == 0
+    assert pairs.get((8, 102)) == 0
+    # each pair emitted once despite colliding in all bands
+    assert len(pairs) == len(got)
