@@ -51,6 +51,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--actors", type=int, default=4)
+    s.add_argument("--merged", action="store_true",
+                   help="serve a merged (term-range-partitioned) index; "
+                        "--actors > 1 shards it across MergedRangeActors")
 
     m = sub.add_parser("merge", help="compact into a term-partitioned merged index")
     m.add_argument("--index", required=True)
@@ -96,10 +99,21 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"max_doc": meta.max_doc, "segments": len(meta.segment_dirs),
                               "sum_ttf": meta.sum_ttf, "out": args.out}))
         elif args.cmd == "search":
-            from .pipelines.search import Searcher
             from .query import parse_query
 
-            searcher = Searcher(args.index, num_actors=args.actors, use_actors=True)
+            if args.merged:
+                if args.actors > 1:
+                    from .pipelines.merge import ShardedMergedSearcher as _S
+
+                    searcher = _S(args.index, num_actors=args.actors)
+                else:
+                    from .pipelines.merge import MergedSearcher as _S
+
+                    searcher = _S(args.index)
+            else:
+                from .pipelines.search import Searcher
+
+                searcher = Searcher(args.index, num_actors=args.actors, use_actors=True)
             hits = searcher.search(parse_query(args.query), k=args.k)
             print(json.dumps([{"doc_id": d, "score": s} for d, s in hits]))
         elif args.cmd == "merge":
