@@ -40,6 +40,7 @@ def _build_segment_task(
     index_options: str = "freqs",
     store_term_vectors: bool = False,
     analyzer_obj=None,
+    payload_delimiter: str | None = None,
 ) -> pa.Table:
     """Stateless map_batches task: each input row describes one shard.
 
@@ -68,6 +69,7 @@ def _build_segment_task(
             stored_columns=stored_columns,
             index_options=index_options,
             store_term_vectors=store_term_vectors,
+            payload_delimiter=payload_delimiter,
             lineage={
                 "path": row["path"],
                 "row_groups": list(row["row_groups"]),
@@ -101,6 +103,7 @@ def build_index(
     concurrency: int | None = None,
     index_options: str = "freqs",
     store_term_vectors: bool = False,
+    payload_delimiter: str | None = None,
 ) -> IndexMeta:
     """Build (or resume) an index from a Parquet corpus. Returns IndexMeta.
 
@@ -108,6 +111,8 @@ def build_index(
     INSTANCE (pickled into the build tasks) — for chains the simple
     ``analyzer_kind`` string cannot express; it overrides analyzer_kind."""
     t0 = time.perf_counter()
+    if payload_delimiter is not None and index_options not in ("positions", "offsets"):
+        raise ValueError("payload_delimiter requires index_options='positions' or 'offsets'")
     os.makedirs(os.path.join(out_dir, "segments"), exist_ok=True)
     shards = plan_shards(input_path, target_rows=target_rows_per_segment)
     if not shards:
@@ -137,6 +142,7 @@ def build_index(
             "stored_columns": tuple(stored_columns),
             "index_options": index_options,
             "store_term_vectors": store_term_vectors,
+            "payload_delimiter": payload_delimiter,
         },
         batch_size=None,
         batch_format="pyarrow",
@@ -148,6 +154,7 @@ def build_index(
     manifest = {
         "version": 1,
         "index_options": index_options,
+        "payload_delimiter": payload_delimiter,
         "analyzer": (analyzer.config() if analyzer is not None else Analyzer(kind=analyzer_kind).config()),
         "content_column": content_column,
         "segments": seg_rows,

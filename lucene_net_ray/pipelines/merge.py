@@ -492,6 +492,7 @@ def merge_index(index: IndexMeta | str, out_dir: str, *, bucket_size: int = 8) -
             "sum_ttf": index.sum_ttf,
             "bucket_size": bucket_size,
             "index_options": index.manifest.get("index_options", "freqs"),
+            "payload_delimiter": index.manifest.get("payload_delimiter"),
             "source": index.index_dir,
             "analyzer": index.manifest.get("analyzer"),
             "segments": index.manifest["segments"],
@@ -888,6 +889,23 @@ class MergedIndexReader:
     @property
     def has_offsets(self) -> bool:
         return self.manifest.get("index_options") == "offsets"
+
+    @property
+    def has_payloads(self) -> bool:
+        return self.manifest.get("payload_delimiter") is not None
+
+    def position_payloads(self, docid: int) -> np.ndarray:
+        """float32 payload per position for a GLOBAL docid — pos_payload
+        lives in the per-segment docs files and rides through the merge
+        unchanged (same carry as pos_start/pos_end)."""
+        if not self.has_payloads:
+            raise ValueError("index was not built with a payload_delimiter")
+        s, local = self._seg_of(docid)
+        t = pq.read_table(self._docs_files[s], columns=["pos_payload"])
+        return np.asarray(
+            t.column("pos_payload")[local].values.to_numpy(zero_copy_only=False),
+            dtype=np.float32,
+        )
 
     def _seg_of(self, docid: int) -> tuple[int, int]:
         s = int(np.searchsorted(self.norms._bases, docid, side="right") - 1)

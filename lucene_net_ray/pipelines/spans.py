@@ -75,6 +75,48 @@ class SpanPositionRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class PayloadTermQuery(Query):
+    """SpanTermQuery scored with a payload factor: score = span score ×
+    PayloadFunction over the payloads at the matched positions (reference
+    Search/Payloads/PayloadTermQuery.cs:36 with Min/Max/AveragePayloadFunction;
+    payloads come from the DelimitedPayloadTokenFilter analog's per-position
+    store). Positions without a payload are skipped; a doc whose matches
+    carry no payloads scores with factor 1.0 (PayloadFunction.DocScore's
+    numPayloadsSeen==0 branch). include_span_score=False reproduces the
+    reference's payload-only scoring mode."""
+
+    field: str = "content"
+    term: str = ""
+    func: str = "avg"  # "avg" | "min" | "max"
+    include_span_score: bool = True
+
+
+@dataclass(frozen=True)
+class PayloadNearQuery(Query):
+    """SpanNearQuery scored with a payload factor over every payload-carrying
+    position inside each matched span (PayloadNearQuery.cs:42 analog)."""
+
+    clauses: tuple = ()
+    slop: int = 0
+    in_order: bool = True
+    func: str = "avg"
+    field: str = "content"
+    include_span_score: bool = True
+
+
+@dataclass(frozen=True)
+class SpanPayloadCheckQuery(Query):
+    """Keep only spans of `match` whose in-order sequence of payload-carrying
+    position payloads equals `payloads` exactly, as float32
+    (Search/Spans/SpanPayloadCheckQuery.cs:34 compares collected payload
+    bytes; the float32 store makes that an exact float compare here)."""
+
+    match: Query = None
+    payloads: tuple = ()
+    field: str = "content"
+
+
+@dataclass(frozen=True)
 class SpanMultiTermQuery(Query):
     """A multi-term query (Prefix/Wildcard/Fuzzy/TermRange/Regexp) embedded
     in a span tree (SpanMultiTermQueryWrapper analog, reference
@@ -147,20 +189,37 @@ def rewrite_span_multiterm(searcher, q):
             field=q.field,
             boost=q.boost,
         )
+    if isinstance(q, SpanPayloadCheckQuery):
+        return SpanPayloadCheckQuery(
+            match=rewrite_span_multiterm(searcher, q.match),
+            payloads=q.payloads,
+            field=q.field,
+            boost=q.boost,
+        )
+    if isinstance(q, PayloadNearQuery):
+        return PayloadNearQuery(
+            clauses=tuple(rewrite_span_multiterm(searcher, c) for c in q.clauses),
+            slop=q.slop,
+            in_order=q.in_order,
+            func=q.func,
+            field=q.field,
+            include_span_score=q.include_span_score,
+            boost=q.boost,
+        )
     return q
 
 
 def span_terms(q) -> set[str]:
-    if isinstance(q, SpanTermQuery):
+    if isinstance(q, (SpanTermQuery, PayloadTermQuery)):
         return {q.term}
-    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+    if isinstance(q, (SpanNearQuery, SpanOrQuery, PayloadNearQuery)):
         out: set[str] = set()
         for c in q.clauses:
             out |= span_terms(c)
         return out
     if isinstance(q, SpanNotQuery):
         return span_terms(q.include) | span_terms(q.exclude)
-    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery, SpanPayloadCheckQuery)):
         return span_terms(q.match)
     raise TypeError(q)
 
@@ -172,33 +231,57 @@ def _positions_by_doc(reader, term: str) -> dict[int, list[int]]:
     }
 
 
-def enumerate_spans(q, pos_maps: dict[str, dict[int, list[int]]], doc: int) -> list[tuple[int, int]]:
-    """Sorted (start, end) spans of q in one doc ([] when no match)."""
-    if isinstance(q, SpanTermQuery):
+def _span_payload_seq(payloads: np.ndarray, start: int, end: int) -> list[float]:
+    """In-order payloads of the payload-carrying positions inside [start, end)."""
+    hi = min(end, payloads.size)
+    if start >= hi:
+        return []
+    window = payloads[start:hi]
+    return window[~np.isnan(window)].tolist()
+
+
+def enumerate_spans(
+    q, pos_maps: dict[str, dict[int, list[int]]], doc: int, payload_of=None
+) -> list[tuple[int, int]]:
+    """Sorted (start, end) spans of q in one doc ([] when no match).
+
+    ``payload_of(doc) -> float32[positions]`` is required only when the tree
+    contains a SpanPayloadCheckQuery."""
+    if isinstance(q, (SpanTermQuery, PayloadTermQuery)):
         pl = pos_maps[q.term].get(doc, [])
         return [(p, p + 1) for p in pl]
     if isinstance(q, SpanOrQuery):
         out: list[tuple[int, int]] = []
         for c in q.clauses:
-            out.extend(enumerate_spans(c, pos_maps, doc))
+            out.extend(enumerate_spans(c, pos_maps, doc, payload_of))
         return sorted(set(out))
     if isinstance(q, SpanFirstQuery):
-        return [s for s in enumerate_spans(q.match, pos_maps, doc) if s[1] <= q.end]
+        return [s for s in enumerate_spans(q.match, pos_maps, doc, payload_of) if s[1] <= q.end]
     if isinstance(q, SpanPositionRangeQuery):
         return [
-            s for s in enumerate_spans(q.match, pos_maps, doc)
+            s for s in enumerate_spans(q.match, pos_maps, doc, payload_of)
             if s[0] >= q.start and s[1] <= q.end
         ]
+    if isinstance(q, SpanPayloadCheckQuery):
+        if payload_of is None:
+            raise ValueError("SpanPayloadCheckQuery needs a payload-enabled index")
+        want = [float(np.float32(p)) for p in q.payloads]
+        pay = payload_of(doc)
+        return [
+            (s, e)
+            for s, e in enumerate_spans(q.match, pos_maps, doc, payload_of)
+            if _span_payload_seq(pay, s, e) == want
+        ]
     if isinstance(q, SpanNotQuery):
-        inc = enumerate_spans(q.include, pos_maps, doc)
-        exc = enumerate_spans(q.exclude, pos_maps, doc)
+        inc = enumerate_spans(q.include, pos_maps, doc, payload_of)
+        exc = enumerate_spans(q.exclude, pos_maps, doc, payload_of)
         return [
             (s, e)
             for s, e in inc
             if not any(es < e and s < ee for es, ee in exc)  # overlap test
         ]
-    if isinstance(q, SpanNearQuery):
-        sub = [enumerate_spans(c, pos_maps, doc) for c in q.clauses]
+    if isinstance(q, (SpanNearQuery, PayloadNearQuery)):
+        sub = [enumerate_spans(c, pos_maps, doc, payload_of) for c in q.clauses]
         if any(not s for s in sub):
             return []
         return (
@@ -280,9 +363,15 @@ class SpanEvaluator:
         cand = set()
         for t in terms:
             cand |= set(pos_maps[t].keys())
-        docs_out, freqs_out = [], []
+        payload_of = (
+            self.reader.position_payloads
+            if getattr(self.reader, "has_payloads", False)
+            else None
+        )
+        pay_root = isinstance(q, (PayloadTermQuery, PayloadNearQuery))
+        docs_out, freqs_out, factors = [], [], []
         for doc in sorted(cand):
-            spans = enumerate_spans(q, pos_maps, doc)
+            spans = enumerate_spans(q, pos_maps, doc, payload_of)
             if not spans:
                 continue
             freq = np.float32(0.0)
@@ -290,10 +379,25 @@ class SpanEvaluator:
                 freq = np.float32(freq + np.float32(1.0 / ((e - s) + 1.0)))
             docs_out.append(doc)
             freqs_out.append(float(freq))
+            if pay_root:
+                pay = payload_of(doc) if payload_of is not None else np.empty(0, np.float32)
+                vals: list[float] = []
+                for s, e in spans:
+                    vals.extend(_span_payload_seq(pay, s, e))
+                if vals:
+                    agg = {"avg": lambda v: sum(v) / len(v), "min": min, "max": max}[q.func]
+                    factors.append(float(np.float32(agg(vals))))
+                else:  # PayloadFunction.DocScore: no payloads seen -> 1.0
+                    factors.append(1.0)
         if not docs_out:
             return empty
         docs = np.array(docs_out, dtype=np.int64)
         freqs = np.array(freqs_out, dtype=np.float32)
+        if pay_root and not q.include_span_score:
+            # payload-only scoring mode (PayloadTermQuery.PayloadTermWeight
+            # with includeSpanScore=false): score = payload factor * boost
+            scores = (np.array(factors, dtype=np.float32) * np.float32(q.boost)).astype(np.float32)
+            return docs, scores
         idf_sum = np.float32(0.0)
         for t in terms:
             df = self.stats["df"].get(t, 0)
@@ -301,6 +405,8 @@ class SpanEvaluator:
                 idf_sum = np.float32(idf_sum + sim.idf(df, self.stats["max_doc"]))
         w = np.float32(np.float32(idf_sum * np.float32(q.boost)) * (self.k1 + np.float32(1.0)))
         scores = ((np.float32(w) * freqs) / (freqs + self.cache[self.reader.norms[docs]])).astype(np.float32)
+        if pay_root:  # span score × payload factor (PayloadTermQuery.cs:141)
+            scores = (scores * np.array(factors, dtype=np.float32)).astype(np.float32)
         return docs, scores
 
 

@@ -121,9 +121,10 @@ class ResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = batch.column("width").to_numpy()
         h = batch.column("height").to_numpy()
-        scale = np.where(
-            (w > 0) & (h > 0), self.target / np.maximum(w, h).astype(np.float64), 1.0
-        )
+        # audio rows carry 0x0 dims; clamp the denominator so np.where's
+        # eagerly-evaluated division branch never divides by zero
+        longest = np.maximum(np.maximum(w, h), 1).astype(np.float64)
+        scale = np.where((w > 0) & (h > 0), self.target / longest, 1.0)
         return batch.append_column("resize_scale", pa.array(np.round(scale, 6), type=pa.float64()))
 
 

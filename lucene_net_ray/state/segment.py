@@ -128,6 +128,7 @@ def build_segment(
     lineage: dict | None = None,
     index_options: str = "freqs",  # "freqs" | "positions" | "offsets" (FieldInfo.IndexOptions analog)
     store_term_vectors: bool = False,  # per-doc (term, tf) columns in docs.parquet
+    payload_delimiter: str | None = None,  # DelimitedPayloadTokenFilter analog
 ) -> dict:
     """Tokenize + invert one partition of the corpus and write a segment.
 
@@ -153,12 +154,15 @@ def build_segment(
     content_bytes = int(pc.sum(pc.binary_length(content_arr)).as_py() or 0)
 
     pos_offset_cols = None
+    payload_cols = None
     # --- analysis + inversion, allocation-light ---------------------------
     # Whitespace pre-split happens in Arrow (contiguous buffers); the Python
     # analyzer touches only the UNIQUE whitespace tokens (dictionary-encoded,
     # memoized across tasks), and everything per-occurrence is integer numpy.
     # Tokens never span whitespace in the grammar, so analyzing per
     # whitespace-token is exactly analyzing the document.
+    if payload_delimiter is not None and index_options not in ("positions", "offsets"):
+        raise ValueError("payload_delimiter requires index_options='positions' or 'offsets'")
     if analyzer.kind not in ("keyword", "chain", "ngram", "pattern") and n_docs:
         ws = pc.utf8_split_whitespace(content_arr)
         ws_counts = pc.list_value_length(ws).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -169,6 +173,24 @@ def build_segment(
         idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq_ws = denc.dictionary.to_pylist()
         with_pos = index_options in ("positions", "offsets")
+        # DelimitedPayloadTokenFilter analog (reference
+        # Analysis/Payloads/DelimitedPayloadTokenFilter.cs:28 + FloatEncoder):
+        # ws token "term|0.75" indexes as "term" carrying per-position payload
+        # 0.75. Stripping happens on the UNIQUE tokens (memo-friendly); a
+        # trailing chunk that does not parse as a float leaves the token
+        # intact with no payload (the reference's FloatEncoder would throw —
+        # documented deviation: we treat it as payload-less).
+        tok_payload = None
+        if payload_delimiter is not None:
+            tok_payload = np.full(len(uniq_ws), np.nan, dtype=np.float32)
+            for u_i, u in enumerate(uniq_ws):
+                head, sep, tail = u.rpartition(payload_delimiter)
+                if sep:
+                    try:
+                        tok_payload[u_i] = np.float32(tail)
+                        uniq_ws[u_i] = head
+                    except ValueError:
+                        pass
         # per-unique-token analysis -> CSR of term-ids (+ relative positions)
         term_id: dict[str, int] = {}
         uniq_vals: list[int] = []
@@ -257,6 +279,22 @@ def build_segment(
                 pos_offset_cols = {
                     "pos_start": pa.ListArray.from_arrays(loffs, pa.array(ps_flat)),
                     "pos_end": pa.ListArray.from_arrays(loffs, pa.array(pe_flat)),
+                }
+            if tok_payload is not None:
+                # per-position payload (position space == the offsets one):
+                # each ws-token occurrence's payload covers all raw positions
+                # it consumed; stored per doc so merges carry it unchanged
+                pay_flat = np.repeat(tok_payload[idx], occ_nraw)
+                per_doc_p = np.bincount(
+                    doc_of_ws, weights=occ_nraw, minlength=n_docs
+                ).astype(np.int64)
+                ploffs = pa.array(
+                    np.concatenate(([0], np.cumsum(per_doc_p))).astype(np.int32)
+                )
+                payload_cols = {
+                    "pos_payload": pa.ListArray.from_arrays(
+                        ploffs, pa.array(pay_flat, type=pa.float32())
+                    )
                 }
         else:
             # (term, doc) -> tf via one integer sort: key = term_id*n_docs + doc
@@ -361,6 +399,15 @@ def build_segment(
                 "pos_end": pa.ListArray.from_arrays(empty_off, pa.array([], type=pa.int32())),
             }
         docs_cols.update(pos_offset_cols)
+    if payload_delimiter is not None:
+        if payload_cols is None:  # empty/degenerate shard
+            empty_off = pa.array(np.zeros(n_docs + 1, dtype=np.int32))
+            payload_cols = {
+                "pos_payload": pa.ListArray.from_arrays(
+                    empty_off, pa.array([], type=pa.float32())
+                )
+            }
+        docs_cols.update(payload_cols)
     for col in stored_columns:
         if col in table.column_names:
             docs_cols[col] = table.column(col)
@@ -378,6 +425,7 @@ def build_segment(
         "content_bytes": content_bytes,
         "index_options": index_options,
         "store_term_vectors": store_term_vectors,
+        "payload_delimiter": payload_delimiter,
         "lineage": lineage or {},
         "metrics": {
             "build_sec": round(time.perf_counter() - t0, 4),
@@ -591,6 +639,26 @@ class SegmentReader:
             np.asarray(s.values.to_numpy(zero_copy_only=False), dtype=np.int64),
             np.asarray(e.values.to_numpy(zero_copy_only=False), dtype=np.int64),
         )
+
+    @property
+    def has_payloads(self) -> bool:
+        return self.meta.get("payload_delimiter") is not None
+
+    def position_payloads(self, local_doc: int) -> np.ndarray:
+        """float32 payload per position of one doc (NaN = no payload) — the
+        per-position payload store behind PayloadTermQuery / payload spans
+        (reference Analysis/Payloads/DelimitedPayloadTokenFilter.cs:28,
+        Search/Payloads/PayloadTermQuery.cs:36; payloads live per-doc in
+        docs.parquet like the offsets columns, so merges carry them
+        unchanged). Lazy, column-pruned, cached."""
+        if not self.has_payloads:
+            raise ValueError("index was not built with a payload_delimiter")
+        if not hasattr(self, "_payload_tbl"):
+            self._payload_tbl = pq.read_table(
+                os.path.join(self.seg_dir, "docs.parquet"), columns=["pos_payload"]
+            )
+        p = self._payload_tbl.column("pos_payload")[local_doc]
+        return np.asarray(p.values.to_numpy(zero_copy_only=False), dtype=np.float32)
 
     def doc_values(self, field: str) -> "np.ndarray":
         """Stored docs-table column as numpy (cached) — DocValues analog."""
