@@ -617,6 +617,19 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Connected components over exact-Jaccard near-dup pairs: each doc in a
+    pair gets its component's min doc_id as cluster_id (the dedup
+    representative). A 0.5 threshold keeps template-family components
+    compact so the recursive-CTE oracle's transitive closure stays small."""
+    from ..stages.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _documents_ds(sf_dir), shingle_size=2, threshold=0.5, max_shingle_df=100_000
+    )
+    return neardup_clusters(pairs)
+
+
 def q_embed_neardup_pairs(sf_dir: str):
     from ..stages.dedup import embedding_neardup_pairs
 
@@ -872,6 +885,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "neardup_clusters": q_neardup_clusters,
     "embed_neardup_pairs": q_embed_neardup_pairs,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "freetext_suggest": q_freetext_suggest,
@@ -1095,6 +1109,27 @@ j AS (SELECT doc_a, doc_b,
       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
       FROM co JOIN sizes sa ON sa.doc_id = co.doc_a JOIN sizes sb ON sb.doc_id = co.doc_b)
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.03 ORDER BY doc_a, doc_b
+""",
+        "neardup_clusters": """
+WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),
+sh AS (SELECT doc_id,
+       list_distinct(list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])) AS gs
+       FROM toks WHERE len(ts) >= 2),
+sizes AS (SELECT doc_id, len(gs) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+p AS (SELECT doc_a, doc_b FROM co
+      JOIN sizes sa ON sa.doc_id = co.doc_a JOIN sizes sb ON sb.doc_id = co.doc_b
+      WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+reach(node, lab) AS (
+  SELECT u, u FROM e UNION SELECT u, v FROM e
+  UNION
+  SELECT e.u, r.lab FROM e JOIN reach r ON r.node = e.v
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id
 """,
         "embed_neardup_pairs": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

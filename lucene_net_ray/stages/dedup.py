@@ -627,3 +627,134 @@ def _embedding_neardup_lsh(
     # a pair found in several probe buckets dedupes here (cosine identical)
     agg = pairs.groupby(["vec_a", "vec_b"]).min("cosine")
     return agg.rename_columns({"min(cosine)": "cosine"})
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over pair output)
+# ---------------------------------------------------------------------------
+
+def neardup_clusters(
+    pairs: ray.data.Dataset,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+    coarse: int = 1024,
+) -> ray.data.Dataset:
+    """Connected components over a near-dup pair stream: every doc that
+    appears in ``pairs`` gets ``cluster_id`` = the smallest doc id reachable
+    through the pair graph (the canonical dedup-cluster representative).
+
+    Distributed min-label propagation: labels start as each node's own id and
+    each round every node takes the min of its own label and its neighbors'
+    labels, until no label changes. Converges in graph-diameter rounds —
+    near-dup graphs are unions of small dense cliques (template families), so
+    a handful of rounds in practice; ``max_iter`` is a guard, not a budget
+    (raises if the graph somehow hasn't converged). Each round is two keyed
+    shuffles: one coarse-hash groupby that resolves neighbor labels
+    (vectorized searchsorted inside each bucket — the same bounded-bucket
+    discipline as the LSH pair stages, no per-row Python in the group UDF)
+    and one groupby(node).min aggregate. Label state is one row per distinct
+    node — bounded and materialized between rounds (an iterative algorithm,
+    like the IVF trainer; intermediate pair streams are never materialized).
+    The big-graph literature's large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) drops in
+    here if diameter ever matters; pair graphs from LSH banding do not need
+    it.
+    """
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    # materialize once: the edge list is re-read every round (and lives in
+    # the object store, spillable); leaving it lazy would re-run the whole
+    # upstream pair pipeline once per propagation round
+    edges = pairs.select_columns([src, dst]).map_batches(
+        both_dirs, batch_format="pyarrow"
+    ).materialize()
+
+    # initial labels: min(own id, min neighbor id) in one aggregate
+    def self_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"), "nbr": batch.column("node")})
+
+    init = edges.union(edges.map_batches(self_rows, batch_format="pyarrow"))
+    labels = (
+        init.groupby("node").min("nbr").rename_columns({"min(nbr)": "lab"})
+    ).materialize()
+
+    def tag_consumers(batch: pa.Table) -> pa.Table:
+        # consumer row: "node wants the label of key=nbr"
+        key = batch.column("nbr")
+        return pa.table(
+            {
+                "key": key,
+                "node": batch.column("node"),
+                "lab": pa.nulls(batch.num_rows, type=pa.int64()),
+                "coarse": pa.compute.bit_wise_and(key, coarse - 1),
+            }
+        )
+
+    def tag_owners(batch: pa.Table) -> pa.Table:
+        # owner row: "key's current label is lab"
+        key = batch.column("node")
+        return pa.table(
+            {
+                "key": key,
+                "node": pa.nulls(batch.num_rows, type=pa.int64()),
+                "lab": batch.column("lab"),
+                "coarse": pa.compute.bit_wise_and(key, coarse - 1),
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        lab = group.column("lab").to_numpy(zero_copy_only=False)
+        own = ~pa.compute.is_null(group.column("lab")).to_numpy(zero_copy_only=False)
+        lk, lv = key[own].astype(np.int64), lab[own].astype(np.int64)
+        o = np.argsort(lk, kind="stable")
+        lk, lv = lk[o], lv[o]
+        ck = key[~own].astype(np.int64)
+        cn = node[~own].astype(np.int64)
+        pos = np.searchsorted(lk, ck)
+        # every consumer's key has an owner row by construction (labels cover
+        # every node that appears in edges)
+        out_node = np.concatenate([lk, cn])
+        out_lab = np.concatenate([lv, lv[pos]])
+        return pa.table(
+            {
+                "node": pa.array(out_node, type=pa.int64()),
+                "lab": pa.array(out_lab, type=pa.int64()),
+            }
+        )
+
+    prev_sum = None
+    for _ in range(max_iter):
+        rows = edges.map_batches(tag_consumers, batch_format="pyarrow").union(
+            labels.map_batches(tag_owners, batch_format="pyarrow")
+        )
+        resolved = rows.groupby("coarse").map_groups(resolve, batch_format="pyarrow")
+        labels = (
+            resolved.groupby("node").min("lab").rename_columns({"min(lab)": "lab"})
+        ).materialize()
+        # labels only ever decrease; an unchanged sum is a fixpoint
+        s = labels.sum("lab")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(f"neardup_clusters did not converge in {max_iter} rounds")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("node"), "cluster_id": batch.column("lab")}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")

@@ -314,3 +314,34 @@ def test_media_neardup_pairs():
     assert pairs.get((8, 102)) == 0
     # each pair emitted once despite colliding in all bands
     assert len(pairs) == len(got)
+
+
+def test_neardup_clusters_components():
+    import pyarrow as pa
+
+    import ray.data
+    from lucene_net_ray.stages.dedup import neardup_clusters
+
+    # a 4-chain (diameter 3), a 2-clique, a triangle — min id labels each
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": [9, 3, 2, 5, 100, 200, 100], "doc_b": [3, 2, 1, 7, 200, 300, 300]})
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).take_all()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5, 100: 100, 200: 100, 300: 100}
+
+
+def test_neardup_clusters_max_iter_guard():
+    import pyarrow as pa
+    import pytest as _pt
+
+    import ray.data
+    from lucene_net_ray.stages.dedup import neardup_clusters
+
+    # a path graph needs ~diameter rounds; max_iter=1 cannot converge
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": [5, 4, 3, 2], "doc_b": [4, 3, 2, 1]})
+    )
+    with _pt.raises(RuntimeError, match="converge"):
+        neardup_clusters(pairs, max_iter=1)
