@@ -617,6 +617,51 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over a deterministic contact-card corpus derived from
+    the customer table (the synthetic documents carry no digits, so the
+    entry synthesizes phone/email/ip values from c_custkey/c_name the same
+    way on the Ray and SQL sides, then exercises the real scrub operator)."""
+    import numpy as np
+
+    from ..stages.textstats import pii_scrub
+
+    def contact(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        name = batch.column("c_name")
+        user = pc.replace_substring_regex(pc.utf8_lower(name), "[^a-z0-9]+", ".")
+
+        def seg(vals, width):
+            return vals.astype(f"U{width}")
+
+        dash = np.full(k.size, "-", dtype="U1")
+        dot = np.full(k.size, ".", dtype="U1")
+        ph = seg(k % 90 + 10, 2)
+        for part in (dash, seg(k * 3 % 900 + 100, 3), dash, seg(k * 7 % 900 + 100, 3), dash, seg(k * 11 % 9000 + 1000, 4)):
+            ph = np.char.add(ph, part)
+        ip = seg(k % 256, 3)
+        for part in (dot, seg(k * 7 % 256, 3), dot, seg(k * 13 % 256, 3), dot, seg(k * 31 % 256, 3)):
+            ip = np.char.add(ip, part)
+        text = pc.binary_join_element_wise(
+            name,
+            " can be reached at ",
+            pa.array(ph, type=pa.string()),
+            " email ",
+            user,
+            "@example.com last login ",
+            pa.array(ip, type=pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": pa.array(k, type=pa.int64()), "text": text})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).map_batches(contact, batch_format="pyarrow")
+    return pii_scrub(ds)
+
+
 def q_neardup_clusters(sf_dir: str):
     """Connected components over exact-Jaccard near-dup pairs: each doc in a
     pair gets its component's min doc_id as cluster_id (the dedup
@@ -886,6 +931,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "neardup_clusters": q_neardup_clusters,
+    "pii_scrub": q_pii_scrub,
     "embed_neardup_pairs": q_embed_neardup_pairs,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "freetext_suggest": q_freetext_suggest,
@@ -1109,6 +1155,26 @@ j AS (SELECT doc_a, doc_b,
       ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
       FROM co JOIN sizes sa ON sa.doc_id = co.doc_a JOIN sizes sb ON sb.doc_id = co.doc_b)
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.03 ORDER BY doc_a, doc_b
+""",
+        "pii_scrub": """
+WITH t AS (
+  SELECT c_custkey AS doc_id,
+    c_name || ' can be reached at ' ||
+    CAST(c_custkey%90 + 10 AS VARCHAR) || '-' || CAST(c_custkey*3%900 + 100 AS VARCHAR) || '-' ||
+    CAST(c_custkey*7%900 + 100 AS VARCHAR) || '-' || CAST(c_custkey*11%9000 + 1000 AS VARCHAR) ||
+    ' email ' || regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g') || '@example.com last login ' ||
+    CAST(c_custkey%256 AS VARCHAR) || '.' || CAST(c_custkey*7%256 AS VARCHAR) || '.' ||
+    CAST(c_custkey*13%256 AS VARCHAR) || '.' || CAST(c_custkey*31%256 AS VARCHAR) AS text
+  FROM customer)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\d{2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+    '\d{2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS scrubbed
+FROM t ORDER BY doc_id
 """,
         "neardup_clusters": """
 WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),

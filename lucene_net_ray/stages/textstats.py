@@ -267,3 +267,52 @@ def lm_quality_scores(
         return batch.append_column("lm_logprob", pa.array(out, type=pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub / redaction
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    # RE2 syntax (pyarrow and DuckDB both compile these with RE2, so the
+    # Ray operator and the SQL oracle see identical match semantics)
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\d{2}-\d{3}-\d{3}-\d{4}",
+    "ip": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+
+def pii_scrub(
+    ds,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+    order: tuple[str, ...] = ("email", "phone", "ip"),
+):
+    """Redact PII-shaped substrings from a text column, streaming.
+
+    Per batch: counts per pattern are taken on the ORIGINAL text (one
+    vectorized ``count_substring_regex`` per pattern), then replacements are
+    applied sequentially in ``order`` (email before ip so an address's dotted
+    local part can never be half-eaten by the ip pattern). Patterns compile
+    once per process inside Arrow's RE2 cache; no Python row loop. Returns
+    (id, n_<pattern>... , scrubbed). Purely element-wise — embarrassingly
+    parallel at any scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pats = patterns or PII_PATTERNS
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_column)
+        cols = {id_column: batch.column(id_column)}
+        for name, pat in pats.items():
+            cols[f"n_{name}"] = pc.count_substring_regex(txt, pat).cast(pa.int64())
+        red = txt
+        for name in order:
+            red = pc.replace_substring_regex(red, pats[name], f"<{name.upper()}>")
+        cols["scrubbed"] = red
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
