@@ -194,6 +194,7 @@ def _analyze_cluster(
     max_token_length: int,
     fold: bool = False,
     stem: str | None = None,
+    case: str | None = None,
 ) -> tuple[str, ...]:
     """Fully-processed terms of one cluster (StandardFilter + lowercase +
     [ASCIIFolding] + stop + [PorterStem] + length cutoff), memoized — the
@@ -202,18 +203,22 @@ def _analyze_cluster(
     reference EnglishAnalyzer: fold after lowercase, stop before stem."""
     if len(cluster) == 1 and _CJ_RE.match(cluster):
         return (cluster,)  # CJ single-char token, never a stopword
-    stem_fn = None
-    if fold or stem:
-        from .stem import STEMMERS, ascii_fold
+    stem_fn = case_fn = None
+    if fold or stem or case:
+        from .stem import CASE_FOLDS, STEMMERS, ascii_fold
 
         stem_fn = STEMMERS[stem] if stem else None
+        case_fn = CASE_FOLDS[case] if case else None
     out = []
     for tok, typ in _lex_cluster(cluster):
         if typ == "<ACRONYM_DEP>":
             tok, typ = tok[:-1], "<HOST>"
         if len(tok) > max_token_length:
             continue
-        term = _standard_filter(tok, typ).lower()
+        filtered = _standard_filter(tok, typ)
+        term = case_fn(filtered) if case_fn is not None else filtered.lower()
+        if not term:
+            continue  # language case-fold stopped the token (e.g. Irish h/n/t)
         if fold:
             term = ascii_fold(term)
         if term in stop_words:
@@ -231,6 +236,7 @@ def _analyze_cluster_positions(
     max_token_length: int,
     fold: bool = False,
     stem: str | None = None,
+    case: str | None = None,
 ) -> tuple[tuple[str, ...], tuple[int, ...], int]:
     """(terms, relative_positions, positions_consumed) for one
     whitespace-free chunk (may contain several clusters / CJ chars).
@@ -239,11 +245,12 @@ def _analyze_cluster_positions(
     tokens included — their increments accumulate), so a kept term's position
     is the index of its raw token. Needed for phrase/span scoring.
     """
-    stem_fn = None
-    if fold or stem:
-        from .stem import STEMMERS, ascii_fold
+    stem_fn = case_fn = None
+    if fold or stem or case:
+        from .stem import CASE_FOLDS, STEMMERS, ascii_fold
 
         stem_fn = STEMMERS[stem] if stem else None
+        case_fn = CASE_FOLDS[case] if case else None
     terms: list[str] = []
     rel: list[int] = []
     pos = 0
@@ -258,10 +265,11 @@ def _analyze_cluster_positions(
             if typ == "<ACRONYM_DEP>":
                 tok, typ = tok[:-1], "<HOST>"
             if len(tok) <= max_token_length:
-                term = _standard_filter(tok, typ).lower()
+                filtered = _standard_filter(tok, typ)
+                term = case_fn(filtered) if case_fn is not None else filtered.lower()
                 if fold:
                     term = ascii_fold(term)
-                if term not in stop_words:
+                if term and term not in stop_words:
                     if stem_fn is not None:
                         term = stem_fn(term)
                     terms.append(term)
@@ -351,7 +359,15 @@ class Analyzer:
             "latvian": "latvian",
             "greek": "greek",
             "sorani": "sorani",
+            "romanian": "romanian",
+            "brazilian": "brazilian",
+            "turkish": "turkish_snowball",
+            "irish": None,
         }
+        # kinds whose chain replaces plain str.lower() with a language case
+        # fold (reference Tr/TurkishLowerCaseFilter.cs + ApostropheFilter.cs,
+        # Ga/IrishLowerCaseFilter.cs + hyphenation stop + article elision)
+        _lang_case = {"turkish": "turkish", "irish": "irish"}
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")
         self.kind = kind
@@ -359,17 +375,19 @@ class Analyzer:
         self.max_token_length = max_token_length
         self.fold = ascii_fold
         self.stem = _lang_stems.get(kind)
+        self.case = _lang_case.get(kind)
         self._simple_re = re.compile(rf"{_L}+")
 
     def __call__(self, text: str) -> list[str]:
         if self.kind not in ("whitespace", "simple", "keyword"):
-            if not self.fold and not self.stem:
+            if not self.fold and not self.stem and not self.case:
                 return analyze(text, self.stop_words, self.max_token_length)
             tokens: list[str] = []
             for chunk in _CLUSTER_RE.findall(text):
                 tokens.extend(
                     _analyze_cluster(
-                        chunk, self.stop_words, self.max_token_length, self.fold, self.stem
+                        chunk, self.stop_words, self.max_token_length, self.fold,
+                        self.stem, self.case,
                     )
                 )
             return tokens
@@ -385,7 +403,8 @@ class Analyzer:
         indexing path (every raw token consumes one position)."""
         if self.kind not in ("whitespace", "simple", "keyword"):
             return _analyze_cluster_positions(
-                ws_token, self.stop_words, self.max_token_length, self.fold, self.stem
+                ws_token, self.stop_words, self.max_token_length, self.fold,
+                self.stem, self.case,
             )
         if self.kind == "whitespace":
             # pc.utf8_split_whitespace emits '' for leading/trailing whitespace;

@@ -1323,3 +1323,162 @@ def french_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS["french"] = french_stem
+
+
+# ---------------------------------------------------------------------------
+# Romanian (Snowball Romanian; reference ships the generated program at
+# /root/reference/src/contrib/Snowball/SF/Snowball/Ext/RomanianStemmer.cs and
+# wires it through Analysis/Ro/RomanianAnalyzer.cs:31 — suffix tables a_1..a_5
+# verified against that file; cedilla forms ş/ţ per the reference, with
+# comma-below ș/ț folded to them on input)
+# ---------------------------------------------------------------------------
+
+_RO_V = frozenset("aăâeiîou")  # a ă â e i î o u
+_RO_FOLD = str.maketrans({"ș": "ş", "ț": "ţ"})  # ș->ş ț->ţ
+
+_RO_STEP0 = _sorted_entries(
+    (("ul", "ului"), "del"),
+    (("aua",), "a"),
+    (("ea", "ele", "elor"), "e"),
+    (("iua", "iei", "ii", "ilor", "iilor", "iile"), "i"),
+    (("ile",), "i_ab"),  # -> i unless preceded by 'ab'
+    (("atei",), "at"),
+    (("aţia", "aţie"), "aţi"),
+)
+_RO_COMBO = _sorted_entries(
+    (("abilitate", "abilitati", "abilităi", "abilităţi"), "abil"),
+    (("ibilitate",), "ibil"),
+    (("ivitate", "ivitati", "ivităi", "ivităţi"), "iv"),
+    (
+        ("icitate", "icitati", "icităi", "icităţi", "icatori",
+         "icator", "icala", "icale", "icali", "icală", "ical", "iciva",
+         "icive", "icivi", "icivă", "iciv"),
+        "ic",
+    ),
+    (
+        ("ativa", "ative", "ativi", "ativă", "ativ", "aţiune",
+         "atoare", "ătoare", "atori", "ători", "ator", "ător"),
+        "at",
+    ),
+    (
+        ("itiva", "itive", "itivi", "itivă", "itiv", "iţiune",
+         "itoare", "itori", "itor"),
+        "it",
+    ),
+)
+_RO_STD = _sorted_entries(
+    (
+        ("ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "uta", "iva",
+         "ic", "ice", "abile", "ibile", "oase", "ate", "itate", "ite", "ante",
+         "ute", "ive", "ici", "abili", "ibili", "atori", "osi", "ati", "itati",
+         "iti", "anti", "uti", "ivi", "ităi", "oşi", "ităţi",
+         "abil", "ibil", "ator", "os", "at", "it", "ant", "ut", "iv",
+         "ică", "abilă", "ibilă", "oasă", "ată",
+         "ită", "antă", "ută", "ivă"),
+        "del",
+    ),
+    (("iune", "iuni"), "tiune"),  # require preceding ţ, which becomes t
+    (("ista", "isme", "iste", "isti", "işti", "istă", "ism", "ist"), "ist"),
+)
+# verb suffixes: tag 1 requires a preceding consonant-or-'u' (itself in RV)
+_RO_VERB = _sorted_entries(
+    (
+        ("ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere", "ire",
+         "âre", "ase", "ise", "use", "âse", "eşte",
+         "ăşte", "eze", "ai", "eai", "iai", "eşti",
+         "ăşti", "ui", "ezi", "âi", "aşi", "aseşi",
+         "iseşi", "useşi", "âseşi", "işi", "uşi",
+         "âşi", "eaţi", "iaţi", "arăţi",
+         "aserăţi", "iserăţi", "userăţi",
+         "âserăţi", "irăţi", "urăţi",
+         "ârăţi", "am", "eam", "iam", "asem", "isem", "usem",
+         "âsem", "arăm", "aserăm", "iserăm", "userăm",
+         "âserăm", "irăm", "urăm", "ârăm", "au",
+         "eau", "iau", "indu", "ându", "ez", "ească", "ară",
+         "aseră", "iseră", "useră", "âseră",
+         "iră", "ură", "âră", "ează"),
+        1,
+    ),
+    (
+        ("se", "sese", "sei", "seşi", "seseşi", "aţi",
+         "eţi", "iţi", "âţi", "serăţi",
+         "seserăţi", "em", "sesem", "im", "âm", "ăm",
+         "serăm", "seserăm", "seră", "seseră"),
+        2,
+    ),
+)
+_RO_FINAL_VOWEL = ("ie", "a", "e", "i", "ă")
+
+
+@lru_cache(maxsize=200_000)
+def romanian_stem(word: str) -> str:
+    w = word.translate(_RO_FOLD)
+    # prelude: i/u between vowels -> I/U
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "iu" and chars[i - 1] in _RO_V and chars[i + 1] in _RO_V:
+            chars[i] = "I" if chars[i] == "i" else "U"
+    w = "".join(chars)
+    rv = _rv_romance(w, _RO_V)
+    r1 = _region_after_vc(w, _RO_V, 0)
+    r2 = _region_after_vc(w, _RO_V, r1)
+
+    # step 0 (R1)
+    m = _among(w, 0, _RO_STEP0)
+    if m is not None:
+        s, tag = m
+        base = len(w) - len(s)
+        if base >= r1:
+            if tag == "del":
+                w = w[:base]
+            elif tag == "i_ab":
+                if not w[:base].endswith("ab"):
+                    w = w[:base] + "i"
+            else:
+                w = w[:base] + tag
+
+    # step 1 (combo suffixes, R1, repeat) + step 2 (standard, R2)
+    removed = False
+    while True:
+        m = _among(w, 0, _RO_COMBO)
+        if m is None:
+            break
+        s, rep = m
+        base = len(w) - len(s)
+        if base < r1:
+            break
+        w = w[:base] + rep
+        removed = True
+    m = _among(w, 0, _RO_STD)
+    if m is not None:
+        s, tag = m
+        base = len(w) - len(s)
+        if base >= r2:
+            if tag == "del":
+                w, removed = w[:base], True
+            elif tag == "tiune":
+                if w[:base].endswith("ţ"):
+                    w, removed = w[: base - 1] + "t", True
+            else:
+                w, removed = w[:base] + "ist", True
+
+    # step 3 (verb suffixes, entirely within RV) only if steps 1-2 removed nothing
+    if not removed:
+        m = _among(w, rv, _RO_VERB)
+        if m is not None:
+            s, tag = m
+            base = len(w) - len(s)
+            if tag == 2:
+                w = w[:base]
+            elif base - 1 >= rv and (w[base - 1] not in _RO_V or w[base - 1] == "u"):
+                w = w[:base]
+
+    # step 4: final vowel (RV)
+    for s in _RO_FINAL_VOWEL:
+        if w.endswith(s) and len(w) - len(s) >= rv:
+            w = w[: len(w) - len(s)]
+            break
+    return w.replace("I", "i").replace("U", "u")
+
+
+SNOWBALL_STEMMERS["romanian"] = romanian_stem

@@ -275,6 +275,7 @@ def french_minimal_stem(w: str) -> str:
     return "".join(s[:n])
 
 
+from .rslp import brazilian_stem  # noqa: E402
 from .snowball import (  # noqa: E402
     danish_stem,
     dutch_stem,
@@ -284,6 +285,7 @@ from .snowball import (  # noqa: E402
     norwegian_stem,
     porter2_stem,
     portuguese_stem,
+    romanian_stem,
     russian_stem,
     spanish_snowball_stem,
     swedish_stem,
@@ -305,6 +307,8 @@ STEMMERS = {
     "spanish_snowball": spanish_snowball_stem,
     "german_snowball": german_snowball_stem,
     "french_snowball": french_stem,
+    "romanian": romanian_stem,
+    "brazilian": brazilian_stem,
 }
 
 
@@ -967,3 +971,88 @@ def sorani_stem(word: str) -> str:
 
 
 STEMMERS["sorani"] = sorani_stem
+
+
+# ---------------------------------------------------------------------------
+# Turkish + Irish case handling (pre-stopword CASE_FOLDS seam; the standard
+# chain's plain str.lower() is replaced by these when the analyzer kind
+# selects them)
+# ---------------------------------------------------------------------------
+
+_TR_I_CAP = "I"      # I
+_TR_I_DOTTED_CAP = "İ"  # İ
+_TR_DOTLESS_I = "ı"  # ı
+_COMBINING_DOT_ABOVE = "̇"
+
+
+def turkish_lower(w: str) -> str:
+    """ApostropheFilter + TurkishLowerCaseFilter analog (reference
+    Analysis/Tr/ApostropheFilter.cs:34 — truncate at the first ' or ’,
+    suffixes after apostrophes are proper-name inflections — and
+    Analysis/Tr/TurkishLowerCaseFilter.cs:39 — İ->i; I->ı unless followed by
+    combining-dot-above, which marks a dotted capital and is consumed)."""
+    for apo in ("'", "’"):
+        cut = w.find(apo)
+        if cut >= 0:
+            w = w[:cut]
+    out: list[str] = []
+    i, n = 0, len(w)
+    while i < n:
+        ch = w[i]
+        if ch == _TR_I_CAP:
+            # dotted if followed by (nonspacing marks then) combining dot
+            j = i + 1
+            while j < n and unicodedata.combining(w[j]) and w[j] != _COMBINING_DOT_ABOVE:
+                j += 1
+            if j < n and w[j] == _COMBINING_DOT_ABOVE:
+                out.append("i")
+                out.append(w[i + 1 : j])  # keep intervening marks
+                i = j + 1
+                continue
+            out.append(_TR_DOTLESS_I)
+            i += 1
+            continue
+        if ch == _TR_I_DOTTED_CAP:
+            out.append("i")
+            i += 1
+            continue
+        if ch == _COMBINING_DOT_ABOVE and out and out[-1] and out[-1][-1] == "i":
+            i += 1  # drop redundant dot after i (İ.lower() artifacts)
+            continue
+        out.append(ch.lower())
+        i += 1
+    return "".join(out)
+
+
+_GA_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
+_GA_HYPHENATIONS = frozenset(("h", "n", "t"))
+_GA_ARTICLES = ("d'", "m'", "b'", "d’", "m’", "b’")
+
+
+def irish_lower(w: str) -> str:
+    """Irish chain analog (reference Analysis/Ga/IrishAnalyzer.cs:129):
+    pre-lowercase stop of bare hyphenation particles {h,n,t}; elision of the
+    articles d'/m'/b'; IrishLowerCaseFilter.cs:30 — nAthair -> n-athair,
+    tUisce -> t-uisce (prothetic n-/t- before an uppercase vowel keeps its
+    case-marking as a hyphen). Returns '' when the token is stopped."""
+    if w.lower() in _GA_HYPHENATIONS:
+        return ""
+    lw = w.lower()
+    for art in _GA_ARTICLES:
+        if lw.startswith(art) and len(w) > 2:
+            w = w[2:]
+            break
+    if len(w) > 1 and w[0] in ("n", "t") and w[1] in _GA_UPPER_VOWELS:
+        return w[0] + "-" + w[1:].lower()
+    return w.lower()
+
+
+CASE_FOLDS = {
+    "turkish": turkish_lower,
+    "irish": irish_lower,
+}
+
+
+from .turkish import turkish_snowball_stem  # noqa: E402
+
+STEMMERS["turkish_snowball"] = turkish_snowball_stem
