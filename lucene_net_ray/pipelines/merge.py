@@ -805,15 +805,21 @@ class MergedIndexReader:
                 out.append(sel)
         return np.unique(np.concatenate(out)) if out else np.empty(0, dtype=object)
 
-    def iter_term_parts(self):
+    def iter_term_parts(self, part_filter=None):
         """Stream the vocabulary one part at a time (sorted unique per
         chunk). Unbounded multi-term scans (FuzzyQuery prefix_length=0,
         leading-wildcard) consume this instead of `terms`, keeping O(1 part)
         resident at 10^9-term vocabularies. Chunks arrive in ascending
         global term order (parts sorted by term_min); duplicates can only
         occur at part boundaries, so callers dedupe their (small) match
-        sets, not the stream."""
+        sets, not the stream. ``part_filter(term_min, term_max) -> bool``
+        vetoes parts from manifest bounds alone — a vetoed part costs zero
+        I/O (files_read counts only parts actually read; tests assert the
+        fuzzy automaton skips most parts)."""
         for i in sorted(range(len(self._parts)), key=lambda j: self._tmin[j]):
+            if part_filter is not None and not part_filter(self._tmin[i], self._tmax[i]):
+                continue
+            self.files_read += 1
             col = pq.read_table(self._part_paths[i], columns=["term"]).column("term").to_numpy(zero_copy_only=False)
             if col.size:
                 yield np.unique(col)
@@ -1158,8 +1164,14 @@ class _ShardedMergedReader:
         parts = [p for p in ray.get(futs) if p.size]
         return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=object)
 
-    def iter_term_parts(self):
-        for a in self._actors:  # ascending term order across actors
+    def iter_term_parts(self, part_filter=None):
+        for i, a in enumerate(self._actors):  # ascending term order across actors
+            if part_filter is not None:
+                alo, ahi = self._bounds[i]
+                # coarse actor-range veto; each actor's own parts are
+                # filtered again block-wise by the caller's walk
+                if not part_filter(alo, ahi):
+                    continue
             for arr in ray.get(a.term_parts.remote()):
                 yield arr
 

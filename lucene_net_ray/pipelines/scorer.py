@@ -24,6 +24,7 @@ import re
 import numpy as np
 
 from ..functions import similarity as sim
+from ..functions.lev_automaton import LevenshteinDFA
 from ..query import (
     BooleanClause,
     BooleanQuery,
@@ -397,16 +398,48 @@ def _terms_in_range(reader, lo: str, hi: str) -> np.ndarray:
     return terms[i:j]
 
 
-def _iter_term_chunks(reader):
+def _iter_term_chunks(reader, part_filter=None):
     """Vocabulary as a stream of sorted chunks — one merged part (or one
     segment dict) resident at a time. Only unbounded scans (leading
     wildcard, regexp with no literal head, fuzzy prefix_length=0) pay this
-    full pass; bounded scans go through `_terms_in_range`."""
+    full pass; bounded scans go through `_terms_in_range`. ``part_filter``
+    (lo, hi) -> bool lets a caller (the fuzzy automaton) veto whole parts
+    from their manifest bounds before any bytes are read."""
     f = getattr(reader, "iter_term_parts", None)
     if f is not None:
-        yield from f()
+        try:
+            yield from f(part_filter=part_filter)
+        except TypeError:  # reader without the filter seam
+            yield from f()
     else:
         yield reader.terms
+
+
+def _fuzzy_matches_blocked(
+    dfa, base: str, cand: np.ndarray, cap: int, matched: dict, block: int = 8192
+) -> None:
+    """Collect fuzzy matches from a SORTED candidate array into ``matched``
+    (term -> distance), hybrid automaton/DP: ``next_valid_string`` jumps
+    over blocks containing no accepted string (binary-search skip, possibly
+    many blocks per jump); viable blocks run the vectorized DP. Match set is
+    identical to running the DP over everything (property-tested)."""
+    n = cand.size
+    i = 0
+    while i < n:
+        j = min(i + block, n)
+        nxt = dfa.next_valid_string(str(cand[i]))
+        if nxt is None:
+            break
+        if nxt > str(cand[j - 1]):
+            # no accepted string up to the block end: jump the gap
+            i = int(np.searchsorted(cand, nxt, side="left"))
+            continue
+        sub = cand[i:j]
+        dists = _edit_distances_vectorized(base, sub, cap)
+        keep = dists <= cap
+        for t, d in zip(sub[keep], dists[keep].tolist()):
+            matched[str(t)] = d  # part-boundary dupes collapse here
+        i = j
 
 
 def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -477,15 +510,20 @@ def expand_multiterm(reader: SegmentReader, q: Query) -> list[tuple[str, float]]
         base = q.term
         pref = base[: q.prefix_length]
         matched: dict[str, int] = {}
+        # Levenshtein automaton (functions/lev_automaton.py — the
+        # FuzzyTermsEnum/LevenshteinAutomata.cs walk): prunes whole merged
+        # parts via manifest [term_min, term_max] bounds WITHOUT reading
+        # them, then skips dead blocks inside each surviving chunk; only
+        # automaton-viable blocks pay the vectorized DP. Never slower than
+        # the plain DP by more than one next_valid_string per block; at
+        # 10^9-term vocab the walk touches O(neighborhood) parts, not all.
+        dfa = LevenshteinDFA(base, q.max_edits)
         if pref:
             chunks = [_terms_in_range(reader, pref, pref + _TERM_CEILING)]
         else:
-            chunks = _iter_term_chunks(reader)
+            chunks = _iter_term_chunks(reader, part_filter=dfa.can_match_range)
         for cand in chunks:
-            dists = _edit_distances_vectorized(base, cand, q.max_edits)
-            keep = dists <= q.max_edits
-            for t, d in zip(cand[keep], dists[keep].tolist()):
-                matched[str(t)] = d  # part-boundary dupes collapse here
+            _fuzzy_matches_blocked(dfa, base, cand, q.max_edits, matched)
         out = []
         for t, d in matched.items():
             if d == 0:
