@@ -900,6 +900,24 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    from ..stages.packing import pack_sequences
+
+    ds = pack_sequences(
+        _documents_ds(sf_dir), budget=256, part_rows=100, text_column="text"
+    )
+    return ds.select_columns(["doc_id", "n_tokens", "start_tok", "first_seq", "last_seq"])
+
+
+def q_pack_whole(sf_dir: str):
+    from ..stages.packing import pack_sequences_whole
+
+    ds = pack_sequences_whole(
+        _documents_ds(sf_dir), budget=256, part_rows=100, text_column="text"
+    )
+    return ds.select_columns(["doc_id", "n_tokens", "seq_id", "seq_fill", "oversize"])
+
+
 QUERIES = {
     "token_counts": q_token_counts,
     "collection_stats": q_collection_stats,
@@ -948,6 +966,8 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "pack_sequences": q_pack_sequences,
+    "pack_whole": q_pack_whole,
 }
 
 
@@ -1259,5 +1279,23 @@ ranked AS (SELECT query_id, vec_id, c,
            FROM scored)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(c, 6) AS cosine
 FROM ranked WHERE rank <= {TOPK} ORDER BY query_id, rank
+""",
+        # concat-split sequence packing: global token cumsum in doc_id order,
+        # 256-token windows (mirrors stages/packing.pack_sequences exactly;
+        # GREATEST guards the zero-token-doc case, where end-1 < start)
+        "pack_sequences": """
+WITH c AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM c
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // 256 AS first_seq,
+       GREATEST(start_tok // 256, (start_tok + n_tokens - 1) // 256) AS last_seq
+FROM w ORDER BY doc_id
 """,
     }
