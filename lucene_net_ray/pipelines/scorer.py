@@ -842,9 +842,15 @@ class SegmentScorer:
             vals = self.reader.doc_values(q.filter.field)
             keep = np.ones(docs.size, dtype=bool)
             if q.filter.lower is not None:
-                keep &= vals[docs] >= q.filter.lower
+                if q.filter.include_lower:
+                    keep &= vals[docs] >= q.filter.lower
+                else:
+                    keep &= vals[docs] > q.filter.lower
             if q.filter.upper is not None:
-                keep &= vals[docs] <= q.filter.upper
+                if q.filter.include_upper:
+                    keep &= vals[docs] <= q.filter.upper
+                else:
+                    keep &= vals[docs] < q.filter.upper
             return docs[keep], scores[keep]
         if isinstance(q, BoostingQuery):
             docs, scores = self.evaluate(q.match)

@@ -136,11 +136,15 @@ class FieldRangeFilter:
     """Docs-table predicate: lower <= docs[field] <= upper (None = unbounded).
     The idiomatic Arrow-side replacement for trie-coded NumericRangeQuery /
     NumericRangeFilter (reference Search/NumericRangeQuery.cs:174,
-    Util/NumericUtils.cs:339) and for TermRangeFilter on stored fields."""
+    Util/NumericUtils.cs:339) and for TermRangeFilter on stored fields.
+    include_lower/include_upper mirror the reference filters' inclusive
+    flags (TermRangeFilter.cs:41, NumericRangeQuery.cs:174)."""
 
     field: str = ""
     lower: object = None
     upper: object = None
+    include_lower: bool = True
+    include_upper: bool = True
 
 
 @dataclass(frozen=True)
