@@ -57,24 +57,14 @@ def clean_corpus(
         mask = coarse_groups - 1
 
         def add_keys(batch: pa.Table) -> pa.Table:
-            # md5 straight from the Arrow utf8 data buffer (memoryview
-            # slices — no Python str materialization); the coarse group key
-            # is a vectorized hex-nibble fold of the digest (any
+            # md5 straight from the Arrow utf8 data buffer (textstats.
+            # md5_hex_utf8 — no Python str materialization); the coarse group
+            # key is a vectorized hex-nibble fold of the digest (any
             # deterministic text->group function works: grouping only
             # bounds dedup shuffle fan-in, winners are picked by __th)
-            col = batch.column(text_column)
-            chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-            hex_list: list[str] = []
-            for ch in chunks:
-                odt = np.int64 if pa.types.is_large_string(ch.type) else np.int32
-                offs = np.frombuffer(ch.buffers()[1], dtype=odt)[
-                    ch.offset : ch.offset + len(ch) + 1
-                ]
-                mv = memoryview(ch.buffers()[2])
-                hex_list.extend(
-                    hashlib.md5(mv[offs[i] : offs[i + 1]]).hexdigest()
-                    for i in range(len(ch))
-                )
+            from .textstats import md5_hex_utf8
+
+            hex_list = md5_hex_utf8(batch.column(text_column))
             if hex_list:
                 nib = np.frombuffer("".join(hex_list).encode(), dtype=np.uint8)
                 nib = nib.reshape(-1, 32)[:, :8].astype(np.int64)
@@ -128,14 +118,9 @@ def stratified_sample(
     (row_number() over md5 order) — hash-exact oracle."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        col = batch.column(text_column)
-        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-        hx: list[str] = []
-        for ch in chunks:
-            odt = np.int64 if pa.types.is_large_string(ch.type) else np.int32
-            offs = np.frombuffer(ch.buffers()[1], dtype=odt)[ch.offset : ch.offset + len(ch) + 1]
-            mv = memoryview(ch.buffers()[2]) if ch.buffers()[2] is not None else memoryview(b"")
-            hx.extend(hashlib.md5(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(ch)))
+        from .textstats import md5_hex_utf8
+
+        hx = md5_hex_utf8(batch.column(text_column))
         return batch.append_column("__h", pa.array(hx, type=pa.string()))
 
     def take_lowest(group: pa.Table) -> pa.Table:

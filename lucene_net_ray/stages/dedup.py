@@ -57,7 +57,9 @@ def exact_dedup(
     """One row per distinct text: (text_hash, kept doc = min id, dup count)."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [hashlib.md5(t.encode()).hexdigest() for t in batch.column(text_column).to_pylist()]
+        from .textstats import md5_hex_utf8
+
+        hashes = md5_hex_utf8(batch.column(text_column))
         return batch.append_column("text_hash", pa.array(hashes, type=pa.string())).drop_columns(
             [c for c in batch.column_names if c not in (id_column,)]
         )

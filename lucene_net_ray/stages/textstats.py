@@ -45,6 +45,26 @@ _analyzer = Analyzer()
 _TERM_COUNT_MEMO: dict[str, int] = {}  # unique ws token -> analyzer term count
 
 
+def md5_hex_utf8(col: "pa.Array | pa.ChunkedArray") -> list[str]:
+    """md5 hex digest per string, hashing the Arrow utf8 data buffer directly
+    (memoryview slices — no per-row Python str materialization / re-encode).
+    Matches DuckDB's md5(text) byte-for-byte, so SQL-oracled dedup entries
+    stay hash-exact."""
+    import hashlib
+
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[str] = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        odt = np.int64 if pa.types.is_large_string(ch.type) else np.int32
+        offs = np.frombuffer(ch.buffers()[1], dtype=odt)[ch.offset : ch.offset + len(ch) + 1]
+        buf = ch.buffers()[2]
+        mv = memoryview(buf) if buf is not None else memoryview(b"")
+        out.extend(hashlib.md5(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(ch)))
+    return out
+
+
 def _split_ws(batch: pa.Table, text_column: str):
     """(flat unique-encoded ws tokens, per-occurrence doc index, n_docs).
 
