@@ -565,6 +565,342 @@ def parse_multi_field(
     return expand(q)
 
 
+# ---------------------------------------------------------------------------
+# SimpleQueryParser analog
+# ---------------------------------------------------------------------------
+
+# feature flags (reference Simple/SimpleQueryParser.cs:175-239)
+SIMPLE_AND_OPERATOR = 1 << 0
+SIMPLE_NOT_OPERATOR = 1 << 1
+SIMPLE_OR_OPERATOR = 1 << 2
+SIMPLE_PREFIX_OPERATOR = 1 << 3
+SIMPLE_PHRASE_OPERATOR = 1 << 4
+SIMPLE_PRECEDENCE_OPERATORS = 1 << 5
+SIMPLE_ESCAPE_OPERATOR = 1 << 6
+SIMPLE_WHITESPACE_OPERATOR = 1 << 7
+SIMPLE_FUZZY_OPERATOR = 1 << 8
+SIMPLE_NEAR_OPERATOR = 1 << 9
+
+_SIMPLE_WS = (" ", "\t", "\n", "\r")
+
+
+class _SimpleState:
+    __slots__ = ("data", "index", "length", "current_op", "previous_op", "not_count", "top")
+
+    def __init__(self, data: str, index: int, length: int):
+        self.data = data
+        self.index = index
+        self.length = length
+        self.current_op: str | None = None
+        self.previous_op: str | None = None
+        self.not_count = 0
+        self.top: Query | None = None
+
+
+class SimpleQueryParser:
+    """SimpleQueryParser analog (reference
+    QueryParsers/Simple/SimpleQueryParser.cs:139): a never-failing
+    human-syntax parser. Operators: ``+`` AND, ``|`` OR, ``-`` NOT,
+    ``"..."`` phrase (``"..."~N`` near), trailing ``*`` prefix, ``term~N``
+    fuzzy, ``( )`` precedence, ``\\`` escape — each gateable via the
+    SIMPLE_*_OPERATOR flags (default: all on). Syntax errors are never
+    raised: unmatched parens/quotes are treated as extraneous characters,
+    exactly like the reference's char-by-char state machine (ParseSubQuery /
+    ConsumeSubQuery / ConsumePhrase / ConsumeToken / BuildQueryTree,
+    SimpleQueryParser.cs:279-651).
+
+    ``fields`` is a field name or a {field: weight} dict — multi-field
+    queries become a SHOULD disjunction with per-field boosts
+    (NewDefaultQuery, SimpleQueryParser.cs:737-753). ``parse`` returns None
+    for input that yields no query (the reference's null)."""
+
+    def __init__(
+        self,
+        fields: str | dict[str, float] = "content",
+        *,
+        analyzer=None,
+        default_operator: str = SHOULD,
+        flags: int = -1,
+    ):
+        from .functions.analysis import Analyzer
+
+        if default_operator not in (SHOULD, MUST):
+            raise ValueError("invalid operator: only SHOULD or MUST are allowed")
+        self.weights = {fields: 1.0} if isinstance(fields, str) else dict(fields)
+        self.analyzer = analyzer or Analyzer()
+        self.default_operator = default_operator
+        self.flags = flags
+
+    def _has(self, flag: int) -> bool:
+        return (self.flags & flag) != 0
+
+    def parse(self, text: str) -> Query | None:
+        state = _SimpleState(text, 0, len(text))
+        self._parse_sub_query(state)
+        return state.top
+
+    # -- state machine (SimpleQueryParser.cs:279) ---------------------------
+
+    def _parse_sub_query(self, state: _SimpleState) -> None:
+        while state.index < state.length:
+            c = state.data[state.index]
+            if c == "(" and self._has(SIMPLE_PRECEDENCE_OPERATORS):
+                self._consume_sub_query(state)
+            elif c == ")" and self._has(SIMPLE_PRECEDENCE_OPERATORS):
+                state.index += 1  # extraneous, ignored
+            elif c == '"' and self._has(SIMPLE_PHRASE_OPERATOR):
+                self._consume_phrase(state)
+            elif c == "+" and self._has(SIMPLE_AND_OPERATOR):
+                if state.current_op is None and state.top is not None:
+                    state.current_op = MUST
+                state.index += 1
+            elif c == "|" and self._has(SIMPLE_OR_OPERATOR):
+                if state.current_op is None and state.top is not None:
+                    state.current_op = SHOULD
+                state.index += 1
+            elif c == "-" and self._has(SIMPLE_NOT_OPERATOR):
+                # two '-' in a row negate each other; skip the not-reset below
+                state.not_count += 1
+                state.index += 1
+                continue
+            elif c in _SIMPLE_WS and self._has(SIMPLE_WHITESPACE_OPERATOR):
+                state.index += 1
+            else:
+                self._consume_token(state)
+            state.not_count = 0
+
+    def _consume_sub_query(self, state: _SimpleState) -> None:
+        state.index += 1
+        start = state.index
+        precedence = 1
+        escaped = False
+        while state.index < state.length:
+            if not escaped:
+                c = state.data[state.index]
+                if c == "\\" and self._has(SIMPLE_ESCAPE_OPERATOR):
+                    escaped = True
+                    state.index += 1
+                    continue
+                if c == "(":
+                    precedence += 1
+                elif c == ")":
+                    precedence -= 1
+                    if precedence == 0:
+                        break
+            escaped = False
+            state.index += 1
+        if state.index == state.length:
+            # no closing paren: the opening paren is extraneous
+            state.index = start
+        elif state.index == start:
+            # "()": resets the pending operation
+            state.current_op = None
+            state.index += 1
+        else:
+            sub = _SimpleState(state.data, start, state.index)
+            self._parse_sub_query(sub)
+            self._build_query_tree(state, sub.top)
+            state.index += 1
+
+    def _consume_phrase(self, state: _SimpleState) -> None:
+        state.index += 1
+        start = state.index
+        buf: list[str] = []
+        escaped = False
+        has_slop = False
+        while state.index < state.length:
+            if not escaped:
+                c = state.data[state.index]
+                if c == "\\" and self._has(SIMPLE_ESCAPE_OPERATOR):
+                    escaped = True
+                    state.index += 1
+                    continue
+                if c == '"':
+                    if (
+                        state.length > state.index + 1
+                        and state.data[state.index + 1] == "~"
+                        and self._has(SIMPLE_NEAR_OPERATOR)
+                    ):
+                        state.index += 1
+                        if state.length > state.index + 1:
+                            has_slop = True
+                        break
+                    break
+            escaped = False
+            buf.append(state.data[state.index])
+            state.index += 1
+        if state.index == state.length:
+            state.index = start  # no closing quote: opening quote extraneous
+        elif state.index == start:
+            state.current_op = None  # "": resets the pending operation
+            state.index += 1
+        else:
+            phrase = "".join(buf)
+            slop = self._parse_fuzziness(state) if has_slop else 0
+            self._build_query_tree(state, self._new_phrase_query(phrase, slop))
+            state.index += 1
+
+    def _consume_token(self, state: _SimpleState) -> None:
+        buf: list[str] = []
+        escaped = False
+        prefix = False
+        fuzzy = False
+        while state.index < state.length:
+            if not escaped:
+                c = state.data[state.index]
+                if c == "\\" and self._has(SIMPLE_ESCAPE_OPERATOR):
+                    escaped = True
+                    prefix = False
+                    state.index += 1
+                    continue
+                if self._token_finished(state):
+                    break
+                if buf and c == "~" and self._has(SIMPLE_FUZZY_OPERATOR):
+                    fuzzy = True
+                    break
+                prefix = bool(buf) and c == "*" and self._has(SIMPLE_PREFIX_OPERATOR)
+            escaped = False
+            buf.append(state.data[state.index])
+            state.index += 1
+        if buf:
+            if fuzzy:
+                token = "".join(buf)
+                # LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE = 2
+                fuzziness = min(self._parse_fuzziness(state), 2)
+                branch = (
+                    self._new_default_query(token)
+                    if fuzziness == 0
+                    else self._new_fuzzy_query(token, fuzziness)
+                )
+            elif prefix:
+                branch = self._new_prefix_query("".join(buf[:-1]))
+            else:
+                branch = self._new_default_query("".join(buf))
+            self._build_query_tree(state, branch)
+
+    def _build_query_tree(self, state: _SimpleState, branch: Query | None) -> None:
+        import dataclasses
+
+        if branch is None:
+            return
+        if state.not_count % 2 == 1:
+            branch = BooleanQuery(
+                clauses=(
+                    BooleanClause(branch, MUST_NOT),
+                    BooleanClause(MatchAllDocsQuery(), SHOULD),
+                )
+            )
+        if state.top is None:
+            state.top = branch
+        else:
+            if state.current_op is None:
+                state.current_op = self.default_operator
+            if state.previous_op != state.current_op:
+                # operation change: the old top becomes the first clause of a
+                # new parent node (right-to-left precedence)
+                state.top = BooleanQuery(clauses=(BooleanClause(state.top, state.current_op),))
+            state.top = dataclasses.replace(
+                state.top,
+                clauses=state.top.clauses + (BooleanClause(branch, state.current_op),),
+            )
+            state.previous_op = state.current_op
+        state.current_op = None
+
+    def _parse_fuzziness(self, state: _SimpleState) -> int:
+        """Slop/edit distance after a '~'; 0 on anything unparseable."""
+        if state.data[state.index] != "~":
+            return 0
+        chars: list[str] = []
+        while state.index < state.length:
+            state.index += 1
+            if state.index < state.length:
+                if self._token_finished(state):
+                    break
+                chars.append(state.data[state.index])
+        try:
+            n = int("".join(chars))
+        except ValueError:
+            n = 0
+        return max(n, 0)
+
+    def _token_finished(self, state: _SimpleState) -> bool:
+        c = state.data[state.index]
+        return (
+            (c == '"' and self._has(SIMPLE_PHRASE_OPERATOR))
+            or (c == "|" and self._has(SIMPLE_OR_OPERATOR))
+            or (c == "+" and self._has(SIMPLE_AND_OPERATOR))
+            or (c in "()" and self._has(SIMPLE_PRECEDENCE_OPERATORS))
+            or (c in _SIMPLE_WS and self._has(SIMPLE_WHITESPACE_OPERATOR))
+        )
+
+    # -- per-field factories (SimpleQueryParser.cs:737-806) -----------------
+
+    def _across_fields(self, make) -> Query | None:
+        per_field = []
+        for f, w in self.weights.items():
+            q = make(f)
+            if q is not None:
+                per_field.append(_with_boost(q, q.boost * w) if w != 1.0 else q)
+        if not per_field:
+            return None
+        if len(per_field) == 1:
+            return per_field[0]
+        return BooleanQuery(clauses=tuple(BooleanClause(q, SHOULD) for q in per_field))
+
+    def _new_default_query(self, text: str) -> Query | None:
+        # QueryBuilder.CreateBooleanQuery: analyze, default_operator per term
+        def make(f: str) -> Query | None:
+            terms = self.analyzer(text)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return TermQuery(field=f, term=terms[0])
+            return BooleanQuery(
+                clauses=tuple(
+                    BooleanClause(TermQuery(field=f, term=t), self.default_operator)
+                    for t in terms
+                )
+            )
+
+        return self._across_fields(make)
+
+    def _new_phrase_query(self, text: str, slop: int) -> Query | None:
+        def make(f: str) -> Query | None:
+            terms, positions = self.analyzer.analyze_text_positions(text)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return TermQuery(field=f, term=terms[0])
+            return PhraseQuery(
+                field=f, terms=tuple(terms), slop=slop, positions=tuple(positions)
+            )
+
+        return self._across_fields(make)
+
+    def _new_prefix_query(self, text: str) -> Query | None:
+        # raw (pre-analysis) text, like the reference's NewPrefixQuery
+        return self._across_fields(lambda f: PrefixQuery(field=f, prefix=text))
+
+    def _new_fuzzy_query(self, text: str, fuzziness: int) -> Query | None:
+        return self._across_fields(
+            lambda f: FuzzyQuery(field=f, term=text, max_edits=fuzziness)
+        )
+
+
+def parse_simple(
+    s: str,
+    fields: str | dict[str, float] = "content",
+    *,
+    analyzer=None,
+    default_operator: str = SHOULD,
+    flags: int = -1,
+) -> Query | None:
+    """One-shot convenience wrapper over SimpleQueryParser."""
+    return SimpleQueryParser(
+        fields, analyzer=analyzer, default_operator=default_operator, flags=flags
+    ).parse(s)
+
+
 def _with_boost(q: Query, boost: float) -> Query:
     import dataclasses
 
