@@ -782,6 +782,31 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+# target mixture for the mix_sources contract entry — shared by the Ray call
+# and the SQL CASE so both compare identical threshold strings
+MIX_WEIGHTS = {
+    "src0": 1.0,   # keep all
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,
+    "src4": 0.1,
+    "src5": 0.0,   # drop entirely
+    # src6..src19 absent -> dropped
+    "src7": 0.9,
+    "src8": 0.33,
+}
+
+
+def q_mix_sources(sf_dir: str):
+    """Deterministic weighted source mixing: keep each source at its target
+    fraction via the md5(text) uniform draw. Hash-exact oracle."""
+    from ..stages.clean import mix_sources
+
+    ds = _documents_ds(sf_dir)
+    out = mix_sources(ds, MIX_WEIGHTS, source_column="source", text_column="text")
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_decontaminate(sf_dir: str):
     """Training-set decontamination: contaminant grams = first 8 ws tokens
     of docs 0-4 (derived in SQL the same way); kept = docs whose text does
@@ -955,6 +980,7 @@ QUERIES = {
     "freetext_suggest": q_freetext_suggest,
     "decontaminate_kept": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "mix_sources": q_mix_sources,
     "lm_quality_scores": q_lm_quality,
     "tumbling_windows": q_tumbling_windows,
     "media_neardup": q_media_neardup,
@@ -987,7 +1013,21 @@ def oracle_sql() -> dict[str, str]:
         f"({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
         for lang, ws in langs.items()
     )
+    from ..stages.clean import mix_threshold_hex
+
+    mix_case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{s}' THEN '{mix_threshold_hex(f)}'" for s, f in MIX_WEIGHTS.items()
+        )
+        + " ELSE '00000000' END"
+    )
     return {
+        "mix_sources": f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5(text), 1, 8) < {mix_case}
+ORDER BY doc_id
+""",
         "token_counts": f"""
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_ws,

@@ -132,3 +132,58 @@ def stratified_sample(
         .groupby(key_column)
         .map_groups(take_lowest, batch_format="pyarrow")
     )
+
+
+def mix_threshold_hex(fraction: float) -> str:
+    """8-hex-char threshold t such that P[substr(md5(text),1,8) < t] ==
+    ``fraction`` for uniform hashes. fraction >= 1 returns 'g0000000' (every
+    hex string sorts below it — keeps all); <= 0 returns '00000000' (keeps
+    none). Shared by the Ray stage and its SQL oracle so both compare the
+    SAME strings."""
+    if fraction >= 1.0:
+        return "g0000000"
+    if fraction <= 0.0:
+        return "00000000"
+    return format(int(fraction * 2**32), "08x")
+
+
+def mix_sources(
+    ds: "ray.data.Dataset",
+    weights: dict[str, float],
+    *,
+    source_column: str = "source",
+    text_column: str = "text",
+) -> "ray.data.Dataset":
+    """Deterministic corpus mixing: independently subsample each source to a
+    target fraction (the standard way to hit a training mixture like 60%
+    web / 30% code / 10% books). A row is kept iff the first 8 hex chars of
+    md5(text) — a seedless uniform [0,1) draw that is stable under shuffles,
+    retries and cluster resizes — sort below the source's threshold
+    (``mix_threshold_hex``). One streaming map_batches pass: no shuffle, no
+    state, no driver materialization; resumable for free. Sources missing
+    from ``weights`` are dropped (fraction 0). SQL-expressible
+    (substr(md5(text),1,8) < CASE source ...) — hash-exact oracle."""
+    thresholds = {s: mix_threshold_hex(f) for s, f in weights.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from .textstats import md5_hex_utf8
+
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        h8 = np.array([h[:8] for h in md5_hex_utf8(batch.column(text_column))])
+        src = batch.column(source_column)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        denc = src.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        uniq_thr = np.array(
+            [thresholds.get(s, "00000000") for s in denc.dictionary.to_pylist()]
+        )
+        if len(uniq_thr) == 0:
+            return batch.slice(0, 0)
+        thr = uniq_thr[denc.indices.to_numpy(zero_copy_only=False)]
+        return batch.filter(pa.array(h8 < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
