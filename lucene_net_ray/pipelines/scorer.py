@@ -37,6 +37,7 @@ from ..query import (
     PhraseQuery,
     PrefixQuery,
     Query,
+    QueryFilter,
     RegexpQuery,
     TermQuery,
     TermRangeQuery,
@@ -349,7 +350,10 @@ def query_terms(q: Query) -> set[str]:
             out |= query_terms(d)
         return out
     if isinstance(q, (ConstantScoreQuery, FilteredQuery)):
-        return query_terms(q.query)
+        out = query_terms(q.query)
+        if isinstance(getattr(q, "filter", None), QueryFilter):
+            out |= query_terms(q.filter.query)
+        return out
     if isinstance(q, BoostingQuery):
         return query_terms(q.match) | query_terms(q.context)
     return set()
@@ -372,7 +376,10 @@ def query_fields(q: Query) -> set[str]:
             out |= query_fields(d)
         return out
     if isinstance(q, (ConstantScoreQuery, FilteredQuery)):
-        return query_fields(q.query)
+        out = query_fields(q.query)
+        if isinstance(getattr(q, "filter", None), QueryFilter):
+            out |= query_fields(q.filter.query)
+        return out
     if isinstance(q, BoostingQuery):
         return query_fields(q.match) | query_fields(q.context)
     return set()
@@ -839,6 +846,12 @@ class SegmentScorer:
             docs, scores = self.evaluate(q.query)
             if docs.size == 0:
                 return docs, scores
+            if isinstance(q.filter, QueryFilter):
+                # QueryWrapperFilter: restrict to the filter query's doc set,
+                # scores untouched (Search/QueryWrapperFilter.cs:31)
+                fdocs, _ = self.evaluate(q.filter.query)
+                keep = np.isin(docs, fdocs, assume_unique=True)
+                return docs[keep], scores[keep]
             vals = self.reader.doc_values(q.filter.field)
             keep = np.ones(docs.size, dtype=bool)
             if q.filter.lower is not None:

@@ -148,11 +148,66 @@ class FieldRangeFilter:
 
 
 @dataclass(frozen=True)
-class FilteredQuery(Query):
-    """query scores, filter restricts (reference Search/FilteredQuery.cs:41)."""
+class QueryFilter:
+    """A query used as a non-scoring filter — the QueryWrapperFilter analog
+    (reference Search/QueryWrapperFilter.cs:31: 'the resulting Filter is
+    cached'; here evaluation is already per-segment-batch so no cache is
+    needed). TermsFilter (Queries/TermsFilter.cs) and BooleanFilter
+    (Queries/BooleanFilter.cs) lower to this via terms_filter /
+    boolean_filter."""
 
     query: "Query" = None
-    filter: FieldRangeFilter = None
+
+
+def terms_filter(field: str, terms: tuple[str, ...] | list[str]) -> QueryFilter:
+    """TermsFilter analog (reference Queries/TermsFilter.cs:35): docs whose
+    ``field`` contains ANY of the terms."""
+    return QueryFilter(
+        query=BooleanQuery(
+            clauses=tuple(
+                BooleanClause(TermQuery(field=field, term=t), SHOULD) for t in terms
+            )
+        )
+    )
+
+
+def boolean_filter(clauses: list[tuple[object, str]]) -> QueryFilter:
+    """BooleanFilter analog (reference Queries/BooleanFilter.cs:30): SHOULD
+    filters OR'd, the result NOT'd with MUST_NOT filters, AND'd with MUST
+    filters. Only-MUST_NOT input matches the complement (the reference
+    starts from a full bitset in that case) — reproduced by adding a
+    MatchAll SHOULD clause. Each clause filter is a FieldRangeFilter or a
+    QueryFilter."""
+    bclauses = []
+    n_should = n_must = 0
+    for f, occur in clauses:
+        if isinstance(f, QueryFilter):
+            sub: Query = f.query
+        elif isinstance(f, FieldRangeFilter):
+            sub = FilteredQuery(query=MatchAllDocsQuery(), filter=f)
+        else:
+            raise TypeError(f"unsupported filter in boolean_filter: {f!r}")
+        if occur == SHOULD:
+            n_should += 1
+        elif occur == MUST:
+            n_must += 1
+        bclauses.append(BooleanClause(sub, occur))
+    if n_should == 0 and n_must == 0:
+        bclauses.append(BooleanClause(MatchAllDocsQuery(), SHOULD))
+    # unlike scoring BooleanQuery (shoulds optional when a must exists), the
+    # filter requires >= 1 SHOULD to match whenever any were given
+    msm = 1 if (n_should > 0 and n_must > 0) else 0
+    return QueryFilter(query=BooleanQuery(clauses=tuple(bclauses), min_should_match=msm))
+
+
+@dataclass(frozen=True)
+class FilteredQuery(Query):
+    """query scores, filter restricts (reference Search/FilteredQuery.cs:41).
+    ``filter`` is a FieldRangeFilter (docs-table predicate) or a QueryFilter
+    (posting-list predicate)."""
+
+    query: "Query" = None
+    filter: "FieldRangeFilter | QueryFilter" = None
 
 
 @dataclass(frozen=True)

@@ -40,9 +40,11 @@ Supported elements (reference builder):
                        inOrder default false; SpanNot: <Include>/<Exclude>;
                        SpanFirst: end default 1
 
-Scoped out (CorePlusExtensionsParser extras, not CoreParser's core set, and
-filters with no docs-table analog here): CachedFilter, DuplicateFilter,
-LikeThisQuery, FuzzyLikeThisQuery, TermsFilter, BooleanFilter.
+  TermsFilter          TermsFilterBuilder.cs:34 — analyzed text, any-term match
+  BooleanFilter        BooleanFilterBuilder.cs:30 — Clause children of filters
+
+Scoped out (CorePlusExtensionsParser extras, not CoreParser's core set):
+CachedFilter, DuplicateFilter, LikeThisQuery, FuzzyLikeThisQuery.
 
 fieldName inheritance (DOMUtils.GetAttributeWithInheritance walks ancestor
 elements) is reproduced by threading the nearest ancestor's fieldName down
@@ -76,8 +78,11 @@ from .query import (
     FilteredQuery,
     MatchAllDocsQuery,
     Query,
+    QueryFilter,
     TermQuery,
+    boolean_filter,
     parse_query,
+    terms_filter,
 )
 
 
@@ -174,6 +179,8 @@ class XmlQueryParser:
         self.filter_builders = {
             "RangeFilter": XmlQueryParser._range_filter,
             "NumericRangeFilter": XmlQueryParser._numeric_range_filter,
+            "TermsFilter": XmlQueryParser._terms_filter,
+            "BooleanFilter": XmlQueryParser._boolean_filter,
         }
 
     # -- entry points -------------------------------------------------------
@@ -201,7 +208,7 @@ class XmlQueryParser:
             raise XmlParseError(f"No span builder for element <{e.tag}>")
         return fn(self, e, field)
 
-    def _build_filter(self, e: ET.Element, field: str) -> FieldRangeFilter:
+    def _build_filter(self, e: ET.Element, field: str) -> "FieldRangeFilter | QueryFilter":
         field = e.get("fieldName") or field
         fn = self.filter_builders.get(e.tag)
         if fn is None:
@@ -344,6 +351,28 @@ class XmlQueryParser:
             include_lower=_attr_bool(e, "includeLower", True),
             include_upper=_attr_bool(e, "includeUpper", True),
         )
+
+    def _terms_filter(self, e: ET.Element, field: str) -> QueryFilter:
+        # TermsFilterBuilder.cs:34 — analyzed text, docs matching ANY term
+        toks = self.analyzer(_text_or_fail(e))
+        return terms_filter(field, toks)
+
+    def _boolean_filter(self, e: ET.Element, field: str) -> QueryFilter:
+        # BooleanFilterBuilder.cs:30 — Clause children of filters
+        clauses = []
+        for kid in e:
+            if kid.tag != "Clause":
+                continue
+            occurs = _OCCURS.get((kid.get("occurs") or "").lower())
+            if occurs is None:
+                raise XmlParseError(
+                    f'Invalid value for "occurs" attribute of clause: {kid.get("occurs")}'
+                )
+            clause_field = kid.get("fieldName") or field
+            clauses.append(
+                (self._build_filter(_first_child_or_fail(kid), clause_field), occurs)
+            )
+        return boolean_filter(clauses)
 
     # -- span builders ------------------------------------------------------
 

@@ -275,3 +275,78 @@ def test_end_to_end_numeric_filter_exclusive(xml_index):
     )
     hits = xml_index.search(q, k=10)
     assert sorted(_ids(hits)) == [2, 3]
+
+
+# -- QueryWrapperFilter / TermsFilter / BooleanFilter ------------------------
+
+def test_terms_filter_xml(parser):
+    q = parser.parse(
+        """
+        <FilteredQuery>
+          <Filter><TermsFilter fieldName="content">Sunny Rainy</TermsFilter></Filter>
+          <Query><TermQuery>walk</TermQuery></Query>
+        </FilteredQuery>
+        """
+    )
+    from lucene_net_ray.query import QueryFilter
+
+    assert isinstance(q.filter, QueryFilter)
+    terms = [c.query.term for c in q.filter.query.clauses]
+    assert terms == ["sunny", "rainy"]  # analyzed
+
+
+def test_boolean_filter_semantics():
+    from lucene_net_ray.query import (
+        FieldRangeFilter,
+        QueryFilter,
+        boolean_filter,
+        terms_filter,
+    )
+
+    f = boolean_filter(
+        [
+            (terms_filter("content", ["x"]), SHOULD),
+            (terms_filter("content", ["y"]), SHOULD),
+            (FieldRangeFilter(field="year", lower=2000, upper=2010), MUST),
+            (terms_filter("content", ["z"]), MUST_NOT),
+        ]
+    )
+    assert isinstance(f, QueryFilter)
+    # SHOULDs forced when MUST present (BooleanFilter AND semantics)
+    assert f.query.min_should_match == 1
+    # only-NOT input becomes complement
+    f2 = boolean_filter([(terms_filter("content", ["z"]), MUST_NOT)])
+    occurs = [c.occur for c in f2.query.clauses]
+    assert occurs == [MUST_NOT, SHOULD]
+    assert isinstance(f2.query.clauses[1].query, MatchAllDocsQuery)
+
+
+def test_end_to_end_terms_and_boolean_filter(xml_index):
+    from lucene_net_ray.query import FilteredQuery as FQ
+    from lucene_net_ray.query import boolean_filter, terms_filter
+
+    # walk docs restricted to those containing sunny or rainy
+    q = FQ(query=TermQuery(term="walk"), filter=terms_filter("content", ["sunny", "rainy"]))
+    ids = sorted(d for d, _ in xml_index.search(q, k=10))
+    assert ids == [0, 1]
+    # scores identical to the unfiltered query on surviving docs
+    base = dict(xml_index.search(TermQuery(term="walk"), k=10))
+    for d, s in xml_index.search(q, k=10):
+        assert s == pytest.approx(base[d])
+    # BooleanFilter: (sunny OR rainy) AND year-range, NOT bright
+    f = boolean_filter(
+        [
+            (terms_filter("content", ["sunny", "rainy"]), SHOULD),
+            (
+                __import__("lucene_net_ray.query", fromlist=["FieldRangeFilter"]).FieldRangeFilter(
+                    field="year", lower=2001, upper=2004
+                ),
+                MUST,
+            ),
+            (terms_filter("content", ["bright"]), MUST_NOT),
+        ]
+    )
+    q2 = FQ(query=MatchAllDocsQuery(), filter=f)
+    ids2 = sorted(d for d, _ in xml_index.search(q2, k=10))
+    # docs 0-3 in year range; sunny/rainy = 0,1,2; not bright removes 0 -> [1,2]
+    assert ids2 == [1, 2]
