@@ -296,6 +296,109 @@ class PatternAnalyzer:
         }
 
 
+class PatternReplaceFilter:
+    """PatternReplaceFilter analog (reference
+    Analysis/Pattern/PatternReplaceFilter.cs:32): regex replace inside each
+    term. ``all=False`` replaces only the first occurrence
+    (Matcher.replaceFirst). Like the reference, a replacement that empties a
+    term keeps the (empty) token — chain a LengthFilter to drop those."""
+
+    def __init__(self, pattern: str, replacement: str = "", all: bool = True):
+        import re as _re
+
+        self.pattern = pattern
+        self.replacement = replacement
+        self.all = all
+        self._re = _re.compile(pattern)
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        count = 0 if self.all else 1
+        return [self._re.sub(self.replacement, t, count=count) for t in terms]
+
+    def config(self) -> dict:
+        return {
+            "filter": "pattern_replace",
+            "pattern": self.pattern,
+            "replacement": self.replacement,
+            "all": self.all,
+        }
+
+
+class PatternReplaceCharFilter:
+    """PatternReplaceCharFilter analog (reference
+    Analysis/Pattern/PatternReplaceCharFilter.cs:36): regex replace over the
+    raw char stream BEFORE tokenization (the reference's offset-correction
+    bookkeeping is irrelevant here — offsets are recomputed at index time)."""
+
+    def __init__(self, pattern: str, replacement: str = ""):
+        import re as _re
+
+        self.pattern = pattern
+        self.replacement = replacement
+        self._re = _re.compile(pattern)
+
+    def __call__(self, text: str) -> str:
+        return self._re.sub(self.replacement, text)
+
+    def config(self) -> dict:
+        return {
+            "char_filter": "pattern_replace",
+            "pattern": self.pattern,
+            "replacement": self.replacement,
+        }
+
+
+class PatternCaptureGroupFilter:
+    """PatternCaptureGroupTokenFilter analog (reference
+    Analysis/Pattern/PatternCaptureGroupTokenFilter.cs:50): per input term,
+    emit one token per non-empty capture group per match per pattern.
+    preserve_original keeps the whole term first; a capture equal to the
+    whole term is then skipped (the reference's start==0 && len==end guard).
+    A term no pattern matches passes through unchanged. Simplification vs
+    the reference (documented): captures are emitted pattern-by-pattern in
+    match/group order rather than interleaved by start offset — a
+    position-increment-free reordering that cannot matter to this engine's
+    bag-of-terms chains (ChainAnalyzer has no position support)."""
+
+    def __init__(self, patterns, preserve_original: bool = True):
+        import re as _re
+
+        self.patterns = tuple(patterns)
+        self.preserve_original = preserve_original
+        self._res = tuple(_re.compile(p) for p in self.patterns)
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in terms:
+            caps: list[str] = []
+            for rex in self._res:
+                if rex.groups == 0:
+                    continue
+                for m in rex.finditer(t):
+                    for g in range(1, rex.groups + 1):
+                        cap = m.group(g)
+                        if not cap:
+                            continue
+                        if self.preserve_original and cap == t:
+                            continue
+                        caps.append(cap)
+            if self.preserve_original:
+                out.append(t)
+                out.extend(caps)
+            elif caps:
+                out.extend(caps)
+            else:
+                out.append(t)
+        return out
+
+    def config(self) -> dict:
+        return {
+            "filter": "pattern_capture_group",
+            "patterns": list(self.patterns),
+            "preserve_original": self.preserve_original,
+        }
+
+
 class DictionaryCompoundFilter:
     """DictionaryCompoundWordTokenFilter analog (reference
     Analysis/Compound/DictionaryCompoundWordTokenFilter.cs:30 +

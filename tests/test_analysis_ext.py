@@ -173,3 +173,49 @@ def test_fuzzy_suggester():
     assert ("unrelated", 99) not in got  # first char must match
     # short key: exact prefix only
     assert sg.lookup("sp") == [("spark cluster", 90), ("spork", 50)]
+
+
+def test_pattern_replace_filter():
+    """PatternReplaceFilter.cs:32: per-term regex replace, first-only mode,
+    empty results kept unless a LengthFilter drops them."""
+    from lucene_net_ray.functions.analysis_ext import LengthFilter, PatternReplaceFilter
+
+    f = PatternReplaceFilter(r"o+", "0")
+    assert f(["foo", "book", "xyz"]) == ["f0", "b0k", "xyz"]
+    first = PatternReplaceFilter(r"o", "0", all=False)
+    assert first(["foo"]) == ["f0o"]
+    # emptied term is kept (reference behavior); LengthFilter cleans up
+    gone = PatternReplaceFilter(r".*", "")
+    assert gone(["abc"]) == ["", ""] or gone(["abc"])[0] == ""
+    assert LengthFilter(min_len=1)(gone(["abc"])) == []
+
+
+def test_pattern_replace_char_filter():
+    """PatternReplaceCharFilter.cs:36: pre-tokenization stream replace,
+    composable in a ChainAnalyzer."""
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.functions.analysis_ext import ChainAnalyzer, PatternReplaceCharFilter
+
+    cf = PatternReplaceCharFilter(r"(\d+)-(?=\d)", r"\1")
+    assert cf("call 123-456-789 now") == "call 123456789 now"
+    chain = ChainAnalyzer(base=Analyzer(), char_filters=(cf,))
+    assert "123456789" in chain("call 123-456-789 now")
+
+
+def test_pattern_capture_group_filter():
+    """PatternCaptureGroupTokenFilter.cs:50: one token per non-empty capture
+    per match; preserve_original keeps the whole term, whole-term captures
+    deduped; unmatched terms pass through."""
+    from lucene_net_ray.functions.analysis_ext import PatternCaptureGroupFilter
+
+    # camelCase splitter (the canonical Lucene example)
+    camel = PatternCaptureGroupFilter([r"([A-Z]{2,})", r"(?<![A-Z])([A-Z][a-z]+)", r"(?:^|\b|(?<=[0-9_])|(?<=[A-Z]{2}))([a-z]+)", r"([0-9]+)"], preserve_original=True)
+    assert camel(["MyFooClass"]) == ["MyFooClass", "My", "Foo", "Class"]
+    # no-match passthrough (both modes)
+    assert PatternCaptureGroupFilter([r"(\d+)"], preserve_original=False)(["abc"]) == ["abc"]
+    # preserve_original=False emits only captures when any match
+    only = PatternCaptureGroupFilter([r"([a-z]+)@([a-z]+)"], preserve_original=False)
+    assert only(["user@host"]) == ["user", "host"]
+    # whole-term capture skipped when preserving the original
+    keep = PatternCaptureGroupFilter([r"([a-z]+)"], preserve_original=True)
+    assert keep(["abc"]) == ["abc"]
