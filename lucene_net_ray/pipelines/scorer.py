@@ -846,24 +846,7 @@ class SegmentScorer:
             docs, scores = self.evaluate(q.query)
             if docs.size == 0:
                 return docs, scores
-            if isinstance(q.filter, QueryFilter):
-                # QueryWrapperFilter: restrict to the filter query's doc set,
-                # scores untouched (Search/QueryWrapperFilter.cs:31)
-                fdocs, _ = self.evaluate(q.filter.query)
-                keep = np.isin(docs, fdocs, assume_unique=True)
-                return docs[keep], scores[keep]
-            vals = self.reader.doc_values(q.filter.field)
-            keep = np.ones(docs.size, dtype=bool)
-            if q.filter.lower is not None:
-                if q.filter.include_lower:
-                    keep &= vals[docs] >= q.filter.lower
-                else:
-                    keep &= vals[docs] > q.filter.lower
-            if q.filter.upper is not None:
-                if q.filter.include_upper:
-                    keep &= vals[docs] <= q.filter.upper
-                else:
-                    keep &= vals[docs] < q.filter.upper
+            keep = self._filter_keep(q.filter, docs)
             return docs[keep], scores[keep]
         if isinstance(q, BoostingQuery):
             docs, scores = self.evaluate(q.match)
@@ -881,6 +864,77 @@ class SegmentScorer:
         if isinstance(q, BooleanQuery):
             return self._evaluate_boolean(q)
         raise TypeError(f"unsupported query: {q!r}")
+
+    def _filter_keep(self, f, docs: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask for ``docs`` under a FilteredQuery filter:
+        FieldRangeFilter (docs-table predicate, evaluated only at the
+        candidate docs), QueryFilter (posting-list doc set,
+        QueryWrapperFilter.cs:31 — scores untouched), DuplicateFilter
+        (first/last doc per key value), CachedFilter (doc set memoized per
+        scorer, CachingWrapperFilter.cs:33)."""
+        from ..query import CachedFilter, DuplicateFilter, FieldRangeFilter
+
+        if isinstance(f, CachedFilter):
+            cache = self.__dict__.setdefault("_filter_cache", {})
+            allowed = cache.get(f.filter)
+            if allowed is None:
+                allowed = cache[f.filter] = self._filter_docset(f.filter)
+            return np.isin(docs, allowed, assume_unique=True)
+        if isinstance(f, QueryFilter):
+            fdocs, _ = self.evaluate(f.query)
+            return np.isin(docs, fdocs, assume_unique=True)
+        if isinstance(f, DuplicateFilter):
+            return np.isin(docs, self._duplicate_docset(f), assume_unique=True)
+        if isinstance(f, FieldRangeFilter):
+            vals = self.reader.doc_values(f.field)
+            keep = np.ones(docs.size, dtype=bool)
+            if f.lower is not None:
+                keep &= (vals[docs] >= f.lower) if f.include_lower else (vals[docs] > f.lower)
+            if f.upper is not None:
+                keep &= (vals[docs] <= f.upper) if f.include_upper else (vals[docs] < f.upper)
+            return keep
+        raise TypeError(f"unsupported filter: {f!r}")
+
+    def _filter_docset(self, f) -> np.ndarray:
+        """Sorted array of ALL docids a filter allows (the cached form)."""
+        from ..query import DuplicateFilter, FieldRangeFilter
+
+        if isinstance(f, QueryFilter):
+            fdocs, _ = self.evaluate(f.query)
+            return fdocs
+        if isinstance(f, DuplicateFilter):
+            return self._duplicate_docset(f)
+        if isinstance(f, FieldRangeFilter):
+            vals = self.reader.doc_values(f.field)
+            keep = np.ones(len(vals), dtype=bool)
+            if f.lower is not None:
+                keep &= (vals >= f.lower) if f.include_lower else (vals > f.lower)
+            if f.upper is not None:
+                keep &= (vals <= f.upper) if f.include_upper else (vals < f.upper)
+            return np.flatnonzero(keep).astype(np.int64)
+        raise TypeError(f"unsupported filter: {f!r}")
+
+    def _duplicate_docset(self, f) -> np.ndarray:
+        """Docids surviving DuplicateFilter: per distinct non-null key value,
+        the lowest (keep='first') or highest docID in this reader. One
+        stable argsort over the key column; null keys excluded (the
+        reference's full-validation mode starts all-invalid)."""
+        import pandas as pd
+
+        vals = self.reader.doc_values(f.field)
+        idx = np.flatnonzero(~pd.isnull(vals)).astype(np.int64)
+        if idx.size == 0:
+            return idx
+        order = np.argsort(vals[idx], kind="stable")
+        sv = vals[idx][order]
+        first = np.concatenate(([True], sv[1:] != sv[:-1]))
+        if f.keep == "first":
+            winners = idx[order[first]]
+        else:
+            last = np.concatenate((first[1:], [True]))
+            winners = idx[order[last]]
+        winners.sort()
+        return winners
 
     def _evaluate_phrase(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
         """ExactPhraseScorer: positions must align with the query's analyzed

@@ -201,13 +201,37 @@ def boolean_filter(clauses: list[tuple[object, str]]) -> QueryFilter:
 
 
 @dataclass(frozen=True)
+class DuplicateFilter:
+    """Query-time dedup by a stored key field — the DuplicateFilter analog
+    (reference contrib/Queries/DuplicateFilter.cs:29): of all docs sharing a
+    key value, only the first (lowest docID) or last survives; docs with a
+    null key are excluded (the reference's PM_FULL_VALIDATION 'assume all
+    are INvalid' start). Like the reference, dedup scope is one reader —
+    per segment group here."""
+
+    field: str = ""
+    keep: str = "first"  # KM_USE_FIRST_OCCURRENCE | "last"
+
+
+@dataclass(frozen=True)
+class CachedFilter:
+    """CachingWrapperFilter analog (reference
+    Search/CachingWrapperFilter.cs:33): the wrapped filter's doc set is
+    computed once per reader and memoized on the scorer (keyed by the
+    frozen filter value), so repeated filtered queries skip re-evaluation."""
+
+    filter: object = None
+
+
+@dataclass(frozen=True)
 class FilteredQuery(Query):
     """query scores, filter restricts (reference Search/FilteredQuery.cs:41).
-    ``filter`` is a FieldRangeFilter (docs-table predicate) or a QueryFilter
-    (posting-list predicate)."""
+    ``filter`` is a FieldRangeFilter (docs-table predicate), QueryFilter
+    (posting-list predicate), DuplicateFilter, or a CachedFilter wrapping
+    any of them."""
 
     query: "Query" = None
-    filter: "FieldRangeFilter | QueryFilter" = None
+    filter: object = None
 
 
 @dataclass(frozen=True)
