@@ -186,6 +186,97 @@ def more_like_this_by_doc(
     )
 
 
+def fuzzy_like_this(
+    searcher: Searcher,
+    texts: "dict[str, str] | str",
+    *,
+    max_num_terms: int = 50,
+    max_edits: int = 1,
+    prefix_length: int = 0,
+    max_variants_per_term: int = 50,
+    ignore_tf: bool = False,
+    analyzer: Analyzer | None = None,
+) -> Query:
+    """FuzzyLikeThisQuery analog (reference
+    contrib/Queries/FuzzyLikeThisQuery.cs:33 AddTerms/Rewrite): a fuzzified
+    MoreLikeThis. Per analyzed source term, fuzzy variants are expanded
+    index-wide; each variant scores similarity^2 x idf, where the idf uses
+    the SOURCE term's df (all variants of one term share it — the
+    reference's 'store the df so all variants use same idf'), falling back
+    to the variants' average df when the source term is absent. The global
+    top ``max_num_terms`` variants become the query: one boosted TermQuery
+    per source term with a single surviving variant, a nested SHOULD group
+    per source term with several (BooleanQuery(true)'s coord-free nesting).
+    ``texts`` is {field: text} or a bare string for the 'content' field.
+    ``ignore_tf`` wraps each variant in ConstantScoreQuery — flattening tf
+    AND length norm, a documented divergence from FuzzyTermQuery's
+    tf=sqrt(min(tf,1)) which only flattens tf."""
+    import heapq as _hq
+
+    from ..query import ConstantScoreQuery, FuzzyQuery
+
+    analyzer = analyzer or Analyzer()
+    if isinstance(texts, str):
+        texts = {"content": texts}
+    n_docs = searcher.index.max_doc
+    heap: list[tuple[float, str, str, tuple[str, str]]] = []  # (score, field, variant, src)
+    counter = 0
+    for field, text in texts.items():
+        for term in dict.fromkeys(analyzer(text)):  # unique, first-seen order
+            from .spans import _searcher_expand
+
+            variants = _searcher_expand(
+                searcher,
+                FuzzyQuery(
+                    field=field,
+                    term=term,
+                    max_edits=max_edits,
+                    prefix_length=prefix_length,
+                    max_expansions=max_variants_per_term,
+                ),
+            )
+            if not variants:
+                continue
+            dfs = searcher._stats_for_terms(sorted({v for v, _ in variants} | {term}))
+            df = dfs.get(term, 0)
+            if df == 0:
+                df = sum(dfs.get(v, 0) for v, _ in variants) // len(variants)
+            idf = float(sim.idf(df, n_docs))
+            for v, s in variants:
+                score = (s * s) * idf
+                counter += 1
+                item = (score, -counter, field, v, (field, term))
+                if len(heap) < max_num_terms:
+                    _hq.heappush(heap, item)
+                else:
+                    _hq.heappushpop(heap, item)
+    by_source: dict[tuple[str, str], list[tuple[str, str, float]]] = {}
+    for score, _, field, v, src in sorted(heap, reverse=True):
+        by_source.setdefault(src, []).append((field, v, score))
+
+    def leaf(field: str, term: str, boost: float) -> Query:
+        tq = TermQuery(boost=boost, field=field, term=term)
+        return ConstantScoreQuery(boost=boost, query=TermQuery(field=field, term=term)) if ignore_tf else tq
+
+    clauses = []
+    for variants_of in by_source.values():
+        if len(variants_of) == 1:
+            f, v, sc = variants_of[0]
+            clauses.append(BooleanClause(leaf(f, v, sc), "SHOULD"))
+        else:
+            clauses.append(
+                BooleanClause(
+                    BooleanQuery(
+                        clauses=tuple(
+                            BooleanClause(leaf(f, v, sc), "SHOULD") for f, v, sc in variants_of
+                        )
+                    ),
+                    "SHOULD",
+                )
+            )
+    return BooleanQuery(clauses=tuple(clauses))
+
+
 def common_terms_query(
     searcher: Searcher,
     terms: list[str],
