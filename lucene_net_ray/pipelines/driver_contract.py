@@ -797,6 +797,24 @@ MIX_WEIGHTS = {
 }
 
 
+# (label, lower, upper, include_lower, include_upper) — overlapping on
+# purpose: RangeFacetCounts counts a doc in EVERY containing range
+FACET_RANGES = [
+    ("short", None, 200, True, False),
+    ("medium", 200, 400, True, False),
+    ("long", 400, None, True, True),
+    ("mid_overlap", 150, 350, True, True),
+]
+
+
+def q_facet_range_counts(sf_dir: str):
+    """Range facet counts over documents.n_chars (overlapping ranges)."""
+    from .facets import range_counts
+
+    ds = _documents_ds(sf_dir)
+    return range_counts(ds, "n_chars", FACET_RANGES)
+
+
 def q_mix_sources(sf_dir: str):
     """Deterministic weighted source mixing: keep each source at its target
     fraction via the md5(text) uniform draw. Hash-exact oracle."""
@@ -981,6 +999,7 @@ QUERIES = {
     "decontaminate_kept": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "mix_sources": q_mix_sources,
+    "facet_range_counts": q_facet_range_counts,
     "lm_quality_scores": q_lm_quality,
     "tumbling_windows": q_tumbling_windows,
     "media_neardup": q_media_neardup,
@@ -1022,7 +1041,24 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE '00000000' END"
     )
+    def _rng_pred(lo, hi, inc_lo, inc_hi):
+        parts = []
+        if lo is not None:
+            parts.append(f"n_chars {'>=' if inc_lo else '>'} {lo}")
+        if hi is not None:
+            parts.append(f"n_chars {'<=' if inc_hi else '<'} {hi}")
+        return " AND ".join(parts) or "TRUE"
+
+    range_union = "\nUNION ALL ".join(
+        f"SELECT '{label}' AS label, count(*) AS n_docs FROM documents "
+        f"WHERE {_rng_pred(lo, hi, il, ih)}"
+        for label, lo, hi, il, ih in FACET_RANGES
+    )
     return {
+        "facet_range_counts": f"""
+{range_union}
+ORDER BY label
+""",
         "mix_sources": f"""
 SELECT doc_id, source FROM documents
 WHERE substr(md5(text), 1, 8) < {mix_case}

@@ -52,6 +52,45 @@ def taxonomy_counts(
     return counts.rename_columns({"count()": "n_docs"})
 
 
+def range_counts(
+    ds: ray.data.Dataset,
+    field: str,
+    ranges: list[tuple],
+) -> ray.data.Dataset:
+    """Range facet counts — the Long/DoubleRangeFacetCounts analog
+    (reference Facet/Range/RangeFacetCounts.cs + LongRange.cs:30: ranges
+    may OVERLAP, a doc counts once in every range containing it; null
+    values count nowhere). ``ranges`` rows are (label, lower, upper,
+    include_lower, include_upper) with None = unbounded. One map_batches
+    pass emits per-batch per-range partial counts (combiner-before-shuffle:
+    the only exchange is len(ranges) rows per block), then a tiny
+    groupby(label).sum. Returns Dataset(label, n_docs) including
+    zero-count ranges."""
+    rngs = [tuple(r) for r in ranges]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(field)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = col.is_valid()
+        labels, ns = [], []
+        for label, lo, hi, inc_lo, inc_hi in rngs:
+            m = valid
+            if lo is not None:
+                cmp = pc.greater_equal(col, lo) if inc_lo else pc.greater(col, lo)
+                m = pc.and_kleene(m, cmp)
+            if hi is not None:
+                cmp = pc.less_equal(col, hi) if inc_hi else pc.less(col, hi)
+                m = pc.and_kleene(m, cmp)
+            labels.append(label)
+            ns.append(pc.sum(pc.fill_null(m, False)).as_py() or 0)
+        return pa.table({"label": pa.array(labels, type=pa.string()),
+                         "n": pa.array(ns, type=pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("label").sum("n")
+    return out.rename_columns({"sum(n)": "n_docs"})
+
+
 def drill_down(ds: ray.data.Dataset, filters: dict[str, object]) -> ray.data.Dataset:
     """AND of per-dimension equality filters (DrillDownQuery analog)."""
     out = ds

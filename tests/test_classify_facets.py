@@ -71,3 +71,27 @@ def test_drill_down_and_sideways():
     # size facet: lang filter applied, own size filter removed
     size_counts = {r["size"]: r["n_docs"] for r in res["facets"]["size"].take_all()}
     assert size_counts == {"long": 6, "short": 2}
+
+
+def test_range_facet_counts():
+    """RangeFacetCounts.cs: overlapping ranges each count containing docs;
+    nulls count nowhere; zero-count ranges present."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.facets import range_counts
+
+    ds = ray.data.from_arrow(
+        pa.table({"v": [10, 20, 30, 40, None, 50]})
+    )
+    out = range_counts(
+        ds,
+        "v",
+        [
+            ("low", None, 25, True, False),      # 10,20
+            ("mid", 20, 40, True, True),         # 20,30,40 (overlaps low)
+            ("high", 45, None, False, True),     # 50
+            ("none", 1000, None, True, True),    # zero-count kept
+        ],
+    ).to_pandas().set_index("label")["n_docs"].to_dict()
+    assert out == {"low": 2, "mid": 3, "high": 1, "none": 0}
