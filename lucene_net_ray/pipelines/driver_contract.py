@@ -433,6 +433,42 @@ def q_bool_not_count(sf_dir: str):
     return pd.DataFrame({"n": [np.int64(n)]})
 
 
+# count-style gates for the two human query surfaces: integer results, so
+# the float32 engine vs f64 SQL divergence cannot bite
+XML_FILTER_QUERY = """
+<FilteredQuery>
+  <Filter><BooleanFilter>
+     <Clause occurs="must"><NumericRangeFilter fieldName="n_chars" lowerTerm="150" upperTerm="400" type="long"/></Clause>
+     <Clause occurs="should"><TermsFilter fieldName="content">merge spark</TermsFilter></Clause>
+  </BooleanFilter></Filter>
+  <Query><MatchAllDocsQuery/></Query>
+</FilteredQuery>
+"""
+
+
+def q_xml_filtered_count(sf_dir: str):
+    """XML query surface end-to-end: CoreParser-analog parse of a
+    BooleanFilter(NumericRangeFilter + TermsFilter) over MatchAll,
+    counted through the Searcher."""
+    from ..xmlparser import parse_xml_query
+    from .search import Searcher
+
+    meta, _ = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    return pd.DataFrame({"n": [np.int64(s.count(parse_xml_query(XML_FILTER_QUERY)))]})
+
+
+def q_simple_parser_count(sf_dir: str):
+    """SimpleQueryParser surface end-to-end: 'merge + spark + -window'
+    (AND, AND, AND-NOT via the negation wrapper), counted."""
+    from ..query import parse_simple
+    from .search import Searcher
+
+    meta, _ = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    return pd.DataFrame({"n": [np.int64(s.count(parse_simple("merge + spark + -window")))]})
+
+
 def q_prefix_doc_count(sf_dir: str):
     from ..query import PrefixQuery
     from .search import Searcher
@@ -1000,6 +1036,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "mix_sources": q_mix_sources,
     "facet_range_counts": q_facet_range_counts,
+    "xml_filtered_count": q_xml_filtered_count,
+    "simple_parser_count": q_simple_parser_count,
     "lm_quality_scores": q_lm_quality,
     "tumbling_windows": q_tumbling_windows,
     "media_neardup": q_media_neardup,
@@ -1055,6 +1093,20 @@ def oracle_sql() -> dict[str, str]:
         for label, lo, hi, il, ih in FACET_RANGES
     )
     return {
+        "xml_filtered_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(*) AS n FROM documents d
+WHERE d.n_chars >= 150 AND d.n_chars <= 400
+  AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id
+              AND t.tok IN ('merge', 'spark'))
+""",
+        "simple_parser_count": f"""
+WITH {_TOKS_CTE}
+SELECT count(*) AS n FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
+  AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
+  AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window')
+""",
         "facet_range_counts": f"""
 {range_union}
 ORDER BY label
