@@ -189,51 +189,90 @@ def minhash_lsh_pairs(
     # hash buckets into COARSE groups and split exact (band,key) runs inside
 
     def to_band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, keys, sig_col, coarse = [], [], [], [], []
-        for row in batch.to_pylist():
-            sig = row["sig"]
+        # fully vectorized band keying: the r band components fold through a
+        # numpy FNV-1a sweep (any deterministic chunk->key function buckets
+        # identical chunks identically — the candidate set is unchanged vs
+        # the old per-row blake2b-of-joined-string key, modulo ~2^-64
+        # collisions both schemes share). r x bands vector ops per batch,
+        # zero Python rows.
+        n = batch.num_rows
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "band": pa.array([], type=pa.int32()),
+            "key": pa.array([], type=pa.uint64()),
+            "coarse": pa.array([], type=pa.int64()),
+            "sig": pa.array([], type=pa.list_(pa.uint64())),
+        })
+        if n == 0:
+            return empty
+        sig_col = batch.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        flat = pa.compute.list_flatten(sig_col).to_numpy(zero_copy_only=False)
+        sigs = flat.reshape(n, num_perm)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        FNV_OFF = np.uint64(0xCBF29CE484222325)
+        FNV_P = np.uint64(0x100000001B3)
+        keys = np.empty((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for bi in range(bands):
-                chunk = sig[bi * r : (bi + 1) * r]
-                key = _stable_hash64(",".join(map(str, chunk)))
-                doc_ids.append(row["doc_id"])
-                band_ids.append(bi)
-                keys.append(key)
-                sig_col.append(sig)
-                coarse.append((key ^ (bi * 0x9E3779B9)) % COARSE)
+                k = np.full(n, FNV_OFF, dtype=np.uint64)
+                for j in range(r):
+                    k = (k ^ sigs[:, bi * r + j]) * FNV_P
+                keys[:, bi] = k
+            band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+            key_flat = keys.reshape(-1)
+            coarse = (
+                (key_flat ^ (band_ids.astype(np.uint64) * np.uint64(0x9E3779B9))) % COARSE
+            ).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "band": pa.array(band_ids, type=pa.int32()),
-                "key": pa.array(keys, type=pa.uint64()),
-                "coarse": pa.array(coarse, type=pa.int64()),
-                "sig": pa.array(sig_col, type=pa.list_(pa.uint64())),
+                "doc_id": pa.array(np.repeat(doc, bands)),
+                "band": pa.array(band_ids),
+                "key": pa.array(key_flat),
+                "coarse": pa.array(coarse),
+                "sig": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n * bands + 1) * num_perm, num_perm, dtype=np.int32)),
+                    pa.array(np.repeat(sigs, bands, axis=0).reshape(-1)),
+                ),
             }
         )
 
     band_rows = sigs.map_batches(to_band_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        # vectorized run detection (lexsort + boundary diff) and, per
+        # bucket, one broadcast (m, m, num_perm) equality -> pair Jaccards;
+        # no to_pylist, no per-pair Python
         out_a, out_b, est = [], [], []
-        rows = group.to_pylist()
-        rows.sort(key=lambda x: (x["band"], x["key"], x["doc_id"]))
-        i = 0
-        while i < len(rows):
-            j = i
-            while j < len(rows) and rows[j]["band"] == rows[i]["band"] and rows[j]["key"] == rows[i]["key"]:
-                j += 1
-            run = rows[i:j]
-            if 2 <= len(run) <= max_bucket:  # head-bucket guard
-                for x, y in combinations(run, 2):
-                    if x["doc_id"] == y["doc_id"]:
-                        continue
-                    sx = np.asarray(x["sig"], dtype=np.uint64)
-                    sy = np.asarray(y["sig"], dtype=np.uint64)
-                    jac = float((sx == sy).mean())
-                    if jac >= threshold:
-                        out_a.append(x["doc_id"])
-                        out_b.append(y["doc_id"])
-                        est.append(_round6(jac))
-            i = j
+        n = group.num_rows
+        if n:
+            band = group.column("band").to_numpy(zero_copy_only=False)
+            key = group.column("key").to_numpy(zero_copy_only=False)
+            doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+            sig_col = group.column("sig")
+            if isinstance(sig_col, pa.ChunkedArray):
+                sig_col = sig_col.combine_chunks()
+            sigs = pa.compute.list_flatten(sig_col).to_numpy(zero_copy_only=False).reshape(n, -1)
+            order = np.lexsort((doc, key, band))
+            b2, k2, d2, s2 = band[order], key[order], doc[order], sigs[order]
+            newrun = (b2[1:] != b2[:-1]) | (k2[1:] != k2[:-1])
+            starts = np.concatenate(([0], np.flatnonzero(newrun) + 1, [n]))
+            for si in range(starts.size - 1):
+                s, e = int(starts[si]), int(starts[si + 1])
+                m = e - s
+                if not (2 <= m <= max_bucket):  # head-bucket guard
+                    continue
+                dd = d2[s:e]
+                ss = s2[s:e]
+                iu, ju = np.triu_indices(m, 1)
+                jac = (ss[iu] == ss[ju]).mean(axis=1)
+                mask = (jac >= threshold) & (dd[iu] != dd[ju])
+                if mask.any():
+                    out_a.extend(dd[iu[mask]].tolist())
+                    out_b.extend(dd[ju[mask]].tolist())
+                    # _round6 vectorized (half away from zero at 6 decimals)
+                    est.extend((np.floor(jac[mask] * 1e6 + 0.5) / 1e6).tolist())
         return pa.table(
             {
                 "doc_a": pa.array(out_a, type=pa.int64()),
