@@ -34,6 +34,7 @@ from ..query import (
     FilteredQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -344,6 +345,8 @@ def query_terms(q: Query) -> set[str]:
         return out
     if isinstance(q, PhraseQuery):
         return set(q.terms)
+    if isinstance(q, MultiPhraseQuery):
+        return {t for terms in q.positions_terms for t in terms}
     if isinstance(q, DisjunctionMaxQuery):
         out = set()
         for d in q.disjuncts:
@@ -363,7 +366,7 @@ def query_fields(q: Query) -> set[str]:
     """All index fields referenced by term-bearing leaves of a query tree
     (used by Searcher to reject queries against fields the index lacks —
     a parsed 'title:foo' must not silently search the content postings)."""
-    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
+    if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery, RegexpQuery)):
         return {q.field}
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
@@ -859,6 +862,8 @@ class SegmentScorer:
             return docs, scores
         if isinstance(q, PhraseQuery):
             return self._evaluate_phrase(q)
+        if isinstance(q, MultiPhraseQuery):
+            return self._evaluate_multi_phrase(q)
         if isinstance(q, DisjunctionMaxQuery):
             return self._evaluate_dismax(q)
         if isinstance(q, BooleanQuery):
@@ -972,6 +977,99 @@ class SegmentScorer:
         w = np.float32(np.float32(idf_sum * np.float32(q.boost)) * (self.k1 + np.float32(1.0)))
         scores = sim.score_tf(freqs.astype(np.int64), self.reader.norms[docs], w, self.cache)
         return docs.astype(np.int64), scores
+
+    @staticmethod
+    def _union_postings_keys(plist):
+        """Merge several terms' positions postings into one
+        (docids, tfs, flat, occ) tuple — the UnionDocsAndPositionsEnum
+        analog. Exact (doc, position) duplicates (terms stacked at one
+        position by a synonym-style filter) are deduped."""
+        SHIFT = np.int64(1) << np.int64(32)
+        keys = []
+        for docids, tfs, flat, occ in plist:
+            keys.append(np.repeat(docids, tfs) * SHIFT + flat)
+        u = np.unique(np.concatenate(keys)) if len(keys) > 1 else np.sort(keys[0])
+        docs = u // SHIFT
+        pos = u % SHIFT
+        docids, tfs = np.unique(docs, return_counts=True)
+        occ = np.concatenate(([0], np.cumsum(tfs)))
+        return docids, tfs, pos, occ
+
+    def _evaluate_multi_phrase(self, q) -> tuple[np.ndarray, np.ndarray]:
+        """MultiPhraseQuery: per-position union of term postings
+        (UnionDocsAndPositionsEnum analog, MultiPhraseQuery.cs:521), then the
+        exact-phrase intersection (slop=0) or the SloppyPhraseScorer sweep
+        with each union treated as one pseudo-term slot (slots with
+        identical term SETS route through the repeating-terms path)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        if not q.positions_terms:
+            return empty
+        qpos = q.term_positions()
+        all_terms = [t for terms in q.positions_terms for t in terms]
+        slot_posts = []
+        for terms in q.positions_terms:
+            plist = []
+            for t in terms:
+                if self.stats["df"].get(t, 0) == 0:
+                    continue
+                post = self.reader.positions(t)
+                if post[0].size:
+                    plist.append(post)
+            if not plist:
+                return empty  # a position no term can fill: no phrase match
+            slot_posts.append(self._union_postings_keys(plist))
+        # MultiPhraseWeight: f32-summed idf of EVERY term in declaration
+        # order, df=0 terms included
+        idf_sum = np.float32(0.0)
+        for t in all_terms:
+            idf_sum = np.float32(
+                idf_sum + sim.idf(self.stats["df"].get(t, 0), self.stats["max_doc"])
+            )
+        w = np.float32(np.float32(idf_sum * np.float32(q.boost)) * (self.k1 + np.float32(1.0)))
+        SHIFT = np.int64(1) << np.int64(32)
+        if q.slop == 0:
+            qmax = max(qpos)
+            keysets = []
+            for (docids, tfs, flat, occ), p in zip(slot_posts, qpos):
+                doc_per_occ = np.repeat(docids, tfs)
+                keysets.append(doc_per_occ * SHIFT + (flat - p + qmax))
+            common = keysets[0]
+            for ks in keysets[1:]:
+                common = _intersect_sorted(common, ks)
+            if common.size == 0:
+                return empty
+            docs, freqs = np.unique(common // SHIFT, return_counts=True)
+            scores = sim.score_tf(freqs.astype(np.int64), self.reader.norms[docs], w, self.cache)
+            return docs.astype(np.int64), scores
+        # sloppy: pseudo-term per slot, named by its term set so identical
+        # sets are recognized as repeats
+        names = ["|".join(sorted(terms)) for terms in q.positions_terms]
+        has_rpts = len(set(names)) != len(names)
+        common = slot_posts[0][0]
+        for docids, *_ in slot_posts[1:]:
+            common = _intersect_sorted(common, docids)
+        if common.size == 0:
+            return empty
+        out_docs, out_freqs = [], []
+        for doc in common.tolist():
+            slots = []
+            for (docids, tfs, flat, occ), name, p in zip(slot_posts, names, qpos):
+                j = int(np.searchsorted(docids, doc))
+                slots.append(((flat[occ[j] : occ[j + 1]] - p).tolist(), p, name))
+            if has_rpts:
+                f = _sloppy_phrase_freq_rpts(slots, q.slop)
+            else:
+                f = _sloppy_phrase_freq([pl for pl, _p, _t in slots], q.slop)
+            if f > 0:
+                out_docs.append(doc)
+                out_freqs.append(f)
+        if not out_docs:
+            return empty
+        docs = np.array(out_docs, dtype=np.int64)
+        freqs = np.array(out_freqs, dtype=np.float32)
+        c = self.cache[self.reader.norms[docs]]
+        scores = ((np.float32(w) * freqs) / (freqs + c)).astype(np.float32)
+        return docs, scores
 
     def _evaluate_sloppy_phrase(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
         """SloppyPhraseScorer port (non-repeating terms): min-window sweep via

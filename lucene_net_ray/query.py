@@ -71,6 +71,27 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase where each position matches ANY of several terms — the
+    MultiPhraseQuery analog (reference Search/MultiPhraseQuery.cs:47, built
+    by QueryParser for synonym-expanded phrases). Scored like PhraseQuery:
+    tf = phrase frequency over the per-position UNION of postings
+    (UnionDocsAndPositionsEnum, MultiPhraseQuery.cs:521 — duplicate
+    (doc,position) hits from terms co-located by a synonym filter are
+    deduped here), weight = f32-summed idfs of EVERY term in declaration
+    order (MultiPhraseWeight sums all TermStatistics, including df=0
+    terms)."""
+
+    field: str = "content"
+    positions_terms: tuple[tuple[str, ...], ...] = ()
+    slop: int = 0
+    positions: tuple[int, ...] = ()  # analyzed positions; () = consecutive
+
+    def term_positions(self) -> tuple[int, ...]:
+        return self.positions if self.positions else tuple(range(len(self.positions_terms)))
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """max(clause scores) + tie_breaker * sum(other matching clause scores)
     (reference Search/DisjunctionMaxQuery.cs:46)."""

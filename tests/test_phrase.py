@@ -217,3 +217,64 @@ def test_sloppy_phrase_repeats_through_engine(tmp_path):
     hits = s.search(q, k=5)
     assert [d for d, _ in hits] == [1, 0]
     assert s.count(q) == 2
+
+
+# -- MultiPhraseQuery -------------------------------------------------------
+
+def test_multi_phrase_single_terms_equals_phrase(phrase_setup):
+    """One term per position == plain PhraseQuery, scores bit-identical."""
+    from lucene_net_ray.query import MultiPhraseQuery
+
+    searcher, _, _ = phrase_setup
+    pq = PhraseQuery(terms=("quick", "brown"))
+    mq = MultiPhraseQuery(positions_terms=(("quick",), ("brown",)))
+    hp = searcher.search(pq, k=10)
+    hm = searcher.search(mq, k=10)
+    assert [d for d, _ in hp] == [d for d, _ in hm]
+    assert [np.float32(s) for _, s in hp] == [np.float32(s) for _, s in hm]
+
+
+def test_multi_phrase_union_matches(phrase_setup):
+    """'quick (fox|brown)': doc5 'quick fox ...' joins the 'quick brown' docs."""
+    from lucene_net_ray.query import MultiPhraseQuery
+
+    searcher, _, _ = phrase_setup
+    mq = MultiPhraseQuery(positions_terms=(("quick",), ("fox", "brown")))
+    ids = {d for d, _ in searcher.search(mq, k=10)}
+    only_brown = {d for d, _ in searcher.search(PhraseQuery(terms=("quick", "brown")), k=10)}
+    only_fox = {d for d, _ in searcher.search(PhraseQuery(terms=("quick", "fox")), k=10)}
+    assert ids == only_brown | only_fox
+    assert 5 in ids  # "quick fox brown"
+
+
+def test_multi_phrase_freq_and_empty_position(phrase_setup):
+    from lucene_net_ray.query import MultiPhraseQuery
+
+    searcher, _, _ = phrase_setup
+    # doc3 "quick brown quick brown dog" has phrase freq 2: it must outrank
+    # freq-1 docs of equal length... just assert it matches and is ranked first
+    mq = MultiPhraseQuery(positions_terms=(("quick",), ("brown", "cat")))
+    hits = searcher.search(mq, k=10)
+    assert hits[0][0] == 3
+    # a position only fillable by absent terms matches nothing
+    none = MultiPhraseQuery(positions_terms=(("quick",), ("zzznope",)))
+    assert searcher.search(none, k=10) == []
+
+
+def test_multi_phrase_sloppy(phrase_setup):
+    from lucene_net_ray.query import MultiPhraseQuery
+
+    searcher, _, _ = phrase_setup
+    # doc1 "quick the brown fox": gap 1 -> needs slop 1
+    exact = MultiPhraseQuery(positions_terms=(("quick",), ("brown", "cat")))
+    sloppy = MultiPhraseQuery(positions_terms=(("quick",), ("brown", "cat")), slop=1)
+    ids_exact = {d for d, _ in searcher.search(exact, k=10)}
+    ids_sloppy = {d for d, _ in searcher.search(sloppy, k=10)}
+    assert 1 not in ids_exact and 1 in ids_sloppy
+    assert ids_exact <= ids_sloppy
+    # sloppy with single terms == sloppy PhraseQuery, scores identical
+    mq1 = MultiPhraseQuery(positions_terms=(("quick",), ("fox",)), slop=2)
+    pq1 = PhraseQuery(terms=("quick", "fox"), slop=2)
+    hm = searcher.search(mq1, k=10)
+    hp = searcher.search(pq1, k=10)
+    assert [(d, np.float32(s)) for d, s in hm] == [(d, np.float32(s)) for d, s in hp]
