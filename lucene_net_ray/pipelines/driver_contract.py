@@ -541,6 +541,27 @@ def q_anti_join_customers(sf_dir: str):
     return semi_join(cust, "c_custkey", orders, "o_custkey", negate=True)
 
 
+def q_block_join_scores(sf_dir: str):
+    """ToParentBlockJoin ScoreMode.Avg: orders (parents) scored by the avg
+    l_extendedprice of their qty>=45 lineitems (children); parents with no
+    matching child dropped."""
+    from .joins import block_join_parent_scores
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def child_score(batch: pa.Table) -> np.ndarray:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return np.where(q >= 45, p, np.nan)
+
+    return block_join_parent_scores(
+        li, parent_key="l_orderkey", child_score=child_score, score_mode="avg"
+    )
+
+
 def q_facet_lang_counts(sf_dir: str):
     ds = _documents_ds(sf_dir)
 
@@ -1038,6 +1059,7 @@ QUERIES = {
     "facet_range_counts": q_facet_range_counts,
     "xml_filtered_count": q_xml_filtered_count,
     "simple_parser_count": q_simple_parser_count,
+    "block_join_scores": q_block_join_scores,
     "lm_quality_scores": q_lm_quality,
     "tumbling_windows": q_tumbling_windows,
     "media_neardup": q_media_neardup,
@@ -1106,6 +1128,15 @@ SELECT count(*) AS n FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
   AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window')
+""",
+        "block_join_scores": """
+SELECT l_orderkey AS parent,
+       round(avg(l_extendedprice) FILTER (WHERE l_quantity >= 45), 6) AS score,
+       count(*) FILTER (WHERE l_quantity >= 45) AS n_matches
+FROM lineitem
+GROUP BY l_orderkey
+HAVING count(*) FILTER (WHERE l_quantity >= 45) > 0
+ORDER BY parent
 """,
         "facet_range_counts": f"""
 {range_union}

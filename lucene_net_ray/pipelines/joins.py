@@ -79,3 +79,97 @@ def block_join_parents(
         return group if ok else group.slice(0, 0)
 
     return ds.groupby(parent_key).map_groups(reduce_group, batch_format="pyarrow")
+
+
+def block_join_parent_scores(
+    ds: ray.data.Dataset,
+    *,
+    parent_key: str,
+    child_score: "callable",
+    score_mode: str = "avg",
+    coarse_groups: int = 256,
+) -> ray.data.Dataset:
+    """ToParentBlockJoinQuery ScoreMode analog (reference
+    Join/ToParentBlockJoinQuery.cs:74 with ScoreMode None/Avg/Max/Total —
+    how matching children's scores aggregate to their parent).
+    ``child_score(batch) -> float64 ndarray`` scores each child row, NaN =
+    child does not match; parents with no matching child are dropped.
+    Returns Dataset(parent, score, n_matches).
+
+    Scale plan: per-batch vectorized partials (sum/count/max per parent via
+    one argsort + run-length reduce — a combiner before the shuffle, so the
+    exchange carries one row per (block, parent), not per child), then the
+    repo's bounded coarse-hash groupby with an in-group vectorized merge —
+    never one Ray aggregate per parent key."""
+    if score_mode not in ("none", "avg", "max", "total"):
+        raise ValueError(score_mode)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "parent": pa.array([], type=pa.int64()),
+            "s_sum": pa.array([], type=pa.float64()),
+            "s_max": pa.array([], type=pa.float64()),
+            "n": pa.array([], type=pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        scores = np.asarray(child_score(batch), dtype=np.float64)
+        pk = batch.column(parent_key).to_numpy(zero_copy_only=False)
+        m = ~np.isnan(scores)
+        if not m.any():
+            return empty
+        pk, scores = pk[m], scores[m]
+        order = np.argsort(pk, kind="stable")
+        p2, s2 = pk[order], scores[order]
+        newrun = p2[1:] != p2[:-1]
+        starts = np.concatenate(([0], np.flatnonzero(newrun) + 1))
+        ends = np.concatenate((starts[1:], [p2.size]))
+        sums = np.add.reduceat(s2, starts)
+        maxs = np.maximum.reduceat(s2, starts)
+        return pa.table({
+            "parent": pa.array(p2[starts].astype(np.int64)),
+            "s_sum": pa.array(sums),
+            "s_max": pa.array(maxs),
+            "n": pa.array((ends - starts).astype(np.int64)),
+        })
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        p = batch.column("parent").to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = p * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "coarse", pa.array((h & np.uint64(coarse_groups - 1)).astype(np.int64))
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        p = group.column("parent").to_numpy(zero_copy_only=False)
+        ssum = group.column("s_sum").to_numpy(zero_copy_only=False)
+        smax = group.column("s_max").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(p, kind="stable")
+        p2, ssum2, smax2, n2 = p[order], ssum[order], smax[order], n[order]
+        newrun = p2[1:] != p2[:-1]
+        starts = np.concatenate(([0], np.flatnonzero(newrun) + 1))
+        tot = np.add.reduceat(ssum2, starts)
+        mx = np.maximum.reduceat(smax2, starts)
+        cnt = np.add.reduceat(n2, starts)
+        if score_mode == "avg":
+            score = tot / cnt
+        elif score_mode == "total":
+            score = tot
+        elif score_mode == "max":
+            score = mx
+        else:  # "none": match-only semantics, parent score 0
+            score = np.zeros(starts.size)
+        return pa.table({
+            "parent": pa.array(p2[starts]),
+            "score": pa.array(np.floor(score * 1e6 + 0.5) / 1e6),  # DuckDB ROUND
+            "n_matches": pa.array(cnt),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(merge, batch_format="pyarrow")
+    )

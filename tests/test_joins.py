@@ -51,3 +51,38 @@ def test_block_join_parents():
         mode="all",
     ).take_all()
     assert {r["parent"] for r in out_all} == {1, 2, 3}
+
+
+def test_block_join_parent_scores():
+    """ToParentBlockJoinQuery ScoreMode.Avg/Max/Total/None over
+    co-partitioned children; NaN = non-matching child."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.joins import block_join_parent_scores
+
+    rows = pa.table({
+        "parent": [1, 1, 1, 2, 2, 3],
+        "val": [10.0, 20.0, 99.0, 5.0, 7.0, 1.0],
+        "ok": [True, True, False, True, True, False],
+    })
+
+    def cs(batch):
+        v = batch.column("val").to_numpy(zero_copy_only=False)
+        ok = batch.column("ok").to_numpy(zero_copy_only=False)
+        return np.where(ok, v, np.nan)
+
+    ds = ray.data.from_arrow(rows)
+    for mode, expect in [
+        ("avg", {1: 15.0, 2: 6.0}),
+        ("max", {1: 20.0, 2: 7.0}),
+        ("total", {1: 30.0, 2: 12.0}),
+        ("none", {1: 0.0, 2: 0.0}),
+    ]:
+        out = block_join_parent_scores(
+            ds, parent_key="parent", child_score=cs, score_mode=mode
+        ).to_pandas().set_index("parent")
+        assert 3 not in out.index  # no matching child
+        assert out["score"].to_dict() == expect, mode
+    assert out["n_matches"].to_dict() == {1: 2, 2: 2}
