@@ -277,6 +277,34 @@ def fuzzy_like_this(
     return BooleanQuery(clauses=tuple(clauses))
 
 
+def query_rescore(
+    searcher: Searcher,
+    hits: list[tuple[int, float]],
+    second_query: Query,
+    *,
+    weight: float = 1.0,
+) -> list[tuple[int, float]]:
+    """QueryRescorer analog (reference Search/QueryRescorer.cs:28 +
+    Rescorer.cs): re-rank first-pass hits with a second query; new score =
+    first + weight x second for docs the second query matches, first alone
+    otherwise (QueryRescorer.Rescore's default Combine). Ties broken by
+    docID ascending like TopDocs. The second query is evaluated through the
+    normal distributed path (the reference advances it only over the hit
+    docs; with hits already a small top-k list, the second pass here is one
+    scored_docs call — selective second queries stay cheap, and a
+    MatchAll-ish second pass belongs in expressions.rescore instead)."""
+    smap = dict(searcher.scored_docs(second_query))
+    out = []
+    for d, s in hits:
+        s2 = smap.get(d)
+        ns = np.float32(s) if s2 is None else np.float32(
+            np.float32(s) + np.float32(weight) * np.float32(s2)
+        )
+        out.append((d, float(ns)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
 def common_terms_query(
     searcher: Searcher,
     terms: list[str],

@@ -388,3 +388,28 @@ def test_fuzzy_like_this(setup):
         node = c.query
         leaves2 += [l.query for l in node.clauses] if isinstance(node, BooleanQuery) else [node]
     assert all(isinstance(l, ConstantScoreQuery) for l in leaves2)
+
+
+def test_query_rescore(setup):
+    """QueryRescorer.cs: first + weight x second on second-pass matches,
+    docID tiebreak, non-matches keep the first-pass score."""
+    from lucene_net_ray.pipelines.collectors import query_rescore
+
+    corpus, searcher, oracle = setup
+    first = searcher.search(TermQuery(term="public"), k=20)
+    assert first
+    second_q = TermQuery(term="query")
+    second = dict(searcher.scored_docs(second_q))
+    out = query_rescore(searcher, first, second_q, weight=2.0)
+    assert {d for d, _ in out} == {d for d, _ in first}  # rescore never adds/drops
+    fmap = dict(first)
+    for d, s in out:
+        exp = np.float32(fmap[d]) if d not in second else np.float32(
+            np.float32(fmap[d]) + np.float32(2.0) * np.float32(second[d]))
+        assert np.float32(s) == exp
+    # sorted by new score desc, docid asc
+    assert out == sorted(out, key=lambda x: (-x[1], x[0]))
+    # weight 0 keeps first-pass order/scores
+    same = query_rescore(searcher, first, second_q, weight=0.0)
+    assert [(d, np.float32(s)) for d, s in same] == sorted(
+        [(d, np.float32(s)) for d, s in first], key=lambda x: (-x[1], x[0]))
