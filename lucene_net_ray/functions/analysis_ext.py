@@ -296,6 +296,66 @@ class PatternAnalyzer:
         }
 
 
+class StemFilter:
+    """Stemming as a CHAIN filter (PorterStemFilter/SnowballFilter analog)
+    honoring the keyword-attribute protocol the reference builds around it:
+    ``protected`` words pass through unstemmed (KeywordMarkerFilter,
+    Analysis/Miscellaneous/SetKeywordMarkerFilter.cs) and ``repeat=True``
+    emits the original token before its stem when they differ
+    (KeywordRepeatFilter.cs — pair with RemoveDuplicatesFilter, exactly the
+    reference's recommended chain). ``stemmer`` is a name from
+    functions.stem.STEMMERS."""
+
+    def __init__(self, stemmer: str = "porter", protected=frozenset(), repeat: bool = False):
+        from .stem import STEMMERS
+
+        if stemmer not in STEMMERS:
+            raise ValueError(f"unknown stemmer {stemmer!r}; options: {sorted(STEMMERS)}")
+        self.stemmer = stemmer
+        self.protected = frozenset(protected)
+        self.repeat = repeat
+        self._fn = STEMMERS[stemmer]
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in terms:
+            if t in self.protected:
+                out.append(t)
+                continue
+            s = self._fn(t)
+            if self.repeat and s != t:
+                out.append(t)  # original first, like KeywordRepeatFilter
+            out.append(s)
+        return out
+
+    def config(self) -> dict:
+        return {
+            "filter": "stem",
+            "stemmer": self.stemmer,
+            "protected": sorted(self.protected),
+            "repeat": self.repeat,
+        }
+
+
+class RemoveDuplicatesFilter:
+    """RemoveDuplicatesTokenFilter analog (reference
+    Analysis/Miscellaneous/RemoveDuplicatesTokenFilter.cs:28: drops a token
+    identical to one already seen at the SAME position; chains carry no
+    positions, so 'same position' = consecutive — exactly the duplicates a
+    repeat-mode StemFilter produces when stem == original survives)."""
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        out: list[str] = []
+        for t in terms:
+            if out and out[-1] == t:
+                continue
+            out.append(t)
+        return out
+
+    def config(self) -> dict:
+        return {"filter": "remove_duplicates"}
+
+
 class PatternReplaceFilter:
     """PatternReplaceFilter analog (reference
     Analysis/Pattern/PatternReplaceFilter.cs:32): regex replace inside each

@@ -219,3 +219,33 @@ def test_pattern_capture_group_filter():
     # whole-term capture skipped when preserving the original
     keep = PatternCaptureGroupFilter([r"([a-z]+)"], preserve_original=True)
     assert keep(["abc"]) == ["abc"]
+
+
+def test_stem_filter_keyword_protocol():
+    """SetKeywordMarkerFilter + KeywordRepeatFilter + RemoveDuplicates chain
+    semantics (the reference's recommended stem-with-original chain)."""
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.functions.analysis_ext import (
+        ChainAnalyzer,
+        RemoveDuplicatesFilter,
+        StemFilter,
+    )
+
+    plain = StemFilter("porter")
+    assert plain(["running", "flies"]) == ["run", "fli"]
+    # protected words skip the stemmer
+    marked = StemFilter("porter", protected={"running"})
+    assert marked(["running", "flies"]) == ["running", "fli"]
+    # repeat emits original + stem when they differ, stem alone otherwise
+    rpt = StemFilter("porter", repeat=True)
+    assert rpt(["running", "dog"]) == ["running", "run", "dog"]
+    # full chain: whitespace base + repeat-stem + dedup
+    chain = ChainAnalyzer(
+        base=Analyzer(kind="whitespace"),
+        filters=(StemFilter("porter", repeat=True), RemoveDuplicatesFilter()),
+    )
+    assert chain("running dog dogs") == ["running", "run", "dog", "dogs", "dog"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        StemFilter("klingon")
