@@ -46,9 +46,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--offsets", action="store_true", help="positions + stored char offsets (PostingsHighlighter)")
     b.add_argument("--analyzer", default="standard")
 
-    s = sub.add_parser("search", help="run a classic-syntax query")
+    s = sub.add_parser("search", help="run a query (classic/simple/xml syntax)")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
+    s.add_argument("--syntax", choices=("classic", "simple", "xml"), default="classic",
+                   help="classic = Lucene QueryParser subset; simple = "
+                        "SimpleQueryParser (never fails); xml = CoreParser "
+                        "element tree")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--actors", type=int, default=4)
     s.add_argument("--merged", action="store_true",
@@ -99,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"max_doc": meta.max_doc, "segments": len(meta.segment_dirs),
                               "sum_ttf": meta.sum_ttf, "out": args.out}))
         elif args.cmd == "search":
-            from .query import parse_query
+            from .query import parse_query, parse_simple
 
             if args.merged:
                 if args.actors > 1:
@@ -114,7 +118,18 @@ def main(argv: list[str] | None = None) -> int:
                 from .pipelines.search import Searcher
 
                 searcher = Searcher(args.index, num_actors=args.actors, use_actors=True)
-            hits = searcher.search(parse_query(args.query), k=args.k)
+            if args.syntax == "simple":
+                q = parse_simple(args.query)
+                if q is None:
+                    print(json.dumps([]))
+                    return
+            elif args.syntax == "xml":
+                from .xmlparser import parse_xml_query
+
+                q = parse_xml_query(args.query)
+            else:
+                q = parse_query(args.query)
+            hits = searcher.search(q, k=args.k)
             print(json.dumps([{"doc_id": d, "score": s} for d, s in hits]))
         elif args.cmd == "merge":
             from .pipelines.merge import merge_index
