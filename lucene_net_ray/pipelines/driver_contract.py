@@ -964,6 +964,21 @@ def q_ann_brute_topk(sf_dir: str):
     return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
 
 
+def q_ann_sq8_topk(sf_dir: str):
+    """SQ8-quantized cosine top-k (int8 codes + per-vector scale, 4x
+    smaller embedding storage). Approximate through quantization error
+    only -> rows-only check."""
+    from ..stages.ann import quantize_embeddings, sq8_brute_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qtbl = emb.filter(pa.compute.less(emb.column("vec_id"), 5)).sort_by("vec_id")
+    queries = np.array(qtbl.column("embedding").to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qds = quantize_embeddings(ds)
+    rows = sq8_brute_topk(qds, queries, k=TOPK, query_ids=qtbl.column("vec_id").to_pylist())
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+
+
 def q_ann_lsh_topk(sf_dir: str):
     from ..stages.ann import lsh_topk
 
@@ -1068,6 +1083,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "ann_brute_topk": q_ann_brute_topk,
+    "ann_sq8_topk": q_ann_sq8_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,

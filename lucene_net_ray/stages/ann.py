@@ -287,3 +287,96 @@ def ivf_topk(
         lambda g: _topk_group(g, k), batch_format="pyarrow"
     )
     return sorted(final.take_all(), key=lambda r: (r["query_id"], r["rank"]))
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — 4x smaller embedding storage/IO at 100 TB
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> ray.data.Dataset:
+    """Symmetric per-vector int8 scalar quantization (the standard SQ8
+    layout): code_i = round(127 * x_i / max|x|), stored as list<int8> plus
+    the float32 ``scale`` = max|x| / 127 that dequantizes it. One streaming
+    map_batches pass; the output is ~4x smaller than the float32 column —
+    at 100 TB of embeddings that is the difference between spilling and
+    fitting the object store. Reconstruction error per component is
+    <= scale/2 (one quantization step)."""
+
+    def quant(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(vec_column)).astype(np.float64)
+        n, d = m.shape
+        mx = np.abs(m).max(axis=1)
+        mx = np.where(mx == 0, 1.0, mx)
+        scale = (mx / 127.0).astype(np.float32)
+        codes = np.clip(np.rint(m / scale[:, None].astype(np.float64)), -127, 127).astype(np.int8)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "code": pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                    pa.array(codes.reshape(-1)),
+                ),
+                "scale": pa.array(scale),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def sq8_brute_topk(
+    qds: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    id_column: str = "vec_id",
+    query_ids: list[int] | None = None,
+) -> list[dict]:
+    """Cosine top-k over an SQ8-quantized dataset (quantize_embeddings
+    output): codes dequantize per batch (codes x scale, then re-normalized
+    — the scale cancels in cosine but normalization does not, since
+    rounding perturbs direction), scored exactly like brute_force_topk.
+    Approximate only through the quantization error; same distributed
+    reduce (per-batch local top-k -> groupby(query_id) global top-k)."""
+    q = np.asarray(queries, dtype=np.float64)
+    qn = _normalize(q)
+    q_ref = ray.put(qn)
+    qids = query_ids or list(range(q.shape[0]))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qmat = ray.get(q_ref)
+        code_col = batch.column("code")
+        if isinstance(code_col, pa.ChunkedArray):
+            code_col = code_col.combine_chunks()
+        flat = pa.compute.list_flatten(code_col).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        codes = flat.reshape(n, -1).astype(np.float64)
+        scale = batch.column("scale").to_numpy(zero_copy_only=False).astype(np.float64)
+        vecs = _normalize(codes * scale[:, None])
+        ids = batch.column(id_column).to_numpy()
+        sims = vecs @ qmat.T
+        kk = min(k, sims.shape[0])
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(qmat.shape[0]):
+            col = sims[:, qi]
+            idx = np.lexsort((ids, -col))[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_id.extend(ids[idx].tolist())
+            out_sim.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_id, type=pa.int64()),
+                "cosine": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+    partials = qds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+    final = partials.groupby("query_id").map_groups(
+        lambda g: _topk_group(g, k), batch_format="pyarrow"
+    )
+    return sorted(final.take_all(), key=lambda r: (r["query_id"], r["rank"]))

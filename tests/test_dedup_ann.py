@@ -345,3 +345,45 @@ def test_neardup_clusters_max_iter_guard():
     )
     with _pt.raises(RuntimeError, match="converge"):
         neardup_clusters(pairs, max_iter=1)
+
+
+def test_sq8_quantization_roundtrip_and_recall():
+    """SQ8: per-component error <= scale/2; quantized top-k recall vs exact
+    brute force stays high on real embeddings."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from lucene_net_ray.stages.ann import (
+        brute_force_topk,
+        quantize_embeddings,
+        sq8_brute_topk,
+    )
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ds = ray.data.from_arrow(emb)
+    qds = quantize_embeddings(ds).materialize()
+    # roundtrip error bound on one batch
+    qt = qds.take_batch(50, batch_format="pyarrow")
+    orig = np.array(emb.column("embedding").to_pylist()[: qt.num_rows], dtype=np.float64)
+    codes = np.array(qt.column("code").to_pylist(), dtype=np.float64)
+    scale = qt.column("scale").to_numpy(zero_copy_only=False).astype(np.float64)
+    err = np.abs(codes * scale[:, None] - orig)
+    assert (err <= scale[:, None] / 2 + 1e-9).all()
+    # storage: int8 codes are 4x smaller than the float32 column
+    assert pa.types.is_int8(qt.column("code").type.value_type)
+
+    queries = orig[:3]
+    exact = brute_force_topk(ds, queries, k=10)
+    approx = sq8_brute_topk(qds, queries, k=10)
+    rec = []
+    for qi in range(3):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx if r["query_id"] == qi}
+        rec.append(len(e & a) / len(e))
+    assert sum(rec) / len(rec) >= 0.8, rec
+    # rank-1 self-match survives quantization
+    for qi in range(3):
+        top = [r for r in approx if r["query_id"] == qi and r["rank"] == 1][0]
+        assert top["vec_id"] == qi
