@@ -647,6 +647,14 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_documents_ds(sf_dir))
 
 
+def q_dedup_exact_canonical(sf_dir: str):
+    """Exact dedup over canonicalized text (lower + whitespace collapse +
+    trim): conflates case/formatting variants before hashing."""
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(_documents_ds(sf_dir), canonicalize=True)
+
+
 def q_dedup_fingerprint(sf_dir: str):
     from ..stages.textstats import fingerprint_batch
 
@@ -1059,6 +1067,7 @@ QUERIES = {
     "taxonomy_counts": q_taxonomy_counts,
     "nb_classify": q_nb_classify,
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_canonical": q_dedup_exact_canonical,
     "dedup_fingerprint": q_dedup_fingerprint,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1335,6 +1344,11 @@ SELECT path, count(*) AS n_docs FROM (
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text) ORDER BY text_hash
+""",
+        "dedup_exact_canonical": r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS kept_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY text_hash
 """,
         "ngram_jaccard_pairs": """
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),

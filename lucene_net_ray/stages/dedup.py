@@ -51,14 +51,33 @@ def _stable_hash64(s: str) -> int:
 # ---------------------------------------------------------------------------
 
 def exact_dedup(
-    ds: ray.data.Dataset, *, text_column: str = "text", id_column: str = "doc_id"
+    ds: ray.data.Dataset,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    canonicalize: bool = False,
 ) -> ray.data.Dataset:
-    """One row per distinct text: (text_hash, kept doc = min id, dup count)."""
+    """One row per distinct text: (text_hash, kept doc = min id, dup count).
+
+    ``canonicalize=True`` hashes lower(text) with whitespace runs collapsed
+    to single spaces, then trimmed — the standard normalize-before-dedup
+    mode that conflates case/formatting variants (all-vectorized Arrow
+    kernels; SQL-equivalent, same operation ORDER so edge whitespace
+    hashes identically:
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))).
+    """
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         from .textstats import md5_hex_utf8
 
-        hashes = md5_hex_utf8(batch.column(text_column))
+        col = batch.column(text_column)
+        if canonicalize:
+            col = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(pc.utf8_lower(col), r"\s+", " ")
+            )
+        hashes = md5_hex_utf8(col)
         return batch.append_column("text_hash", pa.array(hashes, type=pa.string())).drop_columns(
             [c for c in batch.column_names if c not in (id_column,)]
         )

@@ -387,3 +387,25 @@ def test_sq8_quantization_roundtrip_and_recall():
     for qi in range(3):
         top = [r for r in approx if r["query_id"] == qi and r["rank"] == 1][0]
         assert top["vec_id"] == qi
+
+
+def test_exact_dedup_canonicalize():
+    """Normalize-before-hash mode: case + whitespace variants conflate;
+    operation order (collapse, then trim) matches the SQL oracle on edge
+    whitespace like leading tabs."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.stages.dedup import exact_dedup
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["Hello  World", "hello world", "\thello   world  ", "different"],
+    })
+    out = exact_dedup(ray.data.from_arrow(t), canonicalize=True).to_pandas()
+    assert len(out) == 2
+    row = out[out.n_dups == 3].iloc[0]
+    assert row["kept_doc_id"] == 1
+    # without canonicalization all four are distinct
+    plain = exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert len(plain) == 4
