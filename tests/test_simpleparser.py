@@ -208,3 +208,25 @@ def test_end_to_end_negation(simple_idx):
     # sunny OR (NOT run) = everything except the sunny-less run docs
     hits_or = simple_idx.search(parse_simple("sunny -run"), k=10)
     assert {d for d, _ in hits_or} == {0, 1, 2, 4}
+
+
+# -- property: the parser NEVER raises (SimpleQueryParser.cs:30 'any errors
+# in query syntax will be ignored') ----------------------------------------
+
+from hypothesis import given, strategies as st
+
+
+@given(st.text(max_size=120))
+def test_parse_simple_never_raises(s):
+    q = parse_simple(s)
+    assert q is None or hasattr(q, "boost")
+
+
+@given(st.text(alphabet='ab("|)+-~*\\ \t', max_size=60))
+def test_parse_simple_operator_soup_never_raises(s):
+    parse_simple(s)
+
+
+@given(st.text(alphabet="ab(|+-~*\" ", max_size=40), st.integers(0, 1023))
+def test_parse_simple_flag_combinations(s, flags):
+    parse_simple(s, flags=flags)
