@@ -872,6 +872,44 @@ FACET_RANGES = [
 ]
 
 
+# geo test points synthesized deterministically from doc_id (integer
+# arithmetic — bit-identical on both sides); center = San Francisco
+GEO_CENTER = (37.77, -122.42)
+GEO_RADIUS_KM = 6000.0
+
+
+def _geo_synth(batch: pa.Table) -> pa.Table:
+    d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    lat = (d * 7919 % 18000) / 100.0 - 90.0
+    lon = (d * 104729 % 36000) / 100.0 - 180.0
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "lat": pa.array(lat), "lon": pa.array(lon)})
+
+
+def q_geo_distance(sf_dir: str):
+    """PointVectorStrategy-style distance filter: bbox pre-filter + exact
+    haversine verify; returns (doc_id, distance rounded 6)."""
+    from ..stages.spatial import distance_filter
+
+    pts = _documents_ds(sf_dir).select_columns(["doc_id"]).map_batches(
+        _geo_synth, batch_format="pyarrow"
+    )
+    out = distance_filter(
+        pts, lat_column="lat", lon_column="lon",
+        center_lat=GEO_CENTER[0], center_lon=GEO_CENTER[1],
+        radius_km=GEO_RADIUS_KM,
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        dk = batch.column("distance_km").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "distance_km": pa.array(np.floor(dk * 1e6 + 0.5) / 1e6),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_facet_range_counts(sf_dir: str):
     """Range facet counts over documents.n_chars (overlapping ranges)."""
     from .facets import range_counts
@@ -1084,6 +1122,7 @@ QUERIES = {
     "xml_filtered_count": q_xml_filtered_count,
     "simple_parser_count": q_simple_parser_count,
     "block_join_scores": q_block_join_scores,
+    "geo_distance": q_geo_distance,
     "lm_quality_scores": q_lm_quality,
     "tumbling_windows": q_tumbling_windows,
     "media_neardup": q_media_neardup,
@@ -1153,6 +1192,24 @@ SELECT count(*) AS n FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
   AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window')
+""",
+        "geo_distance": f"""
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin((radians({GEO_CENTER[0]}) - radians(lat)) / 2), 2)
+           + cos(radians(lat)) * cos(radians({GEO_CENTER[0]}))
+             * pow(sin((radians({GEO_CENTER[1]}) - radians(lon)) / 2), 2)
+         )) AS dist
+  FROM pts
+)
+SELECT doc_id, round(dist, 6) AS distance_km FROM d
+WHERE dist <= {GEO_RADIUS_KM} ORDER BY doc_id
 """,
         "block_join_scores": """
 SELECT l_orderkey AS parent,
