@@ -910,6 +910,39 @@ def q_geo_distance(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+GEO_JOIN_RADIUS_KM = 2500.0
+
+
+def q_geo_distance_join(sf_dir: str):
+    """Exact all-pairs-within-radius spatial self-join over the synthesized
+    points (|lat| <= 80 operator domain), grid-cell bucketed."""
+    from ..stages.spatial import distance_join_pairs
+
+    pts = (
+        _documents_ds(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(_geo_synth, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.filter(pa.compute.less_equal(pa.compute.abs(b.column("lat")), 80.0)),
+            batch_format="pyarrow",
+        )
+    )
+    out = distance_join_pairs(
+        pts, lat_column="lat", lon_column="lon", id_column="doc_id",
+        radius_km=GEO_JOIN_RADIUS_KM,
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        dk = batch.column("distance_km").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "distance_km": pa.array(np.floor(dk * 1e6 + 0.5) / 1e6),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_facet_range_counts(sf_dir: str):
     """Range facet counts over documents.n_chars (overlapping ranges)."""
     from .facets import range_counts
@@ -1123,6 +1156,7 @@ QUERIES = {
     "simple_parser_count": q_simple_parser_count,
     "block_join_scores": q_block_join_scores,
     "geo_distance": q_geo_distance,
+    "geo_distance_join": q_geo_distance_join,
     "lm_quality_scores": q_lm_quality,
     "tumbling_windows": q_tumbling_windows,
     "media_neardup": q_media_neardup,
@@ -1210,6 +1244,25 @@ WITH pts AS (
 )
 SELECT doc_id, round(dist, 6) AS distance_km FROM d
 WHERE dist <= {GEO_RADIUS_KM} ORDER BY doc_id
+""",
+        "geo_distance_join": f"""
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+  WHERE abs((doc_id * 7919 % 18000) / 100.0 - 90.0) <= 80.0
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin((radians(b.lat) - radians(a.lat)) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin((radians(b.lon) - radians(a.lon)) / 2), 2)
+         )) AS dist
+  FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(dist, 6) AS distance_km FROM pr
+WHERE dist <= {GEO_JOIN_RADIUS_KM} ORDER BY id_a, id_b
 """,
         "block_join_scores": """
 SELECT l_orderkey AS parent,

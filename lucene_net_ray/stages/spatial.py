@@ -119,6 +119,141 @@ def distance_filter(
     return pre.map_batches(verify, batch_format="pyarrow")
 
 
+def distance_join_pairs(
+    ds: ray.data.Dataset,
+    *,
+    lat_column: str,
+    lon_column: str,
+    id_column: str,
+    radius_km: float,
+    lat_cap: float = 80.0,
+    max_cell: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT all-pairs-within-radius self-join (id_a < id_b, distance_km):
+    the spatial analog of the shingle/LSH near-dup joins, and the operation
+    the reference's prefix-tree intersects cells for
+    (RecursivePrefixTreeStrategy.cs:35).
+
+    Plan: grid cells sized to the radius (lat step = the angular radius;
+    lon step = the same widened by 1/cos(lat_cap) so it stays conservative
+    at every allowed latitude, with wraparound at the dateline). Every
+    point is emitted to its cell and the 8 neighbors (9x row amplification
+    — constant, not quadratic), so any pair within the radius shares at
+    least one cell. One groupby(cell) shuffle; per cell a vectorized
+    pairwise haversine; duplicate discoveries collapse through the
+    coarse-hash pair reduce. Points with |lat| > ``lat_cap`` are rejected
+    (polar caps would need special-cased banding — documented domain
+    limit, not a silent wrong answer). ``max_cell`` optionally SKIPS cells
+    with more members (dense-city skew guard) — that makes the join
+    approximate; the default None stays exact."""
+    delta_deg = math.degrees(radius_km / EARTH_RADIUS_KM)
+    dlat = delta_deg
+    dlon = delta_deg / math.cos(math.radians(lat_cap))
+    nlon = max(1, int(math.ceil(360.0 / dlon)))
+    dlon = 360.0 / nlon
+    nlat = int(math.ceil(180.0 / dlat)) + 2
+
+    def emit_cells(batch: pa.Table) -> pa.Table:
+        la = batch.column(lat_column).to_numpy(zero_copy_only=False)
+        lo = batch.column(lon_column).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        if np.abs(la).max(initial=0.0) > lat_cap:
+            raise ValueError(
+                f"distance_join_pairs: |lat| > lat_cap={lat_cap} present; "
+                "polar points are outside this operator's domain"
+            )
+        iy = np.floor((la + 90.0) / dlat).astype(np.int64)
+        ix = np.floor((lo + 180.0) / dlon).astype(np.int64) % nlon
+        outs = []
+        for di in (-1, 0, 1):
+            yy = iy + di
+            ok = (yy >= 0) & (yy < nlat)
+            for dj in (-1, 0, 1):
+                xx = (ix + dj) % nlon
+                cell = yy * nlon + xx
+                outs.append(
+                    pa.table({
+                        "cell": pa.array(cell[ok]),
+                        "id": pa.array(ids[ok]),
+                        "lat": pa.array(la[ok]),
+                        "lon": pa.array(lo[ok]),
+                    })
+                )
+        return pa.concat_tables(outs)
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "distance_km": pa.array([], type=pa.float64()),
+        })
+        # a group may span several cells (coarse grouping inside Ray);
+        # split by cell via lexsort runs
+        n = group.num_rows
+        if n < 2:
+            return empty
+        cell = group.column("cell").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        la = group.column("lat").to_numpy(zero_copy_only=False)
+        lo = group.column("lon").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cell))
+        c2, i2, la2, lo2 = cell[order], ids[order], la[order], lo[order]
+        newrun = c2[1:] != c2[:-1]
+        starts = np.concatenate(([0], np.flatnonzero(newrun) + 1, [n]))
+        a_parts, b_parts, d_parts = [], [], []
+        for si in range(starts.size - 1):
+            s, e = int(starts[si]), int(starts[si + 1])
+            m = e - s
+            if m < 2 or (max_cell is not None and m > max_cell):
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            dd = haversine_km(la2[s:e][iu], lo2[s:e][iu], la2[s:e][ju], lo2[s:e][ju])
+            ia, ib = i2[s:e][iu], i2[s:e][ju]
+            keep = (dd <= radius_km) & (ia != ib)
+            if keep.any():
+                lo_id = np.minimum(ia[keep], ib[keep])
+                hi_id = np.maximum(ia[keep], ib[keep])
+                a_parts.append(lo_id)
+                b_parts.append(hi_id)
+                d_parts.append(dd[keep])
+        if not a_parts:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(a_parts)),
+            "id_b": pa.array(np.concatenate(b_parts)),
+            "distance_km": pa.array(np.concatenate(d_parts)),
+        })
+
+    def add_pair_coarse(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).view(np.uint64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = a * np.uint64(0x9E3779B97F4A7C15) + b
+        return batch.append_column("pc", pa.array((h & np.uint64(1023)).astype(np.int64)))
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        d = group.column("distance_km").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a2, b2, d2 = a[order], b[order], d[order]
+        first = np.concatenate(([True], (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])))
+        return pa.table({
+            "id_a": pa.array(a2[first]),
+            "id_b": pa.array(b2[first]),
+            "distance_km": pa.array(d2[first]),
+        })
+
+    return (
+        ds.map_batches(emit_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+        .map_batches(add_pair_coarse, batch_format="pyarrow")
+        .groupby("pc")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )
+
+
 def nearest_k(
     ds: ray.data.Dataset,
     *,

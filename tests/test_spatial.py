@@ -92,3 +92,43 @@ def test_nearest_k():
     expect = np.asarray(t.column("id"))[np.lexsort((np.asarray(t.column("id")), d))[:5]]
     assert [r["id"] for r in rows] == expect.tolist()
     assert rows[0]["distance_km"] <= rows[-1]["distance_km"]
+
+
+@pytest.mark.parametrize("radius", [100, 1000, 4000])
+def test_distance_join_exact_vs_brute(radius):
+    """distance_join_pairs must equal the O(n^2) haversine join exactly —
+    the 9-cell emission guarantees any within-radius pair shares a cell."""
+    from lucene_net_ray.stages.spatial import distance_join_pairs
+
+    rng = np.random.default_rng(11)
+    n = 400
+    lat = rng.uniform(-79.5, 79.5, n)
+    lon = rng.uniform(-179.9, 179.9, n)
+    t = pa.table({"id": np.arange(n, dtype=np.int64), "lat": lat, "lon": lon})
+    out = distance_join_pairs(
+        ray.data.from_arrow(t), lat_column="lat", lon_column="lon",
+        id_column="id", radius_km=radius,
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+    iu, ju = np.triu_indices(n, 1)
+    d = haversine_km(lat[iu], lon[iu], lat[ju], lon[ju])
+    expect = {(int(iu[i]), int(ju[i])) for i in np.flatnonzero(d <= radius)}
+    assert got == expect, (len(got), len(expect), radius)
+    # distances faithful
+    if len(out):
+        dm = {(int(a), int(b)): dv for a, b, dv in zip(out.id_a, out.id_b, out.distance_km)}
+        pairs_d = {(int(iu[i]), int(ju[i])): float(d[i]) for i in np.flatnonzero(d <= radius)}
+        for kpair in list(expect)[:50]:
+            assert dm[kpair] == pytest.approx(pairs_d[kpair], abs=1e-9)
+
+
+def test_distance_join_rejects_polar():
+    from lucene_net_ray.stages.spatial import distance_join_pairs
+
+    t = pa.table({"id": [1, 2], "lat": [85.0, 10.0], "lon": [0.0, 0.0]})
+    import pytest as _p
+    with _p.raises(Exception):
+        distance_join_pairs(
+            ray.data.from_arrow(t), lat_column="lat", lon_column="lon",
+            id_column="id", radius_km=100.0,
+        ).materialize()
