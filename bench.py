@@ -217,6 +217,37 @@ def data_pipeline_bench(sf_dir: str) -> dict:
     minhash_lsh_pairs(docs.limit(2000), threshold=0.35, shingle_size=2).count()
     out["minhash_sec"] = round(time.perf_counter() - t0, 3)
 
+    from lucene_net_ray.stages.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    t0 = time.perf_counter()
+    simhash_pairs(docs.select_columns(["doc_id", "text"])).count()
+    out["simhash_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ngram_jaccard_pairs(docs.select_columns(["doc_id", "text"])).count()
+    out["ngram_jaccard_sec"] = round(time.perf_counter() - t0, 3)
+
+    from lucene_net_ray.stages.spatial import distance_join_pairs
+
+    def _synth_geo(batch):
+        import pyarrow as _pa
+
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.abs((d * 7919 % 18000) / 100.0 - 90.0) <= 80.0
+        d = d[keep]
+        return _pa.table({
+            "doc_id": _pa.array(d),
+            "lat": _pa.array((d * 7919 % 18000) / 100.0 - 90.0),
+            "lon": _pa.array((d * 104729 % 36000) / 100.0 - 180.0),
+        })
+
+    pts = docs.select_columns(["doc_id"]).map_batches(_synth_geo, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    distance_join_pairs(
+        pts, lat_column="lat", lon_column="lon", id_column="doc_id", radius_km=1000.0
+    ).count()
+    out["geo_join_sec"] = round(time.perf_counter() - t0, 3)
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     emb = pq.read_table(emb_path)
     queries = np.array(emb.slice(0, 16).column("embedding").to_pylist(), dtype=np.float64)
