@@ -951,6 +951,18 @@ def q_facet_range_counts(sf_dir: str):
     return range_counts(ds, "n_chars", FACET_RANGES)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals over whitespace tokens."""
+    from ..stages.textstats import repetition_stats_batch
+
+    ds = _documents_ds(sf_dir).map_batches(
+        lambda b: repetition_stats_batch(b, text_column="text"), batch_format="pyarrow"
+    )
+    return ds.select_columns(
+        ["doc_id", "n_tokens", "top_token_frac", "distinct_frac", "top_2gram_frac"]
+    )
+
+
 def q_mix_sources(sf_dir: str):
     """Deterministic weighted source mixing: keep each source at its target
     fraction via the md5(text) uniform draw. Hash-exact oracle."""
@@ -1151,6 +1163,7 @@ QUERIES = {
     "decontaminate_kept": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "mix_sources": q_mix_sources,
+    "repetition_stats": q_repetition_stats,
     "facet_range_counts": q_facet_range_counts,
     "xml_filtered_count": q_xml_filtered_count,
     "simple_parser_count": q_simple_parser_count,
@@ -1272,6 +1285,35 @@ FROM lineitem
 GROUP BY l_orderkey
 HAVING count(*) FILTER (WHERE l_quantity >= 45) > 0
 ORDER BY parent
+""",
+        "repetition_stats": r"""
+WITH ts AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM ts
+), tcnt AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM ts WHERE len(toks) >= 2
+), bcnt AS (
+  SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g
+), agg AS (
+  SELECT ts.doc_id,
+         len(ts.toks) AS n_tokens,
+         coalesce((SELECT max(c) FROM tcnt WHERE tcnt.doc_id = ts.doc_id), 0) AS top_tok,
+         coalesce((SELECT count(*) FROM tcnt WHERE tcnt.doc_id = ts.doc_id), 0) AS n_distinct,
+         coalesce((SELECT max(c) FROM bcnt WHERE bcnt.doc_id = ts.doc_id), 0) AS top_bi
+  FROM ts
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN top_tok * 1.0 / n_tokens ELSE 0 END, 6) AS top_token_frac,
+       round(CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0 END, 6) AS distinct_frac,
+       round(CASE WHEN n_tokens > 1 THEN top_bi * 1.0 / (n_tokens - 1) ELSE 0 END, 6) AS top_2gram_frac
+FROM agg ORDER BY doc_id
 """,
         "facet_range_counts": f"""
 {range_union}

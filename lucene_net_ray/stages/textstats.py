@@ -235,6 +235,77 @@ def fingerprint_batch(batch: pa.Table, *, text_column: str = "text") -> pa.Table
     return pa.table(out)
 
 
+def repetition_stats_batch(batch: pa.Table, *, text_column: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    filters — the standard web-corpus repetition rules): per doc over
+    whitespace tokens,
+
+      top_token_frac  = occurrences of the most frequent token / n_tokens
+      distinct_frac   = distinct tokens / n_tokens
+      top_2gram_frac  = occurrences of the most frequent bigram / (n_tokens-1)
+
+    Docs dominated by one token/bigram or with collapsed vocabulary are
+    boilerplate/spam candidates. Fully vectorized: ONE dictionary-encode of
+    the batch's tokens, lexsort run-length counting for per-(doc, token)
+    and per-(doc, bigram) tallies — no hashing, so counts are EXACT and
+    SQL-oracle-parity. Ratios rounded half-away at 6 decimals."""
+    uniq, idx, doc_idx, n = _split_ws(batch, text_column)
+    nonempty = np.fromiter((len(u) > 0 for u in uniq), dtype=bool, count=len(uniq))
+    keep = nonempty[idx] if idx.size else np.zeros(0, dtype=bool)
+    idx, doc_idx = idx[keep], doc_idx[keep]
+    n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+
+    def _run_max_per_doc(keys: tuple, docs: np.ndarray) -> np.ndarray:
+        """max run length per doc, runs = equal tuples of (docs, *keys)."""
+        out = np.zeros(n, dtype=np.int64)
+        m = docs.size
+        if m == 0:
+            return out
+        order = np.lexsort(keys[::-1] + (docs,))
+        cols = [docs[order]] + [k[order] for k in keys]
+        change = np.zeros(m - 1, dtype=bool) if m > 1 else np.zeros(0, dtype=bool)
+        for c in cols:
+            if m > 1:
+                change |= c[1:] != c[:-1]
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1, [m]))
+        lens = np.diff(starts)
+        rdocs = cols[0][starts[:-1]]
+        # max run per doc: sort runs by (doc, -len), take first of each doc
+        o2 = np.lexsort((-lens, rdocs))
+        d2, l2 = rdocs[o2], lens[o2]
+        firsts = np.concatenate(([True], d2[1:] != d2[:-1]))
+        out[d2[firsts]] = l2[firsts]
+        return out
+
+    top_tok = _run_max_per_doc((idx,), doc_idx)
+    # distinct tokens per doc = number of (doc, token) runs per doc
+    distinct = np.zeros(n, dtype=np.int64)
+    if doc_idx.size:
+        order = np.lexsort((idx, doc_idx))
+        d2, i2 = doc_idx[order], idx[order]
+        firsts = np.concatenate(([True], (d2[1:] != d2[:-1]) | (i2[1:] != i2[:-1])))
+        distinct = np.bincount(d2[firsts], minlength=n).astype(np.int64)
+    # bigrams: consecutive same-doc token pairs
+    if doc_idx.size > 1:
+        same = doc_idx[1:] == doc_idx[:-1]
+        top_bi = _run_max_per_doc((idx[:-1][same], idx[1:][same]), doc_idx[:-1][same])
+    else:
+        top_bi = np.zeros(n, dtype=np.int64)
+
+    def _frac(num, den):
+        f = np.divide(num, den, out=np.zeros(n, dtype=np.float64), where=den > 0)
+        return np.floor(f * 1e6 + 0.5) / 1e6
+
+    out = {c: batch.column(c) for c in batch.column_names if c != text_column}
+    out.update({
+        "n_tokens": pa.array(n_tok),
+        "top_token_frac": pa.array(_frac(top_tok, n_tok)),
+        "distinct_frac": pa.array(_frac(distinct, n_tok)),
+        "top_2gram_frac": pa.array(_frac(top_bi, np.maximum(n_tok - 1, 0))),
+    })
+    return pa.table(out)
+
+
 def lm_quality_scores(
     ds: "ray.data.Dataset",
     reference_ds: "ray.data.Dataset | None" = None,

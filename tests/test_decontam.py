@@ -66,3 +66,31 @@ def test_lm_quality_scores():
     assert all(by_id[i] > by_id[6] for i in range(6))
     rows2 = lm_quality_scores(ds, text_column="text", grams=2).take_all()
     assert {r["doc_id"]: r["lm_logprob"] for r in rows2} == by_id
+
+
+def test_repetition_stats():
+    """Gopher repetition rules: hand vectors incl. the degenerate cases."""
+    import pyarrow as pa
+
+    from lucene_net_ray.stages.textstats import repetition_stats_batch
+
+    docs = [
+        "a a a a b",          # top token 4/5, distinct 2/5, top bigram "a a" 3/4
+        "w x y z",            # all distinct: top 1/4, distinct 1.0, bigrams all 1/3
+        "spam",               # single token: bigram frac 0
+        "",                   # empty: everything 0
+        "go go go go",        # fully repeated
+    ]
+    out = repetition_stats_batch(
+        pa.table({"doc_id": list(range(5)), "text": docs})
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 5
+    assert out.loc[0, "top_token_frac"] == 0.8
+    assert out.loc[0, "distinct_frac"] == 0.4
+    assert out.loc[0, "top_2gram_frac"] == 0.75
+    assert out.loc[1, "distinct_frac"] == 1.0
+    assert out.loc[1, "top_token_frac"] == 0.25
+    assert abs(out.loc[1, "top_2gram_frac"] - 0.333333) < 1e-9
+    assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "top_2gram_frac"] == 0.0
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "top_token_frac"] == 0.0
+    assert out.loc[4, "top_token_frac"] == 1.0 and out.loc[4, "top_2gram_frac"] == 1.0
