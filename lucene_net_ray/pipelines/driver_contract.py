@@ -1055,6 +1055,24 @@ def q_ann_brute_topk(sf_dir: str):
     return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
 
 
+def q_decontaminate_semantic(sf_dir: str):
+    """Semantic decontamination: corpus embeddings whose max cosine vs the
+    5 benchmark vectors (vec_id < 5) stays under 0.95; the benchmark rows
+    themselves (cos=1) must drop. The compared output is the kept ID SET —
+    the audit similarity column is excluded because numpy's pairwise
+    summation and DuckDB list_cosine_similarity's sequential summation
+    disagree in the last ulp on ~0.2% of values, flipping round-6 digits;
+    the membership decision is ulp-robust (no value sits near 0.95)."""
+    from ..stages.decontam import decontaminate_semantic
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    bench = emb.filter(pa.compute.less(emb.column("vec_id"), 5)).sort_by("vec_id")
+    bvecs = np.array(bench.column("embedding").to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = decontaminate_semantic(ds, bvecs, threshold=0.95)
+    return out.select_columns(["vec_id"])
+
+
 def q_ann_sq8_topk(sf_dir: str):
     """SQ8-quantized cosine top-k (int8 codes + per-vector scale, 4x
     smaller embedding storage). Approximate through quantization error
@@ -1161,6 +1179,7 @@ QUERIES = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "freetext_suggest": q_freetext_suggest,
     "decontaminate_kept": q_decontaminate,
+    "decontaminate_semantic": q_decontaminate_semantic,
     "stratified_sample": q_stratified_sample,
     "mix_sources": q_mix_sources,
     "repetition_stats": q_repetition_stats,
@@ -1285,6 +1304,17 @@ FROM lineitem
 GROUP BY l_orderkey
 HAVING count(*) FILTER (WHERE l_quantity >= 45) > 0
 ORDER BY parent
+""",
+        "decontaminate_semantic": """
+WITH bench AS (
+  SELECT embedding AS bv FROM embeddings WHERE vec_id < 5
+), mx AS (
+  SELECT e.vec_id,
+         max(list_cosine_similarity(e.embedding, b.bv)) AS m
+  FROM embeddings e CROSS JOIN bench b
+  GROUP BY e.vec_id
+)
+SELECT vec_id FROM mx WHERE m < 0.95 ORDER BY vec_id
 """,
         "repetition_stats": r"""
 WITH ts AS (

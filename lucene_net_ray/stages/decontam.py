@@ -81,3 +81,53 @@ def decontaminate(
         return ds.map_batches(drop_by_shingles, batch_format="pyarrow")
 
     raise ValueError(f"unknown method {method!r}")
+
+
+def decontaminate_semantic(
+    ds: "ray.data.Dataset",
+    bench_vectors: "np.ndarray",
+    *,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+    threshold: float = 0.95,
+    keep_similarity: bool = True,
+):
+    """Embedding-level train/test decontamination: drop rows whose MAX
+    cosine similarity to ANY benchmark vector reaches ``threshold`` — the
+    semantic complement of the n-gram paths above (catches paraphrased
+    benchmark leakage that substring/shingle matching misses).
+
+    Scale plan: the benchmark side is the SMALL side by construction
+    (eval-set embeddings) — broadcast once via ray.put, one float64 matmul
+    per batch against it, a single streaming pass over the corpus; no
+    shuffle, no materialization. ``keep_similarity`` appends the audit
+    column max_benchmark_cos (rounded 6, half-away like DuckDB ROUND).
+    Cosine is computed dot/(|a|*|b|) to mirror SQL
+    list_cosine_similarity's formula."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from .ann import _as_matrix
+
+    b = _np.asarray(bench_vectors, dtype=_np.float64)
+    bn = _np.linalg.norm(b, axis=1)
+    bn = _np.where(bn == 0, 1.0, bn)
+    b_ref = ray.put((b, bn))
+
+    def keep(batch: _pa.Table) -> _pa.Table:
+        bmat, bnorm = ray.get(b_ref)
+        m = _as_matrix(batch.column(vec_column)).astype(_np.float64)
+        mn = _np.linalg.norm(m, axis=1)
+        mn = _np.where(mn == 0, 1.0, mn)
+        cos = (m @ bmat.T) / (mn[:, None] * bnorm[None, :])
+        mx = cos.max(axis=1) if bmat.shape[0] else _np.zeros(m.shape[0])
+        mask = mx < threshold
+        out = batch.filter(_pa.array(mask))
+        if keep_similarity:
+            out = out.append_column(
+                "max_benchmark_cos",
+                _pa.array(_np.floor(mx[mask] * 1e6 + 0.5) / 1e6),
+            )
+        return out
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -94,3 +94,28 @@ def test_repetition_stats():
     assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "top_2gram_frac"] == 0.0
     assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "top_token_frac"] == 0.0
     assert out.loc[4, "top_token_frac"] == 1.0 and out.loc[4, "top_2gram_frac"] == 1.0
+
+
+def test_decontaminate_semantic():
+    """Embedding-level decontamination: benchmark vectors (cos=1) drop,
+    orthogonal vectors survive, audit column reflects the max cosine."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.stages.decontam import decontaminate_semantic
+
+    rng = np.random.default_rng(5)
+    bench = rng.normal(size=(3, 16))
+    near = bench[0] + rng.normal(scale=0.01, size=16)  # paraphrase-leak analog
+    far = rng.normal(size=(4, 16))
+    vecs = np.vstack([bench, near[None, :], far]).astype(np.float32)
+    t = pa.table({"vec_id": np.arange(8, dtype=np.int64),
+                  "embedding": [v.tolist() for v in vecs]})
+    out = decontaminate_semantic(
+        ray.data.from_arrow(t), bench, threshold=0.95
+    ).to_pandas()
+    kept = set(out["vec_id"])
+    assert not kept & {0, 1, 2, 3}  # bench rows + near-dup all dropped
+    assert len(kept) >= 3  # random 16-dim vectors are far from bench
+    assert (out["max_benchmark_cos"] < 0.95).all()
