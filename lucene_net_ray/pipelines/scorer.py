@@ -890,6 +890,10 @@ class SegmentScorer:
             return np.isin(docs, fdocs, assume_unique=True)
         if isinstance(f, DuplicateFilter):
             return np.isin(docs, self._duplicate_docset(f), assume_unique=True)
+        from ..query import ChainedFilter as _CF
+
+        if isinstance(f, _CF):
+            return np.isin(docs, self._filter_docset(f), assume_unique=True)
         if isinstance(f, FieldRangeFilter):
             vals = self.reader.doc_values(f.field)
             keep = np.ones(docs.size, dtype=bool)
@@ -902,8 +906,26 @@ class SegmentScorer:
 
     def _filter_docset(self, f) -> np.ndarray:
         """Sorted array of ALL docids a filter allows (the cached form)."""
-        from ..query import DuplicateFilter, FieldRangeFilter
+        from ..query import ChainedFilter, DuplicateFilter, FieldRangeFilter
 
+        if isinstance(f, ChainedFilter):
+            # ChainedFilter.cs sequential fold over sorted docid sets
+            if not f.clauses:
+                return np.empty(0, dtype=np.int64)
+            result = self._filter_docset(f.clauses[0][0])
+            for sub, op in f.clauses[1:]:
+                dset = self._filter_docset(sub)
+                if op == "AND":
+                    result = np.intersect1d(result, dset, assume_unique=True)
+                elif op == "OR":
+                    result = np.union1d(result, dset)
+                elif op == "ANDNOT":
+                    result = np.setdiff1d(result, dset, assume_unique=True)
+                elif op == "XOR":
+                    result = np.setxor1d(result, dset, assume_unique=True)
+                else:
+                    raise ValueError(f"unknown ChainedFilter op: {op!r}")
+            return result.astype(np.int64)
         if isinstance(f, QueryFilter):
             fdocs, _ = self.evaluate(f.query)
             return fdocs

@@ -235,6 +235,20 @@ class DuplicateFilter:
 
 
 @dataclass(frozen=True)
+class ChainedFilter:
+    """Sequential filter combination — the ChainedFilter analog (reference
+    contrib/Queries/ChainedFilter.cs:34): start from the first filter's doc
+    set, then fold each subsequent (filter, op) with op in AND / OR /
+    ANDNOT / XOR. Evaluated as sorted-docid set algebra in the scorer (no
+    query-tree lowering, so XOR chains don't blow up the tree). Each
+    element filter is a FieldRangeFilter, QueryFilter, DuplicateFilter or
+    nested ChainedFilter; the first clause's op is ignored like the
+    reference's initial result."""
+
+    clauses: tuple = ()  # ((filter, "AND"|"OR"|"ANDNOT"|"XOR"), ...)
+
+
+@dataclass(frozen=True)
 class CachedFilter:
     """CachingWrapperFilter analog (reference
     Search/CachingWrapperFilter.cs:33): the wrapped filter's doc set is

@@ -74,3 +74,29 @@ def test_cached_filter_equivalence_and_memoization(dup_idx):
             FilteredQuery(query=MatchAllDocsQuery(), filter=CachedFilter(filter=f)), k=10
         )
         assert a == b
+
+
+def test_chained_filter(dup_idx):
+    """ChainedFilter.cs fold: AND / OR / ANDNOT / XOR over doc sets."""
+    from lucene_net_ray.query import ChainedFilter
+
+    fa = terms_filter("content", ["alpha", "beta", "gamma"])   # docs 0,1,2
+    fb = terms_filter("content", ["beta", "delta"])            # docs 1,3
+
+    def run(chain):
+        q = FilteredQuery(query=MatchAllDocsQuery(), filter=chain)
+        return sorted(d for d, _ in dup_idx.search(q, k=10))
+
+    assert run(ChainedFilter(clauses=((fa, "OR"), (fb, "AND")))) == [1]
+    assert run(ChainedFilter(clauses=((fa, "OR"), (fb, "OR")))) == [0, 1, 2, 3]
+    assert run(ChainedFilter(clauses=((fa, "OR"), (fb, "ANDNOT")))) == [0, 2]
+    assert run(ChainedFilter(clauses=((fa, "OR"), (fb, "XOR")))) == [0, 2, 3]
+    # nests + composes with range filters
+    rng = FieldRangeFilter(field="url", lower="u1", upper="u1")  # docs 0,2,5
+    nested = ChainedFilter(clauses=(
+        (ChainedFilter(clauses=((fa, "OR"), (fb, "OR"))), "OR"),  # 0,1,2,3
+        (rng, "AND"),
+    ))
+    assert run(nested) == [0, 2]
+    # works under CachedFilter too (hashable)
+    assert run(CachedFilter(filter=nested)) == [0, 2]
