@@ -296,6 +296,61 @@ class PatternAnalyzer:
         }
 
 
+class LimitTokenCountFilter:
+    """LimitTokenCountFilter analog (reference
+    Analysis/Miscellaneous/LimitTokenCountFilter.cs:28): keep only the
+    first ``max_count`` tokens of the stream (index-size guard for
+    pathological documents)."""
+
+    def __init__(self, max_count: int):
+        if max_count < 1:
+            raise ValueError("max_count must be >= 1")
+        self.max_count = max_count
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        return terms[: self.max_count]
+
+    def config(self) -> dict:
+        return {"filter": "limit_token_count", "max_count": self.max_count}
+
+
+class TruncateTokenFilter:
+    """TruncateTokenFilter analog (reference
+    Analysis/Miscellaneous/TruncateTokenFilter.cs:30): truncate every token
+    to its first ``length`` characters (a crude prefix-stemmer for
+    agglutinative languages, per the reference's docs)."""
+
+    def __init__(self, length: int):
+        if length < 1:
+            raise ValueError("length must be >= 1")
+        self.length = length
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        return [t[: self.length] for t in terms]
+
+    def config(self) -> dict:
+        return {"filter": "truncate", "length": self.length}
+
+
+class CapitalizationFilter:
+    """CapitalizationFilter analog (reference
+    Analysis/Miscellaneous/CapitalizationFilter.cs:30 core behavior):
+    capitalize each token — first char uppercased, the rest lowercased —
+    except tokens in ``keep`` (the reference's keep set), which pass
+    unchanged. onlyFirstWord/forceFirstLetter operate on multi-word KEYWORD
+    tokens; with per-token streams the per-token rule is the whole
+    behavior."""
+
+    def __init__(self, keep=frozenset()):
+        self.keep = frozenset(keep)
+
+    def __call__(self, terms: list[str]) -> list[str]:
+        return [t if t in self.keep or not t else t[0].upper() + t[1:].lower() for t in terms]
+
+    def config(self) -> dict:
+        return {"filter": "capitalization", "keep": sorted(self.keep)}
+
+
 class StemFilter:
     """Stemming as a CHAIN filter (PorterStemFilter/SnowballFilter analog)
     honoring the keyword-attribute protocol the reference builds around it:

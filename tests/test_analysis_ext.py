@@ -249,3 +249,22 @@ def test_stem_filter_keyword_protocol():
 
     with _pytest.raises(ValueError):
         StemFilter("klingon")
+
+
+def test_limit_truncate_capitalization_filters():
+    from lucene_net_ray.functions.analysis_ext import (
+        CapitalizationFilter,
+        LimitTokenCountFilter,
+        TruncateTokenFilter,
+    )
+
+    assert LimitTokenCountFilter(2)(["a", "b", "c", "d"]) == ["a", "b"]
+    assert LimitTokenCountFilter(10)(["a"]) == ["a"]
+    assert TruncateTokenFilter(3)(["hello", "ab", "xyz"]) == ["hel", "ab", "xyz"]
+    cap = CapitalizationFilter(keep={"iPhone"})
+    assert cap(["hello", "WORLD", "iPhone", ""]) == ["Hello", "World", "iPhone", ""]
+    import pytest as _p
+    with _p.raises(ValueError):
+        LimitTokenCountFilter(0)
+    with _p.raises(ValueError):
+        TruncateTokenFilter(0)
