@@ -813,6 +813,25 @@ def q_tumbling_windows(sf_dir: str):
     return tumbling_window_agg(ds, window_us=3_600_000_000)
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_CUT = "2024-01-04 00:00:00"  # first 3 days: counts differentiate
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered funnel view -> click -> purchase: users reaching each step
+    under greedy first-match with (ts, event_id) ordering."""
+    from ..stages.windows import funnel_counts
+
+    import datetime as _dt
+
+    cut = _dt.datetime.fromisoformat(FUNNEL_CUT)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
+        lambda b: b.filter(pa.compute.less(b.column("ts"), pa.scalar(cut, type=pa.timestamp("us")))),
+        batch_format="pyarrow",
+    )
+    return funnel_counts(ds, FUNNEL_STEPS)
+
+
 def q_sessionize(sf_dir: str):
     """30-minute-gap session windows per user over events. Hash-exact
     oracle (lag-over-partition sessionization in SQL)."""
@@ -1193,6 +1212,7 @@ QUERIES = {
     "tumbling_windows": q_tumbling_windows,
     "media_neardup": q_media_neardup,
     "session_windows": q_sessionize,
+    "funnel_counts": q_funnel_counts,
     "clean_corpus_ids": q_clean_corpus_ids,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1304,6 +1324,28 @@ FROM lineitem
 GROUP BY l_orderkey
 HAVING count(*) FILTER (WHERE l_quantity >= 45) > 0
 ORDER BY parent
+""",
+        "funnel_counts": f"""
+WITH ev AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '{FUNNEL_CUT}'
+), s1 AS (
+  SELECT user_id, min(ROW(ts, event_id)) AS r FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(ROW(e.ts, e.event_id)) AS r
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND ROW(e.ts, e.event_id) > s1.r
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(ROW(e.ts, e.event_id)) AS r
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND ROW(e.ts, e.event_id) > s2.r
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+ORDER BY step
 """,
         "decontaminate_semantic": """
 WITH bench AS (

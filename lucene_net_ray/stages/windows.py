@@ -114,3 +114,80 @@ def sessionize(
         )
 
     return ds.groupby(user_column).map_groups(split_sessions, batch_format="pyarrow")
+
+
+def funnel_counts(
+    ds: "ray.data.Dataset",
+    steps: "tuple[str, ...]",
+    *,
+    user_column: str = "user_id",
+    type_column: str = "event_type",
+    ts_column: str = "ts",
+    id_column: str = "event_id",
+) -> "ray.data.Dataset":
+    """Ordered funnel analysis: per user, greedy first-match walk through
+    ``steps`` (each step's event must be strictly LATER than the matched
+    previous step's); returns (step, event_type, n_users) = how many users
+    reached each step. The standard product-analytics funnel, expressed as
+    ONE groupby(user) shuffle with a vectorized per-group walk (events of a
+    user sort once; each step is a searchsorted over the matching subset).
+
+    Event order is true (ts, event_id) lexicographic comparison (the SQL
+    oracle mirrors it with ROW(ts, event_id) struct ordering — no composite
+    integer key, so no overflow and no id-range assumption). Partitioning
+    assumption (documented like sessionize's): one user's events fit one
+    group task."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    nsteps = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def per_user(group: pa.Table) -> pa.Table:
+        uid = group.column(user_column)[0].as_py()
+        ts_us = pc.cast(group.column(ts_column), pa.timestamp("us")).cast(pa.int64())
+        ts_us = ts_us.to_numpy(zero_copy_only=False)
+        eid = group.column(id_column).to_numpy(zero_copy_only=False)
+        types = group.column(type_column).to_pylist()
+        order = np.lexsort((eid, ts_us))
+        ts2, id2 = ts_us[order], eid[order]
+        tcodes = np.array([step_of.get(t, -1) for t in types], dtype=np.int64)[order]
+        prev_ts, prev_id = np.int64(-(2**62)), np.int64(-1)
+        reached = 0
+        for si in range(nsteps):
+            sel = tcodes == si
+            tt, ii = ts2[sel], id2[sel]
+            later = (tt > prev_ts) | ((tt == prev_ts) & (ii > prev_id))
+            j = np.argmax(later) if later.any() else -1
+            if j < 0:
+                break
+            prev_ts, prev_id = tt[j], ii[j]
+            reached = si + 1
+        return pa.table({
+            "user_id": pa.array([uid], type=pa.int64()),
+            "reached": pa.array([reached], type=pa.int64()),
+        })
+
+    per = ds.groupby(user_column).map_groups(per_user, batch_format="pyarrow")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        # user reaching step k counts toward steps 1..k (funnel is cumulative)
+        r = batch.column("reached").to_numpy(zero_copy_only=False)
+        out_step, out_n = [], []
+        for si in range(1, nsteps + 1):
+            out_step.append(si)
+            out_n.append(int((r >= si).sum()))
+        return pa.table({"step": pa.array(out_step, type=pa.int64()),
+                         "n_users": pa.array(out_n, type=pa.int64())})
+
+    agg = per.map_batches(expand, batch_format="pyarrow").groupby("step").sum("n_users")
+    agg = agg.rename_columns({"sum(n_users)": "n_users"})
+
+    def label(batch: pa.Table) -> pa.Table:
+        s = batch.column("step").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "event_type", pa.array([steps[i - 1] for i in s], type=pa.string())
+        )
+
+    return agg.map_batches(label, batch_format="pyarrow")

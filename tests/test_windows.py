@@ -62,3 +62,41 @@ def test_sessionize():
     rows2 = [(0, 0, 1, "a", 1.0), (1, GAP, 1, "a", 2.0)]
     got2 = sessionize(_events(rows2), gap_us=GAP * 1_000_000).take_all()
     assert len(got2) == 1 and got2[0]["n_events"] == 2
+
+
+def test_funnel_counts():
+    """Greedy first-match funnel with (ts, event_id) ordering: step events
+    must be strictly later than the matched previous step."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.stages.windows import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, user, typ, secs):
+        return {"event_id": eid, "user_id": user, "event_type": typ,
+                "ts": t0 + dt.timedelta(seconds=secs)}
+
+    rows = [
+        # user 1: full conversion in order
+        ev(1, 1, "view", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 20),
+        # user 2: click BEFORE view -> stops at view
+        ev(4, 2, "click", 0), ev(5, 2, "view", 10),
+        # user 3: view then purchase but no click -> stops at view
+        ev(6, 3, "view", 0), ev(7, 3, "purchase", 5),
+        # user 4: no view at all -> reaches nothing
+        ev(8, 4, "click", 0), ev(9, 4, "purchase", 5),
+        # user 5: simultaneous ts, event_id breaks the tie (view id 10 <
+        # click id 11 at the same instant -> click counts as later)
+        ev(10, 5, "view", 0), ev(11, 5, "click", 0),
+    ]
+    out = funnel_counts(
+        ray.data.from_items(rows), ("view", "click", "purchase")
+    ).to_pandas().set_index("step")
+    assert out.loc[1, "n_users"] == 4   # users 1,2,3,5 have a view
+    assert out.loc[2, "n_users"] == 2   # users 1 and 5 click after view
+    assert out.loc[3, "n_users"] == 1   # only user 1 purchases after click
+    assert list(out["event_type"]) == ["view", "click", "purchase"]
