@@ -813,6 +813,22 @@ def q_tumbling_windows(sf_dir: str):
     return tumbling_window_agg(ds, window_us=3_600_000_000)
 
 
+PERCOLATE_QUERIES = {
+    "alert_merge_and_spark": "+merge +spark",
+    "alert_vector": "vector",
+    "alert_window_or_stream": "window stream",
+}
+
+
+def q_percolate(sf_dir: str):
+    """Percolation: documents matched against 3 registered saved-search
+    queries (AND pair, single term, OR pair)."""
+    from ..stages.percolate import percolate
+
+    ds = _documents_ds(sf_dir)
+    return percolate(ds, PERCOLATE_QUERIES)
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 FUNNEL_CUT = "2024-01-04 00:00:00"  # first 3 days: counts differentiate
 
@@ -1213,6 +1229,7 @@ QUERIES = {
     "media_neardup": q_media_neardup,
     "session_windows": q_sessionize,
     "funnel_counts": q_funnel_counts,
+    "percolate_matches": q_percolate,
     "clean_corpus_ids": q_clean_corpus_ids,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -1324,6 +1341,20 @@ FROM lineitem
 GROUP BY l_orderkey
 HAVING count(*) FILTER (WHERE l_quantity >= 45) > 0
 ORDER BY parent
+""",
+        "percolate_matches": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, 'alert_merge_and_spark' AS query_name FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
+  AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
+UNION ALL
+SELECT doc_id, 'alert_vector' FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'vector')
+UNION ALL
+SELECT doc_id, 'alert_window_or_stream' FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id
+              AND t.tok IN ('window', 'stream'))
+ORDER BY query_name, doc_id
 """,
         "funnel_counts": f"""
 WITH ev AS (
