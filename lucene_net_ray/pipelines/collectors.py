@@ -277,6 +277,52 @@ def fuzzy_like_this(
     return BooleanQuery(clauses=tuple(clauses))
 
 
+def match_phrase_prefix(
+    searcher: Searcher,
+    text: str,
+    *,
+    field: str = "content",
+    max_expansions: int = 50,
+    slop: int = 0,
+    analyzer: Analyzer | None = None,
+) -> Query:
+    """Phrase-prefix query (the classic search-as-you-type primitive; in
+    Lucene terms a MultiPhraseQuery whose LAST position holds the prefix's
+    expansions — MultiPhraseQuery.cs:47's documented use-case, and how
+    QueryParser-based systems implement incomplete trailing terms). The
+    prefix expands index-wide through the same bounded terms_in_range walk
+    as PrefixQuery (never the whole vocabulary); an unexpandable prefix
+    yields a query matching nothing."""
+    from ..pipelines.spans import _searcher_expand
+    from ..query import MultiPhraseQuery, PrefixQuery, TermQuery
+
+    analyzer = analyzer or Analyzer()
+    terms, positions = analyzer.analyze_text_positions(text)
+    if not terms:
+        return BooleanQuery()
+    last = terms[-1]
+    expansions = _searcher_expand(
+        searcher, PrefixQuery(field=field, prefix=last, max_expansions=max_expansions)
+    )
+    exp_terms = tuple(t for t, _ in expansions[:max_expansions])
+    if not exp_terms:
+        return BooleanQuery()  # no term completes the prefix: match nothing
+    if len(terms) == 1:
+        if len(exp_terms) == 1:
+            return TermQuery(field=field, term=exp_terms[0])
+        return BooleanQuery(
+            clauses=tuple(
+                BooleanClause(TermQuery(field=field, term=t), "SHOULD") for t in exp_terms
+            )
+        )
+    return MultiPhraseQuery(
+        field=field,
+        positions_terms=tuple((t,) for t in terms[:-1]) + (exp_terms,),
+        slop=slop,
+        positions=tuple(positions),
+    )
+
+
 def query_rescore(
     searcher: Searcher,
     hits: list[tuple[int, float]],

@@ -278,3 +278,27 @@ def test_multi_phrase_sloppy(phrase_setup):
     hm = searcher.search(mq1, k=10)
     hp = searcher.search(pq1, k=10)
     assert [(d, np.float32(s)) for d, s in hm] == [(d, np.float32(s)) for d, s in hp]
+
+
+def test_match_phrase_prefix(phrase_setup):
+    """Search-as-you-type: last term expands as a prefix inside the phrase."""
+    from lucene_net_ray.pipelines.collectors import match_phrase_prefix
+    from lucene_net_ray.query import MultiPhraseQuery
+
+    searcher, _, _ = phrase_setup
+    q = match_phrase_prefix(searcher, "quick bro")
+    assert isinstance(q, MultiPhraseQuery)
+    # "bro" completes to "brown": same docs as the full phrase
+    full = {d for d, _ in searcher.search(PhraseQuery(terms=("quick", "brown")), k=10)}
+    got = {d for d, _ in searcher.search(q, k=10)}
+    assert got == full and got
+    # a prefix matching several terms unions them: "quick f|c" -> fox/cat
+    q2 = match_phrase_prefix(searcher, "quick f")
+    ids2 = {d for d, _ in searcher.search(q2, k=10)}
+    assert 5 in ids2  # "quick fox brown"
+    # unexpandable prefix matches nothing
+    q3 = match_phrase_prefix(searcher, "quick zzz")
+    assert searcher.search(q3, k=10) == []
+    # single-term input degrades to prefix semantics
+    q4 = match_phrase_prefix(searcher, "qui")
+    assert {d for d, _ in searcher.search(q4, k=10)} >= full
