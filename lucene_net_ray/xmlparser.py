@@ -297,8 +297,15 @@ class XmlQueryParser:
         )
 
     def _user_query(self, e: ET.Element, field: str) -> Query:
-        # UserInputQueryBuilder.cs:53 — classic syntax through parse_query
-        q = parse_query(_text_or_fail(e), default_field=field, analyzer=self.analyzer)
+        # UserInputQueryBuilder.cs:53 — classic syntax through parse_query;
+        # parser errors wrap into the XML ParserException like the
+        # reference's catch (ParseException e1) { throw new ParserException }
+        from .query import QueryParseError
+
+        try:
+            q = parse_query(_text_or_fail(e), default_field=field, analyzer=self.analyzer)
+        except QueryParseError as exc:
+            raise XmlParseError(f"Error parsing UserQuery: {exc}") from exc
         return _boosted(q, e)
 
     def _filtered_query(self, e: ET.Element, field: str) -> Query:

@@ -350,3 +350,30 @@ def test_end_to_end_terms_and_boolean_filter(xml_index):
     ids2 = sorted(d for d, _ in xml_index.search(q2, k=10))
     # docs 0-3 in year range; sunny/rainy = 0,1,2; not bright removes 0 -> [1,2]
     assert ids2 == [1, 2]
+
+
+# -- property: arbitrary input raises XmlParseError or parses, never crashes
+
+from hypothesis import given, strategies as st
+
+
+@given(st.text(max_size=200))
+def test_xml_parser_arbitrary_text_never_crashes(s):
+    p = XmlQueryParser()
+    try:
+        p.parse(s)
+    except XmlParseError:
+        pass  # the only permitted failure mode
+
+
+@given(st.sampled_from([
+    "TermQuery", "TermsQuery", "BooleanQuery", "DisjunctionMaxQuery",
+    "ConstantScoreQuery", "BoostingQuery", "UserQuery", "FilteredQuery",
+    "SpanNear", "SpanOr", "SpanNot", "SpanFirst", "NumericRangeQuery",
+]), st.text(alphabet="ab<> /\"=", max_size=40))
+def test_xml_parser_fuzzed_elements_never_crash(tag, junk):
+    p = XmlQueryParser()
+    try:
+        p.parse(f"<{tag}>{junk}</{tag}>")
+    except XmlParseError:
+        pass
