@@ -829,6 +829,14 @@ def q_percolate(sf_dir: str):
     return percolate(ds, PERCOLATE_QUERIES)
 
 
+def q_hopping_windows(sf_dir: str):
+    """1h windows hopping every 15min over events (overlap factor 4)."""
+    from ..stages.windows import hopping_window_agg
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return hopping_window_agg(ds)
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 FUNNEL_CUT = "2024-01-04 00:00:00"  # first 3 days: counts differentiate
 
@@ -1226,6 +1234,7 @@ QUERIES = {
     "geo_distance_join": q_geo_distance_join,
     "lm_quality_scores": q_lm_quality,
     "tumbling_windows": q_tumbling_windows,
+    "hopping_windows": q_hopping_windows,
     "media_neardup": q_media_neardup,
     "session_windows": q_sessionize,
     "funnel_counts": q_funnel_counts,
@@ -1508,6 +1517,19 @@ SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "hopping_windows": """
+WITH ex AS (
+  SELECT event_type, value,
+         unnest(generate_series(
+           greatest(CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) - 3, 0),
+           CAST(floor(epoch_us(ts) / 900000000) AS BIGINT)
+         )) AS win_start
+  FROM events
+)
+SELECT win_start, event_type AS key, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM ex GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "session_windows": """
 WITH o AS (

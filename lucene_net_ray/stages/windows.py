@@ -75,6 +75,79 @@ def tumbling_window_agg(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_window_agg(
+    ds: ray.data.Dataset,
+    *,
+    window_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+    ts_column: str = "ts",
+    value_column: str = "value",
+    key_column: str = "event_type",
+) -> ray.data.Dataset:
+    """(win_start, key, n_events, sum_value) per epoch-aligned HOPPING
+    (sliding) window of length ``window_us`` advancing every ``hop_us`` —
+    the overlapping counterpart of tumbling_window_agg. An event at time t
+    lands in every window whose start lies in (t - window_us, t]; the
+    per-event replication factor is the constant window_us / hop_us (each
+    event is emitted to its windows BEFORE the batch-local pre-aggregation,
+    so the exchange still carries one row per (batch, window, key), not
+    per event). window_us must be a multiple of hop_us."""
+    if window_us % hop_us != 0:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(batch.column(ts_column), pa.timestamp("us")), pa.int64())
+        us = us.to_numpy(zero_copy_only=False)
+        base = us // hop_us  # last window start index containing the event
+        n = us.size
+        # replicate each event into its k windows: start index base-k+1..base
+        offs = np.arange(k, dtype=np.int64)
+        win = (base[:, None] - offs[None, :]).reshape(-1)
+        keep = win >= 0  # clamp at epoch start, like generate_series in SQL
+        vals = np.repeat(
+            batch.column(value_column).cast(pa.float64()).to_numpy(zero_copy_only=False), k
+        )
+        keys = batch.column(key_column).take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        )
+        t = pa.table(
+            {
+                "win_start": pa.array(win[keep]),
+                "key": keys.filter(pa.array(keep)),
+                "value": pa.array(vals[keep]),
+            }
+        )
+        return (
+            t.group_by(["win_start", "key"])
+            .aggregate([("value", "sum"), ([], "count_all")])
+            .rename_columns(["win_start", "key", "value_sum", "n"])
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["win_start", "key"])
+        .sum(["value_sum", "n"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "win_start": batch.column("win_start"),
+                "key": batch.column("key"),
+                "n_events": batch.column("sum(n)").cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(batch.column("sum(value_sum)").to_numpy(), 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def sessionize(
     ds: ray.data.Dataset,
     *,

@@ -100,3 +100,37 @@ def test_funnel_counts():
     assert out.loc[2, "n_users"] == 2   # users 1 and 5 click after view
     assert out.loc[3, "n_users"] == 1   # only user 1 purchases after click
     assert list(out["event_type"]) == ["view", "click", "purchase"]
+
+
+def test_hopping_windows():
+    """Hopping windows: each event lands in window_us/hop_us overlapping
+    windows; totals across one hop equal the tumbling equivalent."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pytest as _p
+    import ray.data
+
+    from lucene_net_ray.stages.windows import hopping_window_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {"event_id": 1, "event_type": "a", "value": 1.0,
+         "ts": t0 + dt.timedelta(minutes=5)},   # hop index 0 (15-min hops)
+        {"event_id": 2, "event_type": "a", "value": 2.0,
+         "ts": t0 + dt.timedelta(minutes=20)},  # hop index 1
+    ]
+    out = hopping_window_agg(
+        ray.data.from_items(rows),
+        window_us=3_600_000_000, hop_us=900_000_000,
+    ).to_pandas()
+    base = dt.datetime(1970, 1, 1)
+    h0 = int((t0 - base).total_seconds() * 1e6) // 900_000_000
+    w = out.set_index("win_start")
+    # event 1 in windows starting h0-3..h0; event 2 in h0-2..h0+1
+    assert set(out["win_start"]) == set(range(h0 - 3, h0 + 2))
+    assert w.loc[h0, "n_events"] == 2 and w.loc[h0, "sum_value"] == 3.0
+    assert w.loc[h0 - 3, "n_events"] == 1 and w.loc[h0 - 3, "sum_value"] == 1.0
+    assert w.loc[h0 + 1, "n_events"] == 1 and w.loc[h0 + 1, "sum_value"] == 2.0
+    with _p.raises(ValueError):
+        hopping_window_agg(ray.data.from_items(rows), window_us=100, hop_us=33)
