@@ -446,6 +446,23 @@ XML_FILTER_QUERY = """
 """
 
 
+def q_duplicate_filter_docs(sf_dir: str):
+    """DuplicateFilter(field=lang, keep=first): surviving ORIGINAL doc_ids.
+    Per-reader semantics == global min-per-key here because the contract
+    index at sf0.01 builds a single segment (500 docs < 2000/segment) and
+    engine docIDs follow input doc_id order — asserted, so a layout change
+    fails loudly instead of silently diverging from the SQL oracle."""
+    from ..query import DuplicateFilter, FilteredQuery, MatchAllDocsQuery
+    from .search import Searcher
+
+    meta, orig = _index_for(sf_dir)
+    assert len(meta.segment_dirs) == 1, "oracle requires the single-segment layout"
+    s = Searcher(meta, use_actors=False)
+    q = FilteredQuery(query=MatchAllDocsQuery(), filter=DuplicateFilter(field="lang"))
+    kept = sorted(int(orig[d]) for d, _ in s.search(q, k=meta.max_doc))
+    return pd.DataFrame({"doc_id": np.array(kept, dtype=np.int64)})
+
+
 def q_xml_filtered_count(sf_dir: str):
     """XML query surface end-to-end: CoreParser-analog parse of a
     BooleanFilter(NumericRangeFilter + TermsFilter) over MatchAll,
@@ -1229,6 +1246,7 @@ QUERIES = {
     "facet_range_counts": q_facet_range_counts,
     "xml_filtered_count": q_xml_filtered_count,
     "simple_parser_count": q_simple_parser_count,
+    "duplicate_filter_docs": q_duplicate_filter_docs,
     "block_join_scores": q_block_join_scores,
     "geo_distance": q_geo_distance,
     "geo_distance_join": q_geo_distance_join,
@@ -1304,6 +1322,9 @@ SELECT count(*) AS n FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
   AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window')
+""",
+        "duplicate_filter_docs": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang ORDER BY 1
 """,
         "geo_distance": f"""
 WITH pts AS (
