@@ -1011,6 +1011,18 @@ def q_facet_range_counts(sf_dir: str):
     return range_counts(ds, "n_chars", FACET_RANGES)
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+
+
+def q_chunk_documents(sf_dir: str):
+    """Sliding-window chunking: 32-token windows, 8-token overlap."""
+    from ..stages.chunk import chunk_documents
+
+    return chunk_documents(
+        _documents_ds(sf_dir), chunk_tokens=CHUNK_TOKENS, overlap_tokens=CHUNK_OVERLAP
+    )
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals over whitespace tokens."""
     from ..stages.textstats import repetition_stats_batch
@@ -1243,6 +1255,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "mix_sources": q_mix_sources,
     "repetition_stats": q_repetition_stats,
+    "chunk_documents": q_chunk_documents,
     "facet_range_counts": q_facet_range_counts,
     "xml_filtered_count": q_xml_filtered_count,
     "simple_parser_count": q_simple_parser_count,
@@ -1418,6 +1431,21 @@ WITH bench AS (
   GROUP BY e.vec_id
 )
 SELECT vec_id FROM mx WHERE m < 0.95 ORDER BY vec_id
+""",
+        "chunk_documents": rf"""
+WITH ts AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {CHUNK_TOKENS - CHUNK_OVERLAP})) AS st
+  FROM ts WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(st / {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_id,
+       array_to_string(toks[st + 1 : st + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       least({CHUNK_TOKENS}, len(toks) - st) AS n_tokens
+FROM idx ORDER BY doc_id, chunk_id
 """,
         "repetition_stats": r"""
 WITH ts AS (
