@@ -117,6 +117,99 @@ def group_top_k(
     ]
 
 
+def all_group_heads(
+    searcher: Searcher, q: Query, group_field: str, sort_fields: list[tuple[str, bool]]
+) -> list[dict]:
+    """AllGroupHeadsCollector analog (reference
+    Grouping/AbstractAllGroupHeadsCollector.cs:12): the single most relevant
+    matching doc (group head) for EVERY group, by the given sort. Per-shard
+    vectorized heads merge per-group on the driver; result rows carry the
+    group value, head doc id, and the sort-key values, ordered by group."""
+    from .search import _sort_key_fn
+
+    key_fn = _sort_key_fn(sort_fields)
+    heads: dict = {}
+    for part in _group_call(searcher, "group_heads_partial", q, group_field, list(sort_fields)):
+        for g, row in part.items():
+            cur = heads.get(g)
+            if cur is None or key_fn(tuple(row)) < key_fn(tuple(cur)):
+                heads[g] = row
+    fields = [f for f, _ in sort_fields]
+    return [
+        {
+            "group": _pyval(g),
+            "head_doc": gid,  # engine-global docid of the head
+            **{f: _pyval(v) for f, v in zip(fields, key_vals)},
+        }
+        for g, (key_vals, gid) in sorted(heads.items(), key=lambda kv: kv[0])
+    ]
+
+
+def all_groups(searcher: Searcher, q: Query, group_field: str) -> list:
+    """AllGroupsCollector analog (reference
+    Grouping/AbstractAllGroupsCollector.cs): every distinct group value with
+    at least one matching doc, sorted. Reuses the facet partial (value
+    counts) and discards the counts."""
+    return sorted(facet_counts(searcher, q, group_field).keys())
+
+
+def distinct_values(
+    searcher: Searcher,
+    q: Query,
+    group_field: str,
+    count_field: str,
+    *,
+    groups: list | None = None,
+) -> list[dict]:
+    """DistinctValuesCollector analog (reference
+    Grouping/AbstractDistinctValuesCollector.cs:14): for each group (or the
+    given subset, mirroring the second-pass top-N restriction), the set of
+    distinct ``count_field`` values among matching docs. Per-shard distinct
+    (group, value) pairs union on the driver — bounded by the fields'
+    cardinality product, never by doc count."""
+    wanted = set(groups) if groups is not None else None
+    out: dict = defaultdict(set)
+    for part in _group_call(searcher, "pair_partial", q, group_field, count_field):
+        for g, v in part:
+            if wanted is None or g in wanted:
+                out[g].add(v)
+    return [
+        {"group": _pyval(g), "values": sorted(vals), "n_distinct": len(vals)}
+        for g, vals in sorted(out.items(), key=lambda kv: kv[0])
+    ]
+
+
+def group_facets(
+    searcher: Searcher,
+    q: Query,
+    group_field: str,
+    facet_field: str,
+    *,
+    min_count: int = 1,
+    prefix: str | None = None,
+    order_by_count: bool = False,
+) -> list[tuple]:
+    """GroupFacetCollector analog (reference
+    Grouping/AbstractGroupFacetCollector.cs:18 / TermGroupFacetCollector):
+    grouped faceting — each group contributes at most ONCE per facet value,
+    so counts are "number of distinct groups with this facet" among matching
+    docs. Supports the reference's facet prefix, minCount, and
+    orderByCount-vs-lexicographic result orders."""
+    per_facet: dict = defaultdict(set)
+    for part in _group_call(searcher, "pair_partial", q, group_field, facet_field):
+        for g, v in part:
+            if prefix is None or str(v).startswith(prefix):
+                per_facet[v].add(g)
+    entries = [
+        (_pyval(v), len(gs)) for v, gs in per_facet.items() if len(gs) >= min_count
+    ]
+    if order_by_count:
+        entries.sort(key=lambda e: (-e[1], e[0]))
+    else:
+        entries.sort(key=lambda e: e[0])
+    return entries
+
+
 # ---------------------------------------------------------------------------
 # query-building utilities
 # ---------------------------------------------------------------------------

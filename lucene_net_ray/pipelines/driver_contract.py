@@ -62,14 +62,14 @@ def _index_for(sf_dir: str) -> tuple[IndexMeta, np.ndarray]:
     from .build import build_index
 
     slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    out = os.path.join("/tmp", "lnr_index_cache2", slug)
+    out = os.path.join("/tmp", "lnr_index_cache3", slug)
     os.makedirs(out, exist_ok=True)
     if not os.path.exists(os.path.join(out, "manifest.json")):
         build_index(
             os.path.join(sf_dir, "documents.parquet"),
             out,
             content_column="text",
-            stored_columns=("doc_id", "lang", "n_chars"),
+            stored_columns=("doc_id", "lang", "n_chars", "source"),
             target_rows_per_segment=2000,
             index_options="positions",
         )
@@ -603,6 +603,90 @@ def q_group_top2_per_lang(sf_dir: str):
         return group.take(pa.array(idx)).select(["lang", "doc_id", "n_terms"])
 
     return ds.groupby("lang").map_groups(top2, batch_format="pyarrow")
+
+
+def q_group_heads(sf_dir: str):
+    """AllGroupHeadsCollector through the real engine: for every lang group,
+    the single best doc matching TERM by (n_chars DESC, doc_id ASC).
+    Reference: Grouping/AbstractAllGroupHeadsCollector.cs:12."""
+    from ..query import TermQuery
+    from .collectors import all_group_heads
+    from .search import Searcher
+
+    meta, _ = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    rows = all_group_heads(
+        s, TermQuery(term=TERM), "lang", [("n_chars", True), ("doc_id", False)]
+    )
+    return pd.DataFrame(
+        {
+            "lang": [r["group"] for r in rows],
+            "doc_id": np.array([r["doc_id"] for r in rows], dtype=np.int64),
+            "n_chars": np.array([r["n_chars"] for r in rows], dtype=np.int64),
+        }
+    )
+
+
+def q_group_distinct_counts(sf_dir: str):
+    """DistinctValuesCollector through the real engine: per lang group, the
+    number of distinct n_chars values among docs matching TERM.
+    Reference: Grouping/AbstractDistinctValuesCollector.cs:14."""
+    from ..query import TermQuery
+    from .collectors import distinct_values
+    from .search import Searcher
+
+    meta, _ = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    rows = distinct_values(s, TermQuery(term=TERM), "lang", "n_chars")
+    return pd.DataFrame(
+        {
+            "lang": [r["group"] for r in rows],
+            "n_distinct": np.array([r["n_distinct"] for r in rows], dtype=np.int64),
+        }
+    )
+
+
+def q_group_facet_counts(sf_dir: str):
+    """GroupFacetCollector through the real engine: grouped faceting — per
+    source facet value, the count of DISTINCT lang groups among docs
+    matching TERM (each group counts once per facet value).
+    Reference: Grouping/AbstractGroupFacetCollector.cs:18."""
+    from ..query import TermQuery
+    from .collectors import group_facets
+    from .search import Searcher
+
+    meta, _ = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    entries = group_facets(s, TermQuery(term=TERM), "lang", "source")
+    return pd.DataFrame(
+        {
+            "facet_value": [v for v, _ in entries],
+            "n_groups": np.array([n for _, n in entries], dtype=np.int64),
+        }
+    )
+
+
+FUNC_SORT_EXPR = "(n_chars % 97) * 1000000.0 + doc_id % 999983"
+
+
+def q_function_sort_topk(sf_dir: str):
+    """FunctionQuery as the PRIMARY ranking (Queries/Function/FunctionQuery.cs):
+    top-10 docs under MatchAll scored by a doc-values formula — equivalently,
+    sort-by-ValueSource. The formula is integer-valued in f64 and injective
+    over doc_id, so ranks are exact against the SQL oracle."""
+    from .expressions import function_query
+    from .search import Searcher
+
+    meta, orig = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    hits = function_query(s, FUNC_SORT_EXPR, k=TOPK)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array([int(orig[g]) for g, _ in hits], dtype=np.int64),
+            "score": np.array([sc for _, sc in hits], dtype=np.float64),
+        }
+    )
 
 
 def q_drill_sideways(sf_dir: str):
@@ -1235,6 +1319,10 @@ QUERIES = {
     "anti_join_customers": q_anti_join_customers,
     "facet_lang_counts": q_facet_lang_counts,
     "group_top2_per_lang": q_group_top2_per_lang,
+    "group_heads": q_group_heads,
+    "group_distinct_counts": q_group_distinct_counts,
+    "group_facet_counts": q_group_facet_counts,
+    "function_sort_topk": q_function_sort_topk,
     "sort_top15_longest": q_sort_top15_longest,
     "drill_sideways_counts": q_drill_sideways,
     "taxonomy_counts": q_taxonomy_counts,
@@ -1338,6 +1426,39 @@ WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge'
 """,
         "duplicate_filter_docs": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang ORDER BY 1
+""",
+        "group_heads": f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT d.lang, d.doc_id, d.n_chars FROM documents d
+  WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = '{TERM}')
+)
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM m
+) WHERE rn = 1 ORDER BY lang
+""",
+        "group_distinct_counts": f"""
+WITH {_TOKS_CTE}
+SELECT lang, count(DISTINCT n_chars) AS n_distinct FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = '{TERM}')
+GROUP BY lang ORDER BY lang
+""",
+        "group_facet_counts": f"""
+WITH {_TOKS_CTE}
+SELECT source AS facet_value, count(DISTINCT lang) AS n_groups FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = '{TERM}')
+GROUP BY source ORDER BY facet_value
+""",
+        "function_sort_topk": f"""
+SELECT row_number() OVER (
+         ORDER BY (n_chars % 97) * 1000000.0 + doc_id % 999983 DESC, doc_id ASC
+       ) AS rank,
+       doc_id,
+       (n_chars % 97) * 1000000.0 + doc_id % 999983 AS score
+FROM documents
+ORDER BY rank LIMIT {TOPK}
 """,
         "geo_distance": f"""
 WITH pts AS (

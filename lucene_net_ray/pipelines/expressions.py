@@ -113,6 +113,29 @@ def compile_expression(expr: str):
     return fn
 
 
+def function_query(searcher, expr: str, *, q=None, k: int = 10):
+    """FunctionQuery analog (reference Queries/Function/FunctionQuery.cs:
+    the ValueSource IS the score): every doc matching ``q`` (default
+    MatchAllDocs) is scored by the compiled formula — no BM25 candidate
+    window, the expression is the primary ranking. ``score`` inside the
+    formula refers to the underlying query's score (1.0 under MatchAll,
+    mirroring FunctionQuery's boost-only behavior).
+
+    Doubles as sort-by-ValueSource (Function/FunctionAllGroupHeadsCollector
+    style ordering): sorting by an expression is scoring by it.
+    """
+    from ..query import MatchAllDocsQuery
+    from .collectors import function_rescore
+
+    q = q if q is not None else MatchAllDocsQuery()
+    fn = compile_expression(expr)
+    # window == k: the per-segment partial evaluates the formula over ALL
+    # matching docs and returns its top-k — exact, not an approximation.
+    return function_rescore(
+        searcher, q, fn, fields=expression_fields(expr), k=k, window=k
+    )
+
+
 def expression_rescore(searcher, q, expr: str, *, k: int = 10, window: int = 100):
     """CustomScoreQuery-with-expression analog: BM25 candidates rescored by
     the compiled formula inside the segment actors."""

@@ -229,6 +229,58 @@ class _SegmentGroup:
             for v, hits in groups.items()
         }
 
+    def group_heads_partial(
+        self, q: Query, stats: dict, group_field: str, sort_fields: list
+    ) -> dict:
+        """{group value: (key_vals tuple, global docid)} — the best matching
+        doc per group within this shard by the sort order (AllGroupHeads
+        partial; associative under the driver's per-group min merge).
+        Reference: Grouping/AbstractAllGroupHeadsCollector.cs:12."""
+        import numpy as _np
+
+        heads: dict = {}
+        key_fn = _sort_key_fn(sort_fields)
+        for r, docs, _s in self._matching(q, stats):
+            gvals = r.doc_values(group_field)[docs]
+            cols = [r.doc_values(f)[docs] for f, _ in sort_fields]
+            keys = []
+            for c, (_f, desc) in zip(cols, sort_fields):
+                codes = (
+                    c
+                    if _np.issubdtype(c.dtype, _np.number)
+                    else _np.unique(c, return_inverse=True)[1]
+                )
+                keys.append(-codes if desc else codes)
+            gids = docs + r.doc_base
+            order = _np.lexsort((gids, *keys[::-1]))
+            # first occurrence per group in sort order = segment-local head
+            _uniq, first = _np.unique(gvals[order], return_index=True)
+            for j in first.tolist():
+                i = int(order[j])
+                row = (tuple(col[i] for col in cols), int(gids[i]))
+                g = gvals[i]
+                cur = heads.get(g)
+                if cur is None or key_fn(row) < key_fn(cur):
+                    heads[g] = row
+        return heads
+
+    def pair_partial(self, q: Query, stats: dict, field_a: str, field_b: str) -> list:
+        """Distinct (field_a value, field_b value) pairs among matching docs —
+        the shared partial behind DistinctValues and GroupFacet collectors
+        (associative under set union on the driver)."""
+        import numpy as _np
+
+        out: set = set()
+        for r, docs, _s in self._matching(q, stats):
+            a = r.doc_values(field_a)[docs]
+            b = r.doc_values(field_b)[docs]
+            ua, ca = _np.unique(a, return_inverse=True)
+            ub, cb = _np.unique(b, return_inverse=True)
+            ua, ub = ua.tolist(), ub.tolist()
+            for p in _np.unique(ca.astype(_np.int64) * len(ub) + cb).tolist():
+                out.add((ua[p // len(ub)], ub[p % len(ub)]))
+        return list(out)
+
     def span_partial(self, q, stats: dict, k: int) -> list:
         """Per-segment span-query top-k (SpanEvaluator runs actor-side)."""
         import numpy as _np

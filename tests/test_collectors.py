@@ -10,8 +10,12 @@ from lucene_net_ray.oracle import OracleIndex
 from lucene_net_ray.pipelines.build import build_index_from_table
 from lucene_net_ray.pipelines.collectors import (
     MemoryIndex,
+    all_group_heads,
+    all_groups,
     common_terms_query,
+    distinct_values,
     facet_counts,
+    group_facets,
     group_top_k,
     more_like_this,
     search_sorted,
@@ -99,6 +103,85 @@ def test_group_top_k(setup):
         assert [(h["doc_id"], np.float32(h["score"])) for h in g["hits"]] == [
             (d, s) for s, d in expected
         ]
+
+
+def test_all_group_heads(setup):
+    corpus, searcher, oracle = setup
+    langs = corpus.column("lang").to_pylist()
+    q = parse_query("public")
+    rows = all_group_heads(searcher, q, "lang", [("field_len", True)])
+    match = _matching_docs(oracle, q)
+    expected = {}
+    for d in sorted(match, key=lambda d: (-oracle.lens[d], d)):
+        expected.setdefault(langs[d], d)
+    assert {r["group"]: r["head_doc"] for r in rows} == expected
+    assert [r["group"] for r in rows] == sorted(expected)  # ordered by group
+    for r in rows:
+        assert r["field_len"] == oracle.lens[r["head_doc"]]
+
+
+def test_all_group_heads_multi_sort_with_string_field(setup):
+    corpus, searcher, oracle = setup
+    langs = corpus.column("lang").to_pylist()
+    repos = corpus.column("repo").to_pylist()
+    q = parse_query("public")
+    rows = all_group_heads(searcher, q, "lang", [("repo", False), ("field_len", True)])
+    match = _matching_docs(oracle, q)
+    expected = {}
+    for d in sorted(match, key=lambda d: (repos[d], -oracle.lens[d], d)):
+        expected.setdefault(langs[d], d)
+    assert {r["group"]: r["head_doc"] for r in rows} == expected
+
+
+def test_all_groups(setup):
+    corpus, searcher, oracle = setup
+    langs = corpus.column("lang").to_pylist()
+    q = parse_query("public")
+    match = _matching_docs(oracle, q)
+    assert all_groups(searcher, q, "lang") == sorted({langs[d] for d in match})
+
+
+def test_distinct_values(setup):
+    corpus, searcher, oracle = setup
+    langs = corpus.column("lang").to_pylist()
+    repos = corpus.column("repo").to_pylist()
+    q = parse_query("public")
+    match = _matching_docs(oracle, q)
+    expected = {}
+    for d in match:
+        expected.setdefault(langs[d], set()).add(repos[d])
+    rows = distinct_values(searcher, q, "lang", "repo")
+    assert {r["group"]: set(r["values"]) for r in rows} == expected
+    assert all(r["n_distinct"] == len(r["values"]) for r in rows)
+    # top-N group restriction (second-pass semantics)
+    some = sorted(expected)[:2]
+    rows2 = distinct_values(searcher, q, "lang", "repo", groups=some)
+    assert [r["group"] for r in rows2] == some
+
+
+def test_group_facets(setup):
+    corpus, searcher, oracle = setup
+    langs = corpus.column("lang").to_pylist()
+    repos = corpus.column("repo").to_pylist()
+    q = parse_query("public")
+    match = _matching_docs(oracle, q)
+    pairs = {(repos[d], langs[d]) for d in match}
+    expected = {}
+    for repo, lang in pairs:
+        expected.setdefault(repo, set()).add(lang)
+    ent = group_facets(searcher, q, "lang", "repo")
+    assert dict(ent) == {v: len(gs) for v, gs in expected.items()}
+    assert [v for v, _ in ent] == sorted(expected)  # lexicographic default
+    by_count = group_facets(searcher, q, "lang", "repo", order_by_count=True)
+    assert by_count == sorted(ent, key=lambda e: (-e[1], e[0]))
+    mc = max(n for _, n in ent)
+    assert group_facets(searcher, q, "lang", "repo", min_count=mc) == [
+        e for e in ent if e[1] >= mc
+    ]
+    pfx = sorted(expected)[0][:4]
+    assert group_facets(searcher, q, "lang", "repo", prefix=pfx) == [
+        e for e in ent if e[0].startswith(pfx)
+    ]
 
 
 def test_filtered_query(setup):
@@ -328,6 +411,19 @@ def test_collectors_work_through_actors(tmp_path):
     assert function_rescore(actors, q, fn, fields=["val"], k=5) == function_rescore(
         local, q, fn, fields=["val"], k=5
     )
+    from lucene_net_ray.pipelines.collectors import (
+        all_group_heads,
+        distinct_values,
+        group_facets,
+    )
+
+    assert all_group_heads(actors, q, "lang", [("val", True)]) == all_group_heads(
+        local, q, "lang", [("val", True)]
+    )
+    assert distinct_values(actors, q, "lang", "val") == distinct_values(
+        local, q, "lang", "val"
+    )
+    assert group_facets(actors, q, "lang", "val") == group_facets(local, q, "lang", "val")
 
 
 def test_boosting_query(tmp_path):

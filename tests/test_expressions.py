@@ -45,3 +45,36 @@ def test_expression_rescore(tmp_path):
     s = Searcher(idx, use_actors=False)
     hits = expression_rescore(s, TermQuery(term="target"), "score + log1p(popularity)", k=4)
     assert [d for d, _ in hits] == [2, 1, 0, 3]  # popularity dominates
+
+
+def test_function_query_matchall_primary(tmp_path):
+    """FunctionQuery: the formula IS the score under MatchAll — exact
+    ordering over every doc, no BM25 window."""
+    from lucene_net_ray.pipelines.expressions import function_query
+
+    docs = [f"doc number {i}" for i in range(20)]
+    pop = [(i * 7) % 13 for i in range(20)]
+    tbl = pa.table({"content": docs, "popularity": pop})
+    idx = str(tmp_path / "idx")
+    build_index_from_table(tbl, idx, target_rows_per_segment=6, stored_columns=("popularity",))
+    s = Searcher(idx, use_actors=False)
+    hits = function_query(s, "popularity * 2.0", k=5)
+    expected = sorted(range(20), key=lambda d: (-pop[d] * 2.0, d))[:5]
+    assert [d for d, _ in hits] == expected
+    assert [sc for _, sc in hits] == [pop[d] * 2.0 for d in expected]
+
+
+def test_function_query_with_underlying_query_score(tmp_path):
+    """`score` inside the formula is the underlying query's BM25 score; docs
+    not matching q are excluded (FunctionQuery wrapped over a real query)."""
+    from lucene_net_ray.pipelines.expressions import function_query
+    from lucene_net_ray.pipelines.collectors import function_rescore
+
+    docs = ["target alpha", "target beta", "other gamma", "target delta"]
+    pop = [1, 100, 1000, 10]
+    tbl = pa.table({"content": docs, "popularity": pop})
+    idx = str(tmp_path / "idx")
+    build_index_from_table(tbl, idx, target_rows_per_segment=2, stored_columns=("popularity",))
+    s = Searcher(idx, use_actors=False)
+    hits = function_query(s, "score * 0.0 + popularity", q=TermQuery(term="target"), k=4)
+    assert [d for d, _ in hits] == [1, 3, 0]  # doc 2 doesn't match
