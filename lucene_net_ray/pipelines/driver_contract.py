@@ -1164,6 +1164,34 @@ def q_freetext_suggest(sf_dir: str):
     return pd.DataFrame(rows, columns=["context", "token", "score"])
 
 
+def q_infix_suggest(sf_dir: str):
+    """AnalyzingInfixSuggester over the documents table (surface=text,
+    weight=n_chars, id=doc_id): query 'merge sp' = exact term 'merge' AND a
+    token with prefix 'sp' anywhere in the suggestion, top-10 by weight desc
+    (ties by id). The token store is parquet, token-range routed — the
+    driver holds only the parts manifest."""
+    from .suggest import AnalyzingInfixSuggester
+
+    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "lnr_infix_cache", slug)
+    os.makedirs(store, exist_ok=True)
+    sug = AnalyzingInfixSuggester(
+        _documents_ds(sf_dir),
+        store_dir=store,
+        surface_column="text",
+        weight_column="n_chars",
+        id_column="doc_id",
+    )
+    rows = sug.lookup("merge sp", k=TOPK)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(rows) + 1, dtype=np.int64),
+            "doc_id": np.array([r["sid"] for r in rows], dtype=np.int64),
+            "weight": np.array([r["weight"] for r in rows], dtype=np.int64),
+        }
+    )
+
+
 def q_clean_corpus_ids(sf_dir: str):
     """End-to-end cleaning pipeline: kept (doc_id, quality) after a quality
     floor + exact dedup keep-first."""
@@ -1338,6 +1366,7 @@ QUERIES = {
     "embed_neardup_pairs": q_embed_neardup_pairs,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "freetext_suggest": q_freetext_suggest,
+    "infix_suggest": q_infix_suggest,
     "decontaminate_kept": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
     "stratified_sample": q_stratified_sample,
@@ -1450,6 +1479,17 @@ WITH {_TOKS_CTE}
 SELECT source AS facet_value, count(DISTINCT lang) AS n_groups FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = '{TERM}')
 GROUP BY source ORDER BY facet_value
+""",
+        "infix_suggest": f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT d.doc_id, d.n_chars FROM documents d
+  WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
+    AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok LIKE 'sp%')
+)
+SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank,
+       doc_id, n_chars AS weight
+FROM m ORDER BY rank LIMIT {TOPK}
 """,
         "function_sort_topk": f"""
 SELECT row_number() OVER (

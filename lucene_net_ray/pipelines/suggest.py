@@ -235,6 +235,358 @@ class FreeTextSuggester:
         return out[:k]
 
 
+# ---------------------------------------------------------------------------
+# infix suggesters: parquet-backed, token-range-routed (never driver-resident)
+# ---------------------------------------------------------------------------
+
+class AnalyzingInfixSuggester:
+    """AnalyzingInfixSuggester analog (reference
+    Suggest/Suggest/Analyzing/AnalyzingInfixSuggester.cs:37): search-as-you-
+    type on ANY word of the suggestion, not just its start. The query's
+    tokens match exactly except the last, which is a PREFIX of any token
+    (unless the key has trailing separators — then it is exact too);
+    ``all_terms_required`` maps MUST/SHOULD exactly like Lookup(key, ...,
+    allTermsRequired). Results rank by weight desc (ties by id — the
+    reference ties on surface bytes, an FST detail; documented divergence),
+    with optional <b>..</b> highlighting of matched tokens and the matched
+    prefix (AnalyzingInfixSuggester.Highlight / AddPrefixMatch).
+
+    Storage is the scale path the reference's side-Lucene-index plays: the
+    suggester lives on disk, not the driver —
+      store_dir/tokens/part-*.parquet  (token, pos, sid, weight) globally
+          sorted by token; per-part [token_min, token_max] in manifest.json
+      store_dir/suggestions/part-*.parquet  (sid, surface, weight[, payload])
+          sorted by sid; per-part [sid_min, sid_max] in the manifest
+    Lookup routes each query token through the parts manifest (the
+    terms_in_range discipline of pipelines/merge.py) and reads ONLY covering
+    parts with a parquet predicate — O(query tokens × one part), never
+    O(vocabulary); the driver holds the manifest alone. ``parts_read``
+    counts part-file reads so tests can assert routing stays lazy.
+
+    The reference's ``textgrams`` EdgeNGram field exists to make short-
+    prefix queries cheap in an FST; a sorted-parquet range scan is already
+    one bounded read, so no ngram sidecar is needed.
+    """
+
+    _HI = "\U0010FFFF"
+
+    def __init__(
+        self,
+        ds: ray.data.Dataset | None = None,
+        *,
+        store_dir: str,
+        surface_column: str = "suggestion",
+        weight_column: str = "weight",
+        payload_column: str | None = None,
+        id_column: str | None = None,
+        analyzer: Analyzer | None = None,
+    ):
+        import json
+        import os
+
+        self.analyzer = analyzer or Analyzer()
+        self.store_dir = store_dir
+        self.parts_read = 0
+        man_path = os.path.join(store_dir, "manifest.json")
+        if not os.path.exists(man_path):
+            if ds is None:
+                raise FileNotFoundError(f"no suggester store at {store_dir} and no ds")
+            self._build(ds, surface_column, weight_column, payload_column, id_column)
+        with open(man_path) as f:
+            self.manifest = json.load(f)
+
+    def _build(self, ds, surface_column, weight_column, payload_column, id_column):
+        import hashlib as _hashlib
+        import json
+        import os
+
+        analyzer = self.analyzer
+        has_payload = payload_column is not None
+
+        def explode(batch: pa.Table) -> pa.Table:
+            surfaces = batch.column(surface_column).to_pylist()
+            weights = batch.column(weight_column).to_pylist()
+            payloads = batch.column(payload_column).to_pylist() if has_payload else None
+            if id_column is not None:
+                sids = [int(v) for v in batch.column(id_column).to_pylist()]
+            else:
+                sids = [
+                    int.from_bytes(
+                        _hashlib.md5(
+                            f"{s}\x00{w}\x00{payloads[i] if has_payload else ''}".encode()
+                        ).digest()[:8],
+                        "big",
+                    )
+                    >> 1
+                    for i, (s, w) in enumerate(zip(surfaces, weights))
+                ]
+            t_tok, t_pos, t_sid, t_w = [], [], [], []
+            for i, s in enumerate(surfaces):
+                first: dict[str, int] = {}
+                for p, t in enumerate(analyzer(s)):
+                    if t not in first:
+                        first[t] = p
+                for t, p in first.items():
+                    t_tok.append(t)
+                    t_pos.append(p)
+                    t_sid.append(sids[i])
+                    t_w.append(int(weights[i]))
+            return pa.table(
+                {
+                    "token": pa.array(t_tok, type=pa.string()),
+                    "pos": pa.array(t_pos, type=pa.int64()),
+                    "sid": pa.array(t_sid, type=pa.int64()),
+                    "weight": pa.array(t_w, type=pa.int64()),
+                }
+            )
+
+        def suggestion_rows(batch: pa.Table) -> pa.Table:
+            surfaces = batch.column(surface_column).to_pylist()
+            weights = batch.column(weight_column).to_pylist()
+            payloads = batch.column(payload_column).to_pylist() if has_payload else None
+            if id_column is not None:
+                sids = [int(v) for v in batch.column(id_column).to_pylist()]
+            else:
+                sids = [
+                    int.from_bytes(
+                        _hashlib.md5(
+                            f"{s}\x00{w}\x00{payloads[i] if has_payload else ''}".encode()
+                        ).digest()[:8],
+                        "big",
+                    )
+                    >> 1
+                    for i, (s, w) in enumerate(zip(surfaces, weights))
+                ]
+            cols = {
+                "sid": pa.array(sids, type=pa.int64()),
+                "surface": pa.array(surfaces, type=pa.string()),
+                "weight": pa.array([int(w) for w in weights], type=pa.int64()),
+            }
+            if has_payload:
+                cols["payload"] = pa.array(payloads)
+            return pa.table(cols)
+
+        tok_dir = os.path.join(self.store_dir, "tokens")
+        sug_dir = os.path.join(self.store_dir, "suggestions")
+        os.makedirs(tok_dir, exist_ok=True)
+        os.makedirs(sug_dir, exist_ok=True)
+        ds.map_batches(explode, batch_format="pyarrow").sort("token").write_parquet(
+            tok_dir, row_group_size=512
+        )
+        ds.map_batches(suggestion_rows, batch_format="pyarrow").sort("sid").write_parquet(
+            sug_dir, row_group_size=512
+        )
+        manifest = {
+            "token_parts": _part_ranges(tok_dir, "token"),
+            "suggestion_parts": _part_ranges(sug_dir, "sid"),
+            "has_payload": has_payload,
+        }
+        tmp = os.path.join(self.store_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.store_dir, "manifest.json"))
+
+    # -- routed reads -------------------------------------------------------
+
+    def _covering(self, parts: list, lo, hi) -> list:
+        return [p for p in parts if not (p["max"] < lo or p["min"] > hi)]
+
+    def _read_tokens(self, lo: str, hi: str) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        tabs = []
+        for p in self._covering(self.manifest["token_parts"], lo, hi):
+            self.parts_read += 1
+            tabs.append(
+                _pq.read_table(
+                    os.path.join(self.store_dir, "tokens", p["file"]),
+                    filters=[("token", ">=", lo), ("token", "<=", hi)],
+                )
+            )
+        if not tabs:
+            return pa.table(
+                {"token": pa.array([], type=pa.string()), "pos": pa.array([], type=pa.int64()),
+                 "sid": pa.array([], type=pa.int64()), "weight": pa.array([], type=pa.int64())}
+            )
+        return pa.concat_tables(tabs)
+
+    def _fetch_suggestions(self, sids: list[int]) -> dict[int, tuple]:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        out: dict[int, tuple] = {}
+        if not sids:
+            return out
+        lo, hi = min(sids), max(sids)
+        want = set(sids)
+        for p in self._covering(self.manifest["suggestion_parts"], lo, hi):
+            self.parts_read += 1
+            t = _pq.read_table(
+                os.path.join(self.store_dir, "suggestions", p["file"]),
+                filters=[("sid", "in", sorted(want))],
+            )
+            pay = t.column("payload").to_pylist() if "payload" in t.column_names else [None] * t.num_rows
+            for sid, surf, w, pl in zip(
+                t.column("sid").to_pylist(), t.column("surface").to_pylist(),
+                t.column("weight").to_pylist(), pay,
+            ):
+                out[sid] = (surf, w, pl)
+        return out
+
+    # -- lookup -------------------------------------------------------------
+
+    def _candidates(self, key: str, all_terms_required: bool):
+        """-> (cands: {sid: (weight, min_pos, n_clauses_matched)}, n_clauses,
+        matched_tokens: set, prefix_token: str|None)."""
+        # last token is a PREFIX unless the key ends past it (reference checks
+        # the final token's endOffset vs key length)
+        last_complete = not key or not key[-1].isalnum()
+        toks = self.analyzer(key)
+        if not toks:
+            return {}, 0, set(), None
+        exact, prefix_token = (toks, None) if last_complete else (toks[:-1], toks[-1])
+        clauses = []  # each: dict sid -> (weight, pos)
+        matched_tokens = set(exact)
+        for t in dict.fromkeys(exact):
+            tab = self._read_tokens(t, t)
+            clauses.append(
+                dict(zip(tab.column("sid").to_pylist(),
+                         zip(tab.column("weight").to_pylist(), tab.column("pos").to_pylist())))
+            )
+        if prefix_token is not None:
+            tab = self._read_tokens(prefix_token, prefix_token + self._HI)
+            best: dict[int, tuple] = {}
+            for sid, w, pos in zip(
+                tab.column("sid").to_pylist(), tab.column("weight").to_pylist(),
+                tab.column("pos").to_pylist(),
+            ):
+                cur = best.get(sid)
+                if cur is None or pos < cur[1]:
+                    best[sid] = (w, pos)
+            clauses.append(best)
+        cands: dict[int, list] = {}
+        for cl in clauses:
+            for sid, (w, pos) in cl.items():
+                e = cands.get(sid)
+                if e is None:
+                    cands[sid] = [w, pos, 1]
+                else:
+                    e[1] = min(e[1], pos)
+                    e[2] += 1
+        if all_terms_required:
+            need = len(clauses)
+            cands = {s: e for s, e in cands.items() if e[2] == need}
+        return cands, len(clauses), matched_tokens, prefix_token
+
+    def _rank(self, cands: dict) -> list[tuple[int, float]]:
+        """[(sid, score)] best-first; AnalyzingInfix ranks purely by weight."""
+        return sorted(((s, float(e[0])) for s, e in cands.items()),
+                      key=lambda x: (-x[1], x[0]))
+
+    def lookup(
+        self, key: str, k: int = 5, *, all_terms_required: bool = True,
+        do_highlight: bool = False,
+    ) -> list[dict]:
+        cands, _n, matched_tokens, prefix_token = self._candidates(key, all_terms_required)
+        ranked = self._rank(cands)[:k]
+        info = self._fetch_suggestions([s for s, _ in ranked])
+        out = []
+        for sid, score in ranked:
+            surf, w, pl = info[sid]
+            row = {"surface": surf, "weight": int(w), "score": score, "sid": sid}
+            if self.manifest.get("has_payload"):
+                row["payload"] = pl
+            if do_highlight:
+                row["highlighted"] = self._highlight(surf, matched_tokens, prefix_token)
+            out.append(row)
+        return out
+
+    def _highlight(self, surface: str, matched: set, prefix_token: str | None) -> str:
+        """Whole-token <b> for exact matches; AddPrefixMatch semantics for the
+        prefix token (only the typed prefix is bolded). Offsets come from an
+        alnum-run scan of the surface, each run re-analyzed — equivalent to
+        the reference's offset-carrying token stream on standard text."""
+        import re
+
+        out, i = [], 0
+        for m in re.finditer(r"[A-Za-z0-9]+", surface):
+            start, end = m.span()
+            if start > i:
+                out.append(surface[i:start])
+            raw = surface[start:end]
+            terms = self.analyzer(raw)
+            tok = terms[0] if terms else raw.lower()
+            if tok in matched:
+                out.append(f"<b>{raw}</b>")
+            elif prefix_token is not None and tok.startswith(prefix_token):
+                cut = start + len(prefix_token)
+                out.append(f"<b>{surface[start:cut]}</b>{surface[cut:end]}")
+            else:
+                out.append(raw)
+            i = end
+        out.append(surface[i:])
+        return "".join(out)
+
+
+class BlendedInfixSuggester(AnalyzingInfixSuggester):
+    """BlendedInfixSuggester analog (reference
+    Suggest/Suggest/Analyzing/BlendedInfixSuggester.cs:35): the weight is
+    blended with the POSITION of the first matched token in the suggestion —
+    POSITION_LINEAR: weight*(1 - 0.10*min(position, 10)); POSITION_RECIPROCAL:
+    weight/(1+position) (CalculateCoefficient). The reference approximates by
+    re-ranking the top num*numFactor weight-ordered hits; here the blend is
+    computed over ALL candidates (positions ride in the token store), which
+    is exact and needs no numFactor over-fetch."""
+
+    LINEAR_COEF = 0.10
+
+    def __init__(self, *args, blender_type: str = "position_linear", **kw):
+        if blender_type not in ("position_linear", "position_reciprocal"):
+            raise ValueError(f"unknown blender_type {blender_type!r}")
+        self.blender_type = blender_type
+        super().__init__(*args, **kw)
+
+    def _coefficient(self, position: int) -> float:
+        if self.blender_type == "position_linear":
+            return 1.0 - self.LINEAR_COEF * min(position, 10)
+        return 1.0 / (1.0 + position)
+
+    def _rank(self, cands: dict) -> list[tuple[int, float]]:
+        return sorted(
+            ((s, e[0] * self._coefficient(e[1])) for s, e in cands.items()),
+            key=lambda x: (-x[1], x[0]),
+        )
+
+
+def _part_ranges(parts_dir: str, column: str) -> list[dict]:
+    """Per-part [min, max] of a sorted column — exact first/last row reads,
+    the merge.py parts-manifest pattern (footer stats may be truncated)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    out = []
+    for f in sorted(os.listdir(parts_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        pf = _pq.ParquetFile(os.path.join(parts_dir, f))
+        nrows = pf.metadata.num_rows
+        if nrows == 0:
+            pf.close()
+            os.remove(os.path.join(parts_dir, f))
+            continue
+        lo = pf.read_row_group(0, columns=[column]).column(column)[0].as_py()
+        last = pf.read_row_group(pf.metadata.num_row_groups - 1, columns=[column])
+        hi = last.column(column)[-1].as_py()
+        pf.close()
+        out.append({"file": f, "min": lo, "max": hi, "rows": nrows})
+    out.sort(key=lambda p: (p["min"], p["max"]))
+    return out
+
+
 def suggest_word_breaks(
     searcher, term: str, *, k: int = 5, min_part_len: int = 2
 ) -> list[tuple[tuple[str, str], int]]:

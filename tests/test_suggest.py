@@ -71,3 +71,146 @@ def test_freetext_suggester_backoff():
     assert got3 == [] or all(t.startswith("zz") for t, _ in got3)
     got4 = sg.lookup("totally unseen ", k=2)
     assert len(got4) == 2  # unigram fallback still suggests something
+
+
+# ---------------------------------------------------------------------------
+# infix suggesters (parquet-backed, token-range-routed)
+# ---------------------------------------------------------------------------
+
+def _infix_fixture(tmp_path, cls=None, **kw):
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.pipelines.suggest import AnalyzingInfixSuggester
+
+    cls = cls or AnalyzingInfixSuggester
+    tbl = pa.table(
+        {
+            "suggestion": [
+                "a penny saved is a penny earned",
+                "lend me your ear",
+                "pay it forward",
+                "penny wise pound foolish",
+            ],
+            "weight": [10, 8, 5, 7],
+        }
+    )
+    return cls(
+        ray.data.from_arrow(tbl),
+        store_dir=str(tmp_path / "infix"),
+        analyzer=Analyzer(stop_words=None),
+        **kw,
+    )
+
+
+def test_infix_prefix_matches_any_token(tmp_path):
+    """Mirrors AnalyzingInfixSuggesterTest.testBasic: 'ear' prefix-matches a
+    token ANYWHERE in the suggestion, ranked by weight desc."""
+    s = _infix_fixture(tmp_path)
+    got = s.lookup("ear", k=10, do_highlight=True)
+    assert [(r["surface"], r["weight"]) for r in got] == [
+        ("a penny saved is a penny earned", 10),
+        ("lend me your ear", 8),
+    ]
+    assert got[0]["highlighted"] == "a penny saved is a penny <b>ear</b>ned"
+    assert got[1]["highlighted"] == "lend me your <b>ear</b>"
+
+
+def test_infix_trailing_separator_means_exact(tmp_path):
+    """'ear ' (trailing space) is an EXACT term — 'earned' no longer matches
+    (reference: lastToken endOffset < key length -> TermQuery)."""
+    s = _infix_fixture(tmp_path)
+    got = s.lookup("ear ", k=10)
+    assert [r["surface"] for r in got] == ["lend me your ear"]
+
+
+def test_infix_all_terms_required_vs_should(tmp_path):
+    s = _infix_fixture(tmp_path)
+    # MUST: both 'penny' and prefix 'ear' -> only the proverb
+    got = s.lookup("penny ear", k=10)
+    assert [r["surface"] for r in got] == ["a penny saved is a penny earned"]
+    # SHOULD: any term matches, still weight-ordered
+    got = s.lookup("penny ear", k=10, all_terms_required=False)
+    assert [r["surface"] for r in got] == [
+        "a penny saved is a penny earned",
+        "lend me your ear",
+        "penny wise pound foolish",
+    ]
+
+
+def test_infix_highlight_exact_token_bolds_whole_word(tmp_path):
+    s = _infix_fixture(tmp_path)
+    got = s.lookup("penny ", k=1, do_highlight=True)
+    assert got[0]["highlighted"] == "a <b>penny</b> saved is a <b>penny</b> earned"
+
+
+def test_infix_lookup_routes_not_scans(tmp_path):
+    """Laziness: with a many-part token store, a lookup touches only the
+    parts whose [min,max] token range covers the query token."""
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.pipelines.suggest import AnalyzingInfixSuggester
+
+    words = [f"word{i:03d} tail{i % 7}" for i in range(400)]
+    tbl = pa.table({"suggestion": words, "weight": list(range(400))})
+    s = AnalyzingInfixSuggester(
+        ray.data.from_arrow(tbl).repartition(8),
+        store_dir=str(tmp_path / "many"),
+        analyzer=Analyzer(stop_words=None),
+    )
+    n_parts = len(s.manifest["token_parts"])
+    assert n_parts >= 4  # the store actually is partitioned
+    s.parts_read = 0
+    got = s.lookup("word399 ", k=3)
+    assert [r["surface"] for r in got] == ["word399 tail0"]
+    # one token -> covering token parts + suggestion fetch, never all parts
+    assert s.parts_read < n_parts
+
+
+def test_infix_reopen_from_disk(tmp_path):
+    """The store is the durable artifact: a fresh suggester object opens the
+    directory without the dataset and serves identical results."""
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.pipelines.suggest import AnalyzingInfixSuggester
+
+    s1 = _infix_fixture(tmp_path)
+    s2 = AnalyzingInfixSuggester(
+        store_dir=str(tmp_path / "infix"), analyzer=Analyzer(stop_words=None)
+    )
+    assert s2.lookup("pen", k=5) == s1.lookup("pen", k=5)
+
+
+def test_blended_infix_position_blend(tmp_path):
+    """BlendedInfixSuggester: equal weights rank by the matched token's
+    position (POSITION_LINEAR: weight*(1-0.10*pos))."""
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.pipelines.suggest import BlendedInfixSuggester
+
+    tbl = pa.table(
+        {
+            "suggestion": [
+                "star wars episode five",
+                "the wars of roses history",
+                "civil wars inside stories",
+            ],
+            "weight": [10, 10, 10],
+        }
+    )
+    s = BlendedInfixSuggester(
+        ray.data.from_arrow(tbl),
+        store_dir=str(tmp_path / "blend"),
+        analyzer=Analyzer(stop_words=None),
+    )
+    got = s.lookup("wars", k=3)
+    # positions of 'wars': 1 (star), 1 (the wars...), 1 (civil) -> all pos 1?
+    # 'the wars' analyzed without stops: the=0, wars=1; star=0, wars=1;
+    # civil=0, wars=1 -> tie; use distinct positions instead via 2nd lookup
+    assert all(abs(r["score"] - 10 * 0.9) < 1e-9 for r in got)
+    got = s.lookup("episode", k=3)
+    assert [r["surface"] for r in got] == ["star wars episode five"]
+    assert abs(got[0]["score"] - 10 * (1 - 0.10 * 2)) < 1e-9
+    # reciprocal blender
+    s2 = BlendedInfixSuggester(
+        store_dir=str(tmp_path / "blend"),
+        analyzer=Analyzer(stop_words=None),
+        blender_type="position_reciprocal",
+    )
+    got = s2.lookup("episode", k=3)
+    assert abs(got[0]["score"] - 10 / 3.0) < 1e-9
