@@ -39,3 +39,65 @@ def test_percolate_phrase_and_empty():
     assert set(out["doc_id"]) == {0}
     none = percolate(ds, {"z": "absentterm"}).to_pandas()
     assert len(none) == 0
+
+
+def test_percolate_prefilter_equals_bruteforce():
+    """The vectorized candidate prefilter + exact fast path must emit exactly
+    the per-doc MemoryIndex matches for every query shape: term, AND, OR,
+    minShouldMatch, NOT, phrase, sloppy phrase, prefix (no-prune fallback)."""
+    import itertools
+
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.oracle import OracleIndex
+    from lucene_net_ray.query import parse_query
+    from lucene_net_ray.query import BooleanClause, BooleanQuery, PrefixQuery, TermQuery
+
+    vocab = ["alpha", "beta", "gamma", "delta", "omega"]
+    docs = [
+        " ".join(p) for r in (1, 2, 3) for p in itertools.permutations(vocab, r)
+    ][:120]
+    queries = {
+        "t": "alpha",
+        "and": "+alpha +beta",
+        "or": "gamma delta",
+        "not": "+beta -gamma",
+        "msm2": BooleanQuery(
+            clauses=tuple(
+                BooleanClause(TermQuery(term=t), "SHOULD")
+                for t in ("alpha", "beta", "omega")
+            ),
+            min_should_match=2,
+        ),
+        "phrase": '"alpha beta"',
+        "sloppy": parse_query('"alpha gamma"~2'),
+        "prefix": PrefixQuery(prefix="de"),
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    )
+    out = percolate(ds, queries).to_pandas()
+    got = {(r.doc_id, r.query_name) for r in out.itertuples()}
+
+    analyzer = Analyzer()
+    oracle = OracleIndex(docs, analyzer=analyzer)
+    parsed = {
+        n: (q if not isinstance(q, str) else parse_query(q, analyzer=analyzer))
+        for n, q in queries.items()
+    }
+    expected = {
+        (d, n)
+        for n, q in parsed.items()
+        for d in range(len(docs))
+        if (s := oracle._eval(d, q)) is not None and s > 0
+    }
+    assert got == expected
+
+
+def test_percolate_exact_fastpath_skips_eval():
+    """Term/AND/OR query sets never build the per-batch oracle index."""
+    from lucene_net_ray.stages.percolate import PercolatorStage
+
+    st = PercolatorStage({"a": "+merge +spark", "b": "vector", "c": "window stream"})
+    assert not st._need_oracle
+    st2 = PercolatorStage({"a": '"exact phrase"'})
+    assert st2._need_oracle
