@@ -361,6 +361,8 @@ class Analyzer:
             "sorani": "sorani",
             "romanian": "romanian",
             "brazilian": "brazilian",
+            "galician": "galician",
+            "galician_minimal": "galician_minimal",
             "turkish": "turkish_snowball",
             "irish": None,
         }

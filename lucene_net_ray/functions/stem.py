@@ -1056,3 +1056,8 @@ CASE_FOLDS = {
 from .turkish import turkish_snowball_stem  # noqa: E402
 
 STEMMERS["turkish_snowball"] = turkish_snowball_stem
+
+from .galician import galician_minimal_stem, galician_stem  # noqa: E402
+
+STEMMERS["galician"] = galician_stem
+STEMMERS["galician_minimal"] = galician_minimal_stem

@@ -33,6 +33,84 @@ def gather_keys(from_ds: ray.data.Dataset, from_field: str) -> np.ndarray:
     return np.asarray(sorted(v for v in vals if v is not None))
 
 
+def _coarse_of(col, mask: int) -> np.ndarray:
+    """Deterministic key -> coarse group, vectorized for int and utf8 keys
+    (anything else casts to utf8 first)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = v * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(40)).astype(np.int64)) & mask
+    if not pa.types.is_string(col.type):
+        col = col.cast(pa.string())
+    from ..stages.textstats import md5_hex_utf8
+
+    hexes = md5_hex_utf8(col)
+    if not hexes:
+        return np.empty(0, dtype=np.int64)
+    nib = np.frombuffer("".join(hexes).encode(), dtype=np.uint8)
+    nib = nib.reshape(-1, 32)[:, :8].astype(np.int64)
+    nib = np.where(nib >= 97, nib - 87, nib - 48)
+    return (nib << (4 * np.arange(7, -1, -1))).sum(axis=1) & mask
+
+
+def _semi_join_shuffle(
+    to_ds: ray.data.Dataset,
+    to_field: str,
+    distinct_keys: ray.data.Dataset,
+    from_field: str,
+    *,
+    negate: bool,
+    coarse_groups: int,
+) -> ray.data.Dataset:
+    """Large-from-side fallback: hash-partition BOTH sides on the key's
+    coarse hash and test membership inside each group — the stages/clean.py
+    bounded-shuffle pattern. The distinct key set never touches the driver."""
+    mask = coarse_groups - 1
+    to_schema = to_ds.schema()  # Ray Schema wrapper: .names + pyarrow .types
+    names = list(to_schema.names)
+    types = list(to_schema.types)
+
+    def tag_to(batch: pa.Table) -> pa.Table:
+        coarse = _coarse_of(batch.column(to_field), mask)
+        return batch.append_column("__coarse", pa.array(coarse)).append_column(
+            "__from", pa.array(np.zeros(batch.num_rows, dtype=bool))
+        )
+
+    def tag_from(batch: pa.Table) -> pa.Table:
+        col = batch.column(from_field)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        coarse = _coarse_of(col, mask)
+        arrays = []
+        for name, typ in zip(names, types):
+            if name == to_field:
+                arrays.append(col.cast(typ))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, typ))
+        t = pa.table(dict(zip(names, arrays)))
+        return t.append_column("__coarse", pa.array(coarse)).append_column(
+            "__from", pa.array(np.ones(batch.num_rows, dtype=bool))
+        )
+
+    unioned = to_ds.map_batches(tag_to, batch_format="pyarrow").union(
+        distinct_keys.map_batches(tag_from, batch_format="pyarrow")
+    )
+
+    def in_group(group: pa.Table) -> pa.Table:
+        from_mask = group.column("__from")
+        keys = group.filter(from_mask).column(to_field).unique()
+        to_rows = group.filter(pc.invert(from_mask))
+        m = pc.is_in(to_rows.column(to_field), value_set=keys)
+        if negate:
+            m = pc.invert(pc.fill_null(m, False))
+        return to_rows.filter(m).drop_columns(["__coarse", "__from"])
+
+    return unioned.groupby("__coarse").map_groups(in_group, batch_format="pyarrow")
+
+
 def semi_join(
     to_ds: ray.data.Dataset,
     to_field: str,
@@ -40,10 +118,34 @@ def semi_join(
     from_field: str,
     *,
     negate: bool = False,
+    broadcast_key_budget: int = 2_000_000,
+    coarse_groups: int = 256,
 ) -> ray.data.Dataset:
     """to-side rows whose ``to_field`` is (not, if negate) in the from side's
-    distinct ``from_field`` set. JoinUtil semi-join / anti-join semantics."""
-    keys = gather_keys(from_ds, from_field)
+    distinct ``from_field`` set. JoinUtil semi-join / anti-join semantics.
+
+    The distinct key set is usually query-match-sized (JoinUtil's regime):
+    it broadcasts once via ``ray.put`` and the to side streams through a
+    membership filter. A from side with more than ``broadcast_key_budget``
+    distinct keys would OOM the driver on the old unconditional ``take_all``
+    — such inputs now route to the coarse-hash shuffle join instead (round-4
+    guard; the distinct COUNT is checked first, a row-count aggregate that
+    brings no values back)."""
+    distinct = (
+        from_ds.select_columns([from_field]).groupby(from_field).count().materialize()
+    )
+    n_distinct = distinct.count()
+    if n_distinct > broadcast_key_budget:
+        return _semi_join_shuffle(
+            to_ds,
+            to_field,
+            distinct.select_columns([from_field]),
+            from_field,
+            negate=negate,
+            coarse_groups=coarse_groups,
+        )
+    vals = [r[from_field] for r in distinct.take_all()]
+    keys = np.asarray(sorted(v for v in vals if v is not None))
     keys_ref = ray.put(keys)
 
     def filt(batch: pa.Table) -> pa.Table:

@@ -86,3 +86,62 @@ def test_block_join_parent_scores():
         assert 3 not in out.index  # no matching child
         assert out["score"].to_dict() == expect, mode
     assert out["n_matches"].to_dict() == {1: 2, 2: 2}
+
+
+def test_semi_join_large_from_side_takes_shuffle_path():
+    """Round-4 guard: a from side over the broadcast budget must NOT
+    take_all the key set to the driver — the coarse-hash shuffle join runs
+    instead and produces identical results (semi and anti, int and string
+    keys)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines import joins
+
+    rng = np.random.default_rng(11)
+    to_tbl = pa.table(
+        {
+            "k": rng.integers(0, 500, size=2000),
+            "v": np.arange(2000),
+            "s": [f"s{i % 37}" for i in range(2000)],
+        }
+    )
+    from_tbl = pa.table({"fk": rng.integers(0, 700, size=3000)})
+    to_ds = ray.data.from_arrow(to_tbl).repartition(4)
+    from_ds = ray.data.from_arrow(from_tbl).repartition(4)
+
+    expect_keys = set(from_tbl.column("fk").to_pylist())
+    expect_semi = sorted(
+        v for k, v in zip(to_tbl.column("k").to_pylist(), to_tbl.column("v").to_pylist())
+        if k in expect_keys
+    )
+    expect_anti = sorted(
+        v for k, v in zip(to_tbl.column("k").to_pylist(), to_tbl.column("v").to_pylist())
+        if k not in expect_keys
+    )
+
+    # budget=1 forces the shuffle path; broadcast gather must never run
+    orig = joins.gather_keys
+    joins.gather_keys = lambda *a, **kw: (_ for _ in ()).throw(AssertionError("broadcast path used"))
+    try:
+        semi = joins.semi_join(to_ds, "k", from_ds, "fk", broadcast_key_budget=1)
+        anti = joins.semi_join(to_ds, "k", from_ds, "fk", negate=True, broadcast_key_budget=1)
+        got_semi = sorted(semi.to_pandas()["v"].tolist())
+        got_anti = sorted(anti.to_pandas()["v"].tolist())
+    finally:
+        joins.gather_keys = orig
+    assert got_semi == expect_semi
+    assert got_anti == expect_anti
+
+    # string keys route through the md5 coarse hash
+    to_s = ray.data.from_arrow(pa.table({"name": [f"s{i % 37}" for i in range(300)],
+                                         "v": list(range(300))}))
+    from_s = ray.data.from_arrow(pa.table({"name": [f"s{i}" for i in range(0, 37, 2)]}))
+    semi_s = joins.semi_join(to_s, "name", from_s, "name", broadcast_key_budget=1)
+    exp = sorted(v for i, v in enumerate(range(300)) if (i % 37) % 2 == 0)
+    assert sorted(semi_s.to_pandas()["v"].tolist()) == exp
+
+    # small from side still broadcasts (the JoinUtil regime)
+    small = joins.semi_join(to_ds, "k", from_ds, "fk")
+    assert sorted(small.to_pandas()["v"].tolist()) == expect_semi
