@@ -16,8 +16,6 @@
 
 from __future__ import annotations
 
-import bisect
-
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -25,53 +23,127 @@ import ray.data
 from ..functions.analysis import Analyzer
 
 
+_RANGE_HI = "\U0010FFFF"
+
+
+class _SortedParquetStore:
+    """Key-sorted parquet parts + a [min,max] routing manifest — the storage
+    seam shared by every suggester (round 4: replaces the driver-resident
+    ``take_all`` arrays, which were corpus-vocab-sized at 100 TB). Lookups
+    binary-route through the manifest and read ONLY covering parts with a
+    parquet range predicate; ``parts_read`` lets tests assert laziness."""
+
+    def __init__(self, store_dir: str, key_column: str):
+        import json
+        import os
+
+        self.dir = store_dir
+        self.key_column = key_column
+        self.parts_read = 0
+        with open(os.path.join(store_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+
+    @staticmethod
+    def build(ds: ray.data.Dataset, store_dir: str, key_column: str, extra: dict | None = None):
+        import json
+        import os
+
+        parts_dir = os.path.join(store_dir, "parts")
+        os.makedirs(parts_dir, exist_ok=True)
+        ds.sort(key_column).write_parquet(parts_dir, row_group_size=512)
+        manifest = {"parts": _part_ranges(parts_dir, key_column), **(extra or {})}
+        tmp = os.path.join(store_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(store_dir, "manifest.json"))
+
+    def read_range(self, lo: str, hi: str) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        tabs = []
+        for p in self.manifest["parts"]:
+            if p["max"] < lo or p["min"] > hi:
+                continue
+            self.parts_read += 1
+            tabs.append(
+                _pq.read_table(
+                    os.path.join(self.dir, "parts", p["file"]),
+                    filters=[(self.key_column, ">=", lo), (self.key_column, "<=", hi)],
+                )
+            )
+        if not tabs:
+            return None
+        return pa.concat_tables(tabs)
+
+
 class AnalyzingSuggester:
-    """Build once from a Dataset of (surface, weight); lookup by analyzed prefix."""
+    """AnalyzingSuggester analog: lookup by the ANALYZED form of the key,
+    returning the ORIGINAL surface ranked by weight. The FST is replaced by
+    a key-sorted parquet store with range-routed lookups (the reference's
+    in-RAM FST is suggester-sized; at corpus scale the vocabulary is not,
+    so the store lives on disk and the driver holds only the manifest)."""
 
     def __init__(
         self,
-        ds: ray.data.Dataset,
+        ds: ray.data.Dataset | None = None,
         *,
+        store_dir: str | None = None,
         surface_column: str = "suggestion",
         weight_column: str = "weight",
         analyzer: Analyzer | None = None,
     ):
+        import os
+        import tempfile
+
         analyzer = analyzer or Analyzer()
-
-        def keyed(batch: pa.Table) -> pa.Table:
-            surfaces = batch.column(surface_column).to_pylist()
-            weights = batch.column(weight_column).to_pylist()
-            keys = [" ".join(analyzer(s)) for s in surfaces]
-            return pa.table(
-                {
-                    "key": pa.array(keys, type=pa.string()),
-                    "surface": pa.array(surfaces, type=pa.string()),
-                    "weight": pa.array([int(w) for w in weights], type=pa.int64()),
-                }
-            )
-
-        rows = (
-            ds.map_batches(keyed, batch_format="pyarrow")
-            .groupby(["key", "surface"])
-            .max("weight")
-            .take_all()
-        )  # suggester-sized, not corpus-sized
-        rows.sort(key=lambda r: r["key"])
-        self._keys = [r["key"] for r in rows]
-        self._surfaces = [r["surface"] for r in rows]
-        self._weights = [int(r["max(weight)"]) for r in rows]
         self._analyzer = analyzer
+        store_dir = store_dir or tempfile.mkdtemp(prefix="lnr_suggest_", dir="/tmp")
+        if not os.path.exists(os.path.join(store_dir, "manifest.json")):
+            if ds is None:
+                raise FileNotFoundError(f"no suggester store at {store_dir} and no ds")
+
+            def keyed(batch: pa.Table) -> pa.Table:
+                surfaces = batch.column(surface_column).to_pylist()
+                weights = batch.column(weight_column).to_pylist()
+                keys = [" ".join(analyzer(s)) for s in surfaces]
+                return pa.table(
+                    {
+                        "key": pa.array(keys, type=pa.string()),
+                        "surface": pa.array(surfaces, type=pa.string()),
+                        "weight": pa.array([int(w) for w in weights], type=pa.int64()),
+                    }
+                )
+
+            rows = (
+                ds.map_batches(keyed, batch_format="pyarrow")
+                .groupby(["key", "surface"])
+                .max("weight")
+                .rename_columns({"max(weight)": "weight"})
+            )
+            _SortedParquetStore.build(rows, store_dir, "key")
+        self._store = _SortedParquetStore(store_dir, "key")
+
+    @property
+    def parts_read(self) -> int:
+        return self._store.parts_read
 
     def lookup(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
         """Top-k (surface, weight) whose ANALYZED key starts with the
         analyzed prefix; ties by surface asc."""
         key = " ".join(self._analyzer(prefix))
-        lo = bisect.bisect_left(self._keys, key)
-        hi = bisect.bisect_right(self._keys, key + "\U0010FFFF")
+        tab = self._store.read_range(key, key + _RANGE_HI)
+        if tab is None:
+            return []
         cands = [
-            (self._surfaces[i], self._weights[i])
-            for i in range(lo, hi)
-            if self._keys[i].startswith(key)
+            (s, int(w))
+            for ky, s, w in zip(
+                tab.column("key").to_pylist(),
+                tab.column("surface").to_pylist(),
+                tab.column("weight").to_pylist(),
+            )
+            if ky.startswith(key)
         ]
         cands.sort(key=lambda x: (-x[1], x[0]))
         return cands[:k]
@@ -103,7 +175,7 @@ class FuzzySuggester(AnalyzingSuggester):
 
     def __init__(
         self,
-        ds: ray.data.Dataset,
+        ds: ray.data.Dataset | None = None,
         *,
         max_edits: int = 1,
         non_fuzzy_prefix: int = 1,
@@ -120,15 +192,19 @@ class FuzzySuggester(AnalyzingSuggester):
         if len(key) < self.min_fuzzy_length:
             return super().lookup(prefix, k)
         head = key[: self.non_fuzzy_prefix]
-        lo = bisect.bisect_left(self._keys, head)
-        hi = bisect.bisect_right(self._keys, head + "\U0010FFFF")
+        tab = self._store.read_range(head, head + _RANGE_HI)
+        if tab is None:
+            return []
         best: dict[str, int] = {}
-        for i in range(lo, hi):
-            cand = self._keys[i][: len(key) + self.max_edits]
+        for ky, s, w in zip(
+            tab.column("key").to_pylist(),
+            tab.column("surface").to_pylist(),
+            tab.column("weight").to_pylist(),
+        ):
+            cand = ky[: len(key) + self.max_edits]
             if _prefix_edit_distance(key, cand, self.max_edits) <= self.max_edits:
-                s, w = self._surfaces[i], self._weights[i]
-                if w > best.get(s, -1):
-                    best[s] = w
+                if int(w) > best.get(s, -1):
+                    best[s] = int(w)
         out = sorted(best.items(), key=lambda x: (-x[1], x[0]))
         return out[:k]
 
@@ -154,58 +230,112 @@ class FreeTextSuggester:
 
     def __init__(
         self,
-        ds: ray.data.Dataset,
+        ds: ray.data.Dataset | None = None,
         *,
+        store_dir: str | None = None,
         text_column: str = "text",
         grams: int = 3,
         analyzer: Analyzer | None = None,
     ):
+        import os
+        import tempfile
+
         analyzer = analyzer or Analyzer(stop_words=None)
         self.grams = grams
         self._analyzer = analyzer
+        store_dir = store_dir or tempfile.mkdtemp(prefix="lnr_freetext_", dir="/tmp")
+        if not os.path.exists(os.path.join(store_dir, "manifest.json")):
+            if ds is None:
+                raise FileNotFoundError(f"no suggester store at {store_dir} and no ds")
 
-        def shingle_partials(batch: pa.Table) -> pa.Table:
-            from collections import Counter
+            def shingle_partials(batch: pa.Table) -> pa.Table:
+                from collections import Counter
 
-            agg: Counter = Counter()
-            for text in batch.column(text_column).to_pylist():
-                toks = analyzer(text)
-                for n in range(1, grams + 1):
-                    for i in range(len(toks) - n + 1):
-                        agg[" ".join(toks[i : i + n])] += 1
-            return pa.table(
-                {
-                    "gram": pa.array(list(agg.keys()), type=pa.string()),
-                    "n": pa.array(list(agg.values()), type=pa.int64()),
-                }
+                agg: Counter = Counter()
+                for text in batch.column(text_column).to_pylist():
+                    toks = analyzer(text)
+                    for n in range(1, grams + 1):
+                        for i in range(len(toks) - n + 1):
+                            agg[" ".join(toks[i : i + n])] += 1
+                return pa.table(
+                    {
+                        "gram": pa.array(list(agg.keys()), type=pa.string()),
+                        "n": pa.array(list(agg.values()), type=pa.int64()),
+                    }
+                )
+
+            rows = (
+                ds.map_batches(shingle_partials, batch_format="pyarrow")
+                .groupby("gram")
+                .sum("n")
+                .rename_columns({"sum(n)": "n"})
+                .map_batches(
+                    lambda b: b.append_column(
+                        "order",
+                        pa.array(
+                            [g.count(" ") + 1 for g in b.column("gram").to_pylist()],
+                            type=pa.int64(),
+                        ),
+                    ),
+                    batch_format="pyarrow",
+                )
+                .materialize()  # model-sized: reused by the write AND the uni sum
             )
+            total_uni = rows.filter(lambda r: r["order"] == 1).sum("n") or 0
+            _SortedParquetStore.build(
+                rows, store_dir, "gram", extra={"total_uni": max(int(total_uni), 1)}
+            )
+        self._store = _SortedParquetStore(store_dir, "gram")
+        self._total_uni = self._store.manifest["total_uni"]
 
-        rows = (
-            ds.map_batches(shingle_partials, batch_format="pyarrow")
-            .groupby("gram")
-            .sum("n")
-            .take_all()
-        )  # model-sized, not corpus-sized
-        self._count: dict[str, int] = {}
-        by_order: dict[int, list[str]] = {}
-        total_uni = 0
-        for r in rows:
-            g, n = r["gram"], int(r["sum(n)"])
-            self._count[g] = n
-            order = g.count(" ") + 1
-            by_order.setdefault(order, []).append(g)
-            if order == 1:
-                total_uni += n
-        self._sorted = {o: sorted(gs) for o, gs in by_order.items()}
-        self._total_uni = max(total_uni, 1)
+    @property
+    def parts_read(self) -> int:
+        return self._store.parts_read
 
-    def _candidates(self, ctx_key: str, prefix: str, order: int) -> list[str]:
-        """Grams of length `order` starting with 'ctx_key ' + prefix*."""
-        lst = self._sorted.get(order, [])
+    def _candidates(self, ctx_key: str, prefix: str, order: int) -> dict[str, int]:
+        """{gram: count} of length `order` starting with 'ctx_key ' + prefix*
+        — one routed range read."""
         head = (ctx_key + " " + prefix) if ctx_key else prefix
-        lo = bisect.bisect_left(lst, head)
-        hi = bisect.bisect_right(lst, head + "\U0010FFFF")
-        return lst[lo:hi]
+        tab = self._store.read_range(head, head + _RANGE_HI)
+        if tab is None:
+            return {}
+        return {
+            g: int(n)
+            for g, o, n in zip(
+                tab.column("gram").to_pylist(),
+                tab.column("order").to_pylist(),
+                tab.column("n").to_pylist(),
+            )
+            if o == order and g.startswith(head)
+        }
+
+    def count_table(self) -> dict[str, int]:
+        """The full gram->count model as a dict — the BROADCAST-model path
+        (lm_quality_scores ships it via ray.put for batch inference). The
+        model is aggregate-sized by construction; interactive lookups should
+        use the routed reads instead."""
+        import os
+
+        import pyarrow.parquet as _pq
+
+        out: dict[str, int] = {}
+        for p in self._store.manifest["parts"]:
+            t = _pq.read_table(
+                os.path.join(self._store.dir, "parts", p["file"]), columns=["gram", "n"]
+            )
+            out.update(
+                zip(t.column("gram").to_pylist(), (int(v) for v in t.column("n").to_pylist()))
+            )
+        return out
+
+    def _count_of(self, key: str) -> int:
+        tab = self._store.read_range(key, key)
+        if tab is None:
+            return 0
+        for g, n in zip(tab.column("gram").to_pylist(), tab.column("n").to_pylist()):
+            if g == key:
+                return int(n)
+        return 0
 
     def lookup(self, context: str, k: int = 5) -> list[tuple[str, float]]:
         """Top-k (next_token, score). Trailing whitespace means the last
@@ -222,15 +352,15 @@ class FreeTextSuggester:
         for order in range(max_order, -1, -1):
             suffix = ctx[len(ctx) - order :]
             key = " ".join(suffix)
-            denom = self._count.get(key, 0) if order else self._total_uni
+            denom = self._count_of(key) if order else self._total_uni
             if denom <= 0:
                 continue
             weight = self.ALPHA ** (max_order - order)
-            for g in self._candidates(key, prefix, order + 1):
+            for g, cnt in self._candidates(key, prefix, order + 1).items():
                 token = g.rsplit(" ", 1)[-1] if order else g
                 if token in scored:
                     continue  # higher-order estimate wins (stupid backoff)
-                scored[token] = weight * self._count[g] / denom
+                scored[token] = weight * cnt / denom
         out = sorted(scored.items(), key=lambda x: (-x[1], x[0]))
         return out[:k]
 

@@ -327,7 +327,7 @@ def lm_quality_scores(
     from ..pipelines.suggest import FreeTextSuggester
 
     sg = FreeTextSuggester(reference_ds or ds, text_column=text_column, grams=grams)
-    counts_ref = ray.put((sg._count, sg._total_uni))
+    counts_ref = ray.put((sg.count_table(), sg._total_uni))
     analyzer = sg._analyzer
     alpha = FreeTextSuggester.ALPHA
     floor = 1e-9

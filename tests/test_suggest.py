@@ -214,3 +214,57 @@ def test_blended_infix_position_blend(tmp_path):
     )
     got = s2.lookup("episode", k=3)
     assert abs(got[0]["score"] - 10 / 3.0) < 1e-9
+
+
+def test_prefix_suggesters_route_not_scan(tmp_path):
+    """Round-4 storage move: Analyzing/Fuzzy/FreeText suggesters live on
+    key-sorted parquet, not driver arrays — a lookup touches only parts whose
+    key range covers the query prefix."""
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.pipelines.suggest import AnalyzingSuggester, FreeTextSuggester
+
+    tbl = pa.table(
+        {
+            "suggestion": [f"word{i:03d} extra" for i in range(400)],
+            "weight": list(range(400)),
+        }
+    )
+    s = AnalyzingSuggester(
+        ray.data.from_arrow(tbl).repartition(8),
+        store_dir=str(tmp_path / "an"),
+        analyzer=Analyzer(stop_words=None),
+    )
+    n_parts = len(s._store.manifest["parts"])
+    assert n_parts >= 4
+    s._store.parts_read = 0
+    got = s.lookup("word399", k=3)
+    assert got and got[0][0] == "word399 extra"
+    assert s.parts_read < n_parts
+
+    docs = pa.table({"text": [f"alpha{i % 50} beta{i % 50} gamma{i % 50}" for i in range(400)]})
+    f = FreeTextSuggester(
+        ray.data.from_arrow(docs).repartition(8),
+        store_dir=str(tmp_path / "ft"),
+        analyzer=Analyzer(stop_words=None),
+    )
+    n_parts = len(f._store.manifest["parts"])
+    assert n_parts >= 2
+    f._store.parts_read = 0
+    got = f.lookup("alpha7 bet")
+    assert got and got[0][0] == "beta7"
+    assert f.parts_read < 3 * n_parts  # a few routed reads, not full scans
+
+
+def test_prefix_suggesters_reopen_from_disk(tmp_path):
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.pipelines.suggest import AnalyzingSuggester, FuzzySuggester
+
+    tbl = pa.table({"suggestion": ["lend me your ear", "pay it forward"], "weight": [8, 5]})
+    a1 = AnalyzingSuggester(
+        ray.data.from_arrow(tbl), store_dir=str(tmp_path / "st"),
+        analyzer=Analyzer(stop_words=None),
+    )
+    a2 = AnalyzingSuggester(store_dir=str(tmp_path / "st"), analyzer=Analyzer(stop_words=None))
+    assert a2.lookup("lend", k=2) == a1.lookup("lend", k=2) == [("lend me your ear", 8)]
+    fz = FuzzySuggester(store_dir=str(tmp_path / "st"), analyzer=Analyzer(stop_words=None))
+    assert fz.lookup("lond", k=2) == [("lend me your ear", 8)]
