@@ -278,6 +278,31 @@ def data_pipeline_bench(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     sessionize(events).count()
     out["sessionize_sec"] = round(time.perf_counter() - t0, 3)
+
+    # percolation at 1,000 registered queries (round-4 vectorized matcher;
+    # the round-3 interpreted loop measured 26x slower on this shape)
+    from lucene_net_ray.stages.chunk import chunk_documents
+    from lucene_net_ray.stages.percolate import percolate
+
+    from lucene_net_ray.functions.analysis import Analyzer
+
+    seed_texts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).column("text").slice(0, 50).to_pylist()
+    _an = Analyzer()
+    toks = sorted({t for tx in seed_texts for t in _an(tx)})[:2000]
+    pq_queries = {}
+    for i in range(1000):
+        a = toks[(7 * i) % len(toks)]
+        b2 = toks[(13 * i + 1) % len(toks)]
+        pq_queries[f"q{i}"] = [a, f"+{a} +{b2}", f"{a} {b2}"][i % 3]
+    t0 = time.perf_counter()
+    percolate(docs, pq_queries).count()
+    out["percolate_1k_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    chunk_documents(docs).count()
+    out["chunk_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 

@@ -1192,6 +1192,27 @@ def q_infix_suggest(sf_dir: str):
     )
 
 
+def q_spell_suggest(sf_dir: str):
+    """Classic n-gram SpellChecker over the index's term dictionary
+    (LuceneDictionary analog): suggestions for four misspellings. Rows-only
+    (the gram-candidate cut has no faithful SQL mirror; distances are
+    unit-tested against published vectors in tests/test_spell.py)."""
+    from .search import Searcher
+    from .spell import SpellChecker
+
+    meta, _ = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "lnr_spell_cache", slug)
+    os.makedirs(store, exist_ok=True)
+    sc = SpellChecker.from_searcher(s, store_dir=store)
+    rows = []
+    for w in ("mrege", "spakr", "windwo", "vectro"):
+        for rank, (sug, score) in enumerate(sc.suggest_similar(w, 3), 1):
+            rows.append((w, rank, sug, math.floor(score * 1e6 + 0.5) / 1e6))
+    return pd.DataFrame(rows, columns=["word", "rank", "suggestion", "score"])
+
+
 def q_clean_corpus_ids(sf_dir: str):
     """End-to-end cleaning pipeline: kept (doc_id, quality) after a quality
     floor + exact dedup keep-first."""
@@ -1367,6 +1388,7 @@ QUERIES = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "freetext_suggest": q_freetext_suggest,
     "infix_suggest": q_infix_suggest,
+    "spell_suggest": q_spell_suggest,
     "decontaminate_kept": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
     "stratified_sample": q_stratified_sample,
