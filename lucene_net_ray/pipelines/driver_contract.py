@@ -1192,6 +1192,31 @@ def q_infix_suggest(sf_dir: str):
     )
 
 
+def q_block_group_topk(sf_dir: str):
+    """BlockGroupingCollector analog over lineitem blocks (l_orderkey):
+    top-10 blocks by best matching child (l_quantity >= 45 scored by
+    l_extendedprice), top-2 children per block."""
+    from .joins import block_group_top_k
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def score(batch: pa.Table) -> np.ndarray:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return np.where(q >= 45, v, np.nan)
+
+    out = block_group_top_k(
+        ds, block_key="l_orderkey", child_id="l_linenumber", child_score=score,
+        k_groups=10, k_per_group=2,
+    )
+    out["block"] = out["block"].astype(np.int64)
+    out["child"] = out["child"].astype(np.int64)
+    return out
+
+
 def q_spell_suggest(sf_dir: str):
     """Classic n-gram SpellChecker over the index's term dictionary
     (LuceneDictionary analog): suggestions for four misspellings. Rows-only
@@ -1389,6 +1414,7 @@ QUERIES = {
     "freetext_suggest": q_freetext_suggest,
     "infix_suggest": q_infix_suggest,
     "spell_suggest": q_spell_suggest,
+    "block_group_topk": q_block_group_topk,
     "decontaminate_kept": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
     "stratified_sample": q_stratified_sample,
@@ -1477,6 +1503,23 @@ WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge'
 """,
         "duplicate_filter_docs": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang ORDER BY 1
+""",
+        "block_group_topk": """
+WITH scored AS (
+  SELECT l_orderkey AS block, l_linenumber AS child, l_extendedprice AS score
+  FROM lineitem WHERE l_quantity >= 45
+), ranked AS (
+  SELECT block, child, score,
+         row_number() OVER (PARTITION BY block ORDER BY score DESC, child ASC) AS rank,
+         max(score) OVER (PARTITION BY block) AS best
+  FROM scored
+), top_blocks AS (
+  SELECT block FROM (SELECT DISTINCT block, best FROM ranked)
+  ORDER BY best DESC, block ASC LIMIT 10
+)
+SELECT r.block, r.rank, r.child, r.score
+FROM ranked r JOIN top_blocks t USING (block)
+WHERE r.rank <= 2
 """,
         "group_heads": f"""
 WITH {_TOKS_CTE},

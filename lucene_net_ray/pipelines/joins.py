@@ -183,6 +183,109 @@ def block_join_parents(
     return ds.groupby(parent_key).map_groups(reduce_group, batch_format="pyarrow")
 
 
+def block_group_top_k(
+    ds: ray.data.Dataset,
+    *,
+    block_key: str,
+    child_id: str,
+    child_score: "callable",
+    k_groups: int = 10,
+    k_per_group: int = 2,
+    coarse_groups: int = 256,
+) -> "pd.DataFrame":
+    """BlockGroupingCollector analog (reference
+    Grouping/BlockGroupingCollector.cs: groups are CONTIGUOUS doc blocks —
+    here rows sharing ``block_key`` in co-partitioned data, the same
+    assumption block_join encodes): top ``k_groups`` blocks by their best
+    matching child's score, with each block's top ``k_per_group`` children.
+
+    ``child_score(batch) -> float64 ndarray`` scores children (NaN = no
+    match). Scale plan mirrors block_join_parent_scores: per-batch
+    vectorized per-block top-k partials (one lexsort), coarse-hash groupby
+    merge (exchange rows ~ k_per_group per (batch, block)), then ONE
+    k_groups-sized sort+limit — the driver sees only the final page.
+    Returns a pandas frame (block, rank, child, score) in group order.
+    """
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "block": pa.array([], type=pa.int64()),
+            "child": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        scores = np.asarray(child_score(batch), dtype=np.float64)
+        blocks = batch.column(block_key).to_numpy(zero_copy_only=False)
+        ids = batch.column(child_id).to_numpy(zero_copy_only=False)
+        m = ~np.isnan(scores)
+        if not m.any():
+            return empty
+        blocks, ids, scores = blocks[m], ids[m], scores[m]
+        order = np.lexsort((ids, -scores, blocks))
+        b2, i2, s2 = blocks[order], ids[order], scores[order]
+        # rank within block = position since block start; keep < k_per_group
+        newrun = np.concatenate(([True], b2[1:] != b2[:-1]))
+        starts = np.flatnonzero(newrun)
+        rank = np.arange(b2.size) - np.repeat(starts, np.diff(np.concatenate((starts, [b2.size]))))
+        keep = rank < k_per_group
+        return pa.table({
+            "block": pa.array(b2[keep].astype(np.int64)),
+            "child": pa.array(i2[keep].astype(np.int64)),
+            "score": pa.array(s2[keep]),
+        })
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "coarse", pa.array(_coarse_of(batch.column("block"), coarse_groups - 1))
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        b = group.column("block").to_numpy(zero_copy_only=False)
+        i = group.column("child").to_numpy(zero_copy_only=False)
+        s = group.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, -s, b))
+        b2, i2, s2 = b[order], i[order], s[order]
+        newrun = np.concatenate(([True], b2[1:] != b2[:-1]))
+        starts = np.flatnonzero(newrun)
+        rank = np.arange(b2.size) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [b2.size])))
+        )
+        keep = rank < k_per_group
+        best = np.repeat(s2[starts], np.diff(np.concatenate((starts, [b2.size]))))[keep]
+        return pa.table({
+            "block": pa.array(b2[keep]),
+            "rank": pa.array((rank[keep] + 1).astype(np.int64)),
+            "child": pa.array(i2[keep]),
+            "score": pa.array(s2[keep]),
+            "best": pa.array(best),
+        })
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    # top blocks by (best child score desc, block asc): page-sized result
+    page = merged.sort(["best", "block", "rank"], descending=[True, False, False]).limit(
+        k_groups * k_per_group * 2
+    ).to_pandas()
+    chosen = []
+    for blk in page["block"]:
+        if blk not in chosen:
+            chosen.append(blk)
+        if len(chosen) == k_groups:
+            break
+    out = page[page["block"].isin(chosen)].drop(columns=["best"])
+    out = out.sort_values(["block", "rank"]).reset_index(drop=True)
+    # order groups by best-score rank, not block id
+    key = {b: i for i, b in enumerate(chosen)}
+    out = out.sort_values(by=["block", "rank"], key=lambda c: c.map(key) if c.name == "block" else c)
+    return out.reset_index(drop=True)
+
+
 def block_join_parent_scores(
     ds: ray.data.Dataset,
     *,

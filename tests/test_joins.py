@@ -145,3 +145,53 @@ def test_semi_join_large_from_side_takes_shuffle_path():
     # small from side still broadcasts (the JoinUtil regime)
     small = joins.semi_join(to_ds, "k", from_ds, "fk")
     assert sorted(small.to_pandas()["v"].tolist()) == expect_semi
+
+
+def test_block_group_top_k():
+    """BlockGroupingCollector analog: top blocks by best child score with
+    per-block top children — vs a brute-force pandas oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.joins import block_group_top_k
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    tbl = pa.table(
+        {
+            "blk": rng.integers(0, 200, size=n),
+            "cid": np.arange(n),
+            "val": np.round(rng.random(n) * 100, 2),
+            "q": rng.integers(0, 60, size=n),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+
+    def score(batch):
+        v = batch.column("val").to_numpy(zero_copy_only=False).astype(float)
+        q = batch.column("q").to_numpy(zero_copy_only=False)
+        return np.where(q >= 45, v, np.nan)
+
+    got = block_group_top_k(
+        ds, block_key="blk", child_id="cid", child_score=score,
+        k_groups=7, k_per_group=2,
+    )
+
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df = df[df["q"] >= 45].copy()
+    df["rank"] = (
+        df.sort_values(["val", "cid"], ascending=[False, True])
+        .groupby("blk").cumcount() + 1
+    )
+    best = df.groupby("blk")["val"].max()
+    chosen = best.sort_values(ascending=False).index.tolist()
+    chosen = sorted(chosen, key=lambda b: (-best[b], b))[:7]
+    exp = df[(df["blk"].isin(chosen)) & (df["rank"] <= 2)]
+    exp_set = {(r.blk, r.rank, r.cid, r.val) for r in exp.itertuples()}
+    got_set = {(r.block, r.rank, r.child, r.score) for r in got.itertuples()}
+    assert got_set == exp_set
+    # group order = best-score order
+    assert list(dict.fromkeys(got["block"])) == chosen
