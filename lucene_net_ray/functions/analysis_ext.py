@@ -568,3 +568,60 @@ class DictionaryCompoundFilter:
             "max_subword_size": self.max_subword_size,
             "only_longest_match": self.only_longest_match,
         }
+
+
+class DictionarySegmenterCharFilter:
+    """Dictionary word segmentation as a char filter — the pluggable seam for
+    unsegmented scripts (reference Analysis/Th/ThaiAnalyzer.cs segments with
+    an ICU dictionary BreakIterator; no such dictionary ships in this
+    container, so the SEAM is the deliverable: a user supplies their own
+    word list and the chain tokenizes the result normally).
+
+    Greedy longest-match over runs of dictionary-script characters; spaces
+    are inserted at word boundaries, unknown spans pass through intact so a
+    downstream tokenizer still sees them. Text outside ``alphabet`` (when
+    given) is never touched — mixed Thai/Latin input segments only the Thai
+    runs, like the reference's per-script break iterator."""
+
+    def __init__(self, words, *, alphabet: str | None = None):
+        self.words = frozenset(words)
+        if not self.words:
+            raise ValueError("empty segmentation dictionary")
+        self.max_len = max(len(w) for w in self.words)
+        self.alphabet = frozenset(alphabet) if alphabet else frozenset(
+            c for w in self.words for c in w
+        )
+
+    def _segment_run(self, run: str) -> str:
+        out, i = [], 0
+        while i < len(run):
+            for ln in range(min(self.max_len, len(run) - i), 0, -1):
+                if run[i : i + ln] in self.words:
+                    out.append(run[i : i + ln])
+                    i += ln
+                    break
+            else:
+                # unknown char: glue onto an unknown span (kept as one token)
+                if out and out[-1] not in self.words and not out[-1].isspace():
+                    out[-1] += run[i]
+                else:
+                    out.append(run[i])
+                i += 1
+        return " ".join(out)
+
+    def __call__(self, text: str) -> str:
+        out, run = [], []
+        for c in text:
+            if c in self.alphabet:
+                run.append(c)
+            else:
+                if run:
+                    out.append(self._segment_run("".join(run)))
+                    run = []
+                out.append(c)
+        if run:
+            out.append(self._segment_run("".join(run)))
+        return "".join(out)
+
+    def config(self) -> dict:
+        return {"kind": "dict_segmenter", "n_words": len(self.words)}

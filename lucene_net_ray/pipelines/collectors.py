@@ -67,13 +67,40 @@ def search_sorted(
 ) -> list[dict]:
     """Top-k matching docs by stored-field sort; docID breaks ties (SortField
     semantics with the implicit final doc order). Per-segment top-k partials
-    merge on the driver."""
+    merge on the driver.
+
+    When the index was built with sort_index() and the leading sort field
+    matches the index order, each group early-terminates across its
+    range-partitioned segments (EarlyTerminatingSortingCollector analog);
+    ``searcher.last_segments_evaluated`` records how many segments were
+    actually scored for tests/diagnostics."""
     from .search import _sort_key_fn
 
     fields = [f for f, _ in sort_fields]
     rows: list[tuple] = []
-    for part in _group_call(searcher, "sorted_partial", q, list(sort_fields), k):
-        rows.extend((tuple(kv), gid) for kv, gid in part)
+    sorted_by = getattr(searcher, "index", None) and searcher.index.manifest.get(
+        "sorted_by"
+    )
+    if sorted_by and list(sort_fields[0]) == [sorted_by[0], bool(sorted_by[1])]:
+        import os as _os
+
+        ranges = {
+            _os.path.basename(d.rstrip("/")): (r["sort_min"], r["sort_max"])
+            for d, r in zip(
+                searcher.index.segment_dirs, searcher.index.manifest["segments"]
+            )
+        }
+        n_eval = 0
+        for part, ne in _group_call(
+            searcher, "sorted_partial_early", q, list(sort_fields), k, ranges
+        ):
+            rows.extend((tuple(kv), gid) for kv, gid in part)
+            n_eval += ne
+        searcher.last_segments_evaluated = n_eval
+    else:
+        for part in _group_call(searcher, "sorted_partial", q, list(sort_fields), k):
+            rows.extend((tuple(kv), gid) for kv, gid in part)
+        searcher.last_segments_evaluated = None
     rows.sort(key=_sort_key_fn(sort_fields))
     return [
         {"doc_id": gid, **{f: _pyval(v) for f, v in zip(fields, key_vals)}}

@@ -1217,6 +1217,44 @@ def q_block_group_topk(sf_dir: str):
     return out
 
 
+def q_sorted_index_top15(sf_dir: str):
+    """sort_index + EarlyTerminatingSortingCollector analog: index built in
+    n_chars-descending order (range-partitioned segments), top-15 docs
+    matching TERM by (n_chars DESC, doc_id ASC) with segment skipping."""
+    from ..query import TermQuery
+    from .collectors import search_sorted
+    from .maintenance import sort_index
+    from .search import Searcher
+
+    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join("/tmp", "lnr_sorted_cache", slug)
+    os.makedirs(out, exist_ok=True)
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        sort_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            sort_field="n_chars",
+            descending=True,
+            content_column="text",
+            stored_columns=("doc_id",),
+            target_rows_per_segment=100,
+        )
+    else:
+        meta0 = IndexMeta(out)
+        if "sorted_by" not in meta0.manifest:  # stale pre-sort cache
+            raise RuntimeError("sorted cache corrupt; remove /tmp/lnr_sorted_cache")
+    s = Searcher(IndexMeta(out), use_actors=False)
+    rows = search_sorted(
+        s, TermQuery(term=TERM), [("n_chars", True), ("doc_id", False)], k=15
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([r["doc_id"] for r in rows], dtype=np.int64),
+            "n_chars": np.array([r["n_chars"] for r in rows], dtype=np.int64),
+        }
+    )
+
+
 def q_spell_suggest(sf_dir: str):
     """Classic n-gram SpellChecker over the index's term dictionary
     (LuceneDictionary analog): suggestions for four misspellings. Rows-only
@@ -1415,6 +1453,7 @@ QUERIES = {
     "infix_suggest": q_infix_suggest,
     "spell_suggest": q_spell_suggest,
     "block_group_topk": q_block_group_topk,
+    "sorted_index_top15": q_sorted_index_top15,
     "decontaminate_kept": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
     "stratified_sample": q_stratified_sample,
@@ -1503,6 +1542,12 @@ WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge'
 """,
         "duplicate_filter_docs": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang ORDER BY 1
+""",
+        "sorted_index_top15": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, n_chars FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = '{TERM}')
+ORDER BY n_chars DESC, doc_id ASC LIMIT 15
 """,
         "block_group_topk": """
 WITH scored AS (

@@ -438,3 +438,66 @@ def reopen(index_dir: str, num_actors: int = 4, use_actors: bool = False):
     from .search import Searcher
 
     return Searcher(IndexMeta(index_dir), num_actors=num_actors, use_actors=use_actors)
+
+
+def sort_index(
+    input_path: str | list[str],
+    out_dir: str,
+    *,
+    sort_field: str,
+    descending: bool = False,
+    target_rows_per_segment: int = 100_000,
+    **build_kwargs,
+) -> IndexMeta:
+    """SortingMergePolicy analog (reference Index/Sorter/SortingMergePolicy.cs
+    + SortingAtomicReader.cs): build the index in ``sort_field`` order. The
+    Ray-Data expression is STRONGER than the reference's within-segment
+    sort: one global ``ds.sort`` range-partitions the corpus, so segments
+    are disjoint sort-key ranges and a sorted search can skip whole
+    segments, not just early-terminate within one (the
+    EarlyTerminatingSortingCollector.cs win, lifted to the segment level).
+
+    The manifest records ``sorted_by`` and each segment's exact (min, max)
+    key — first/last row of its docs table, exact because docs are written
+    in sort order. ``sort_field`` is added to stored_columns automatically.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .build import build_index
+
+    stored = tuple(build_kwargs.pop("stored_columns", ()))
+    if sort_field not in stored:
+        stored = (*stored, sort_field)
+    sorted_dir = os.path.join(out_dir, "_sorted_corpus")
+    if not os.path.exists(os.path.join(sorted_dir, "_done")):
+        os.makedirs(sorted_dir, exist_ok=True)
+        ds = ray.data.read_parquet(input_path)
+        ds.sort(sort_field, descending=descending).write_parquet(
+            sorted_dir, row_group_size=target_rows_per_segment
+        )
+        with open(os.path.join(sorted_dir, "_done"), "w") as f:
+            f.write("ok")
+    meta = build_index(
+        sorted_dir,
+        out_dir,
+        stored_columns=stored,
+        target_rows_per_segment=target_rows_per_segment,
+        **build_kwargs,
+    )
+    # exact per-segment key ranges: first/last row of the sorted docs table
+    manifest = dict(meta.manifest)
+    seg_rows = [dict(r) for r in manifest["segments"]]
+    for d, row in zip(meta.segment_dirs, seg_rows):
+        pf = pq.ParquetFile(os.path.join(d, "docs.parquet"))
+        first = pf.read_row_group(0, columns=[sort_field]).column(sort_field)[0].as_py()
+        last = pf.read_row_group(
+            pf.metadata.num_row_groups - 1, columns=[sort_field]
+        ).column(sort_field)[-1].as_py()
+        pf.close()
+        lo, hi = (last, first) if descending else (first, last)
+        row["sort_min"], row["sort_max"] = lo, hi
+    manifest["segments"] = seg_rows
+    manifest["sorted_by"] = [sort_field, bool(descending)]
+    write_index_manifest(out_dir, manifest)
+    return IndexMeta(out_dir)

@@ -21,6 +21,7 @@ a disjoint group of segments; global stats are one small gather per query
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import ray
@@ -228,6 +229,58 @@ class _SegmentGroup:
             v: sorted(hits, key=lambda h: (-h[0], h[1]))[:k_per_group]
             for v, hits in groups.items()
         }
+
+    def sorted_partial_early(
+        self, q: Query, stats: dict, sort_fields: list, k: int, ranges: dict
+    ) -> tuple:
+        """EarlyTerminatingSortingCollector analog
+        (Index/Sorter/EarlyTerminatingSortingCollector.cs): when the index is
+        range-partitioned by the leading sort field (sort_index), this group
+        walks ITS readers in key order and stops once k rows are collected
+        and the next reader's best possible key is strictly worse than the
+        kth (ties continue — exactness over eagerness). Returns
+        (rows like sorted_partial, n_segments_evaluated)."""
+        import numpy as _np
+
+        field, desc = sort_fields[0]
+        order = sorted(
+            range(len(self.readers)),
+            key=lambda i: ranges[os.path.basename(self.readers[i].seg_dir.rstrip("/"))][
+                1 if desc else 0
+            ],
+            reverse=bool(desc),
+        )
+        key_fn = _sort_key_fn(sort_fields)
+        rows: list = []
+        n_eval = 0
+        for pos, i in enumerate(order):
+            r, dels = self.readers[i], self.deleted_local[i]
+            docs, scores = SegmentScorer(r, stats).evaluate(q)
+            if dels.size and docs.size:
+                keep = ~_np.isin(docs, dels, assume_unique=True)
+                docs = docs[keep]
+            n_eval += 1
+            if docs.size:
+                vals = {f: r.doc_values(f)[docs] for f, _ in sort_fields}
+                seg_rows = [
+                    (
+                        tuple(vals[f][j] for f, _ in sort_fields),
+                        int(docs[j]) + r.doc_base,
+                    )
+                    for j in range(docs.size)
+                ]
+                seg_rows.sort(key=key_fn)
+                rows.extend(seg_rows[:k])
+                rows.sort(key=key_fn)
+                rows = rows[:k]
+            if len(rows) >= k and pos + 1 < len(order):
+                nxt = self.readers[order[pos + 1]]
+                nb = ranges[os.path.basename(nxt.seg_dir.rstrip("/"))][1 if desc else 0]
+                kth = rows[k - 1][0][0]
+                worse = nb < kth if desc else nb > kth
+                if worse:
+                    break
+        return rows, n_eval
 
     def group_heads_partial(
         self, q: Query, stats: dict, group_field: str, sort_fields: list

@@ -268,3 +268,39 @@ def test_limit_truncate_capitalization_filters():
         LimitTokenCountFilter(0)
     with _p.raises(ValueError):
         TruncateTokenFilter(0)
+
+
+def test_dictionary_segmenter_thai_seam(tmp_path):
+    """The Thai analyzer seam (reference Analysis/Th/ThaiAnalyzer.cs):
+    dictionary segmentation plugs in as a char filter ahead of the standard
+    chain, and the segmented index serves queries — proving a user-supplied
+    dictionary closes the gap without engine changes."""
+    import pyarrow as pa
+
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.functions.analysis_ext import (
+        ChainAnalyzer,
+        DictionarySegmenterCharFilter,
+    )
+
+    # toy Thai lexicon: ภาษา (language) ไทย (Thai) ทดสอบ (test)
+    seg = DictionarySegmenterCharFilter(["ภาษา", "ไทย", "ทดสอบ"])
+    an = ChainAnalyzer(base=Analyzer(stop_words=None), char_filters=(seg,))
+    assert an("ภาษาไทย") == ["ภาษา", "ไทย"]
+    # mixed-script input: only the Thai run is segmented
+    assert an("hello ภาษาไทยทดสอบ world") == ["hello", "ภาษา", "ไทย", "ทดสอบ", "world"]
+    # characters outside the dictionary alphabet pass through untouched
+    assert an("ภาษา ฽฽") == ["ภาษา", "฽฽"]
+
+    # the seam works end-to-end: segmented docs are searchable by word
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import TermQuery
+
+    docs = ["ภาษาไทยทดสอบ", "ภาษาอื่น"]
+    tbl = pa.table({"content": [" ".join(an(d)) for d in docs]})
+    idx = str(tmp_path / "th")
+    build_index_from_table(tbl, idx, target_rows_per_segment=2)
+    s = Searcher(idx, use_actors=False)
+    assert [d for d, _ in s.search(TermQuery(term="ไทย"), k=5)] == [0]
+    assert {d for d, _ in s.search(TermQuery(term="ภาษา"), k=5)} == {0, 1}
