@@ -1217,6 +1217,44 @@ def q_block_group_topk(sf_dir: str):
     return out
 
 
+def q_asof_purchase_view(sf_dir: str):
+    """As-of join over the events table: each purchase matched to the same
+    user's LATEST view at or before it (ties by view event_id desc) —
+    feature-engineering attribution, one bounded coarse-hash shuffle."""
+    from .joins import asof_join
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def only(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pa.compute.equal(batch.column("event_type"), kind)
+            ).select(["event_id", "ts", "user_id"])
+
+        return f
+
+    left = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(only("view"), batch_format="pyarrow")
+    out = asof_join(
+        left, right, on="user_id", ts="ts",
+        right_keep={"event_id": "view_event_id"}, tie="event_id",
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "purchase_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "view_event_id": batch.column("view_event_id").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_sorted_index_top15(sf_dir: str):
     """sort_index + EarlyTerminatingSortingCollector analog: index built in
     n_chars-descending order (range-partitioned segments), top-15 docs
@@ -1454,6 +1492,7 @@ QUERIES = {
     "spell_suggest": q_spell_suggest,
     "block_group_topk": q_block_group_topk,
     "sorted_index_top15": q_sorted_index_top15,
+    "asof_purchase_view": q_asof_purchase_view,
     "decontaminate_kept": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
     "stratified_sample": q_stratified_sample,
@@ -1542,6 +1581,18 @@ WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge'
 """,
         "duplicate_filter_docs": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang ORDER BY 1
+""",
+        "asof_purchase_view": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT l.event_id AS purchase_id, l.user_id, r.event_id AS view_event_id,
+         row_number() OVER (
+           PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC
+         ) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT purchase_id, user_id, view_event_id FROM j WHERE rn = 1
 """,
         "sorted_index_top15": f"""
 WITH {_TOKS_CTE}

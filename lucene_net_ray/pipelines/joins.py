@@ -183,6 +183,123 @@ def block_join_parents(
     return ds.groupby(parent_key).map_groups(reduce_group, batch_format="pyarrow")
 
 
+def asof_join(
+    left_ds: ray.data.Dataset,
+    right_ds: ray.data.Dataset,
+    *,
+    on: str,
+    ts: str,
+    right_keep: dict | None = None,
+    tie: str | None = None,
+    how: str = "inner",
+    coarse_groups: int = 256,
+) -> ray.data.Dataset:
+    """As-of join: each left row matches the LATEST right row with the same
+    ``on`` key and ``right.ts <= left.ts`` (backward direction — the
+    feature-engineering staple Ray Data lacks natively; the charter's custom
+    -operator case (a)). Ties on the right timestamp break by ``tie``
+    descending (pass the right side's id column for determinism).
+
+    Plan: both sides coarse-hash partition on the key (ONE bounded shuffle,
+    the stages/clean.py discipline); inside each group a single lexsort over
+    the interleaved rows + a segmented cumulative-max computes every match
+    vectorized — no per-key loop, no per-row search. ``right_keep`` maps
+    right columns to output names (default {ts: ts+'_right'});
+    ``how='left'`` emits unmatched left rows with nulls.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(how)
+    right_keep = dict(right_keep or {ts: f"{ts}_right"})
+    mask = coarse_groups - 1
+    l_schema = left_ds.schema()
+    l_names = list(l_schema.names)
+    l_types = list(l_schema.types)
+    r_cols = [on, ts] + [c for c in right_keep if c not in (on, ts)]
+    if tie and tie not in r_cols:
+        r_cols.append(tie)
+
+    r_schema = right_ds.schema()
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+
+    def norm_left(batch: pa.Table) -> pa.Table:
+        coarse = _coarse_of(batch.column(on), mask)
+        t = batch
+        for c in r_cols:
+            t = t.append_column(f"__r_{c}", pa.nulls(batch.num_rows, r_types[c]))
+        return t.append_column("__coarse", pa.array(coarse)).append_column(
+            "__right", pa.array(np.zeros(batch.num_rows, dtype=bool))
+        )
+
+    def norm_right(batch: pa.Table) -> pa.Table:
+        coarse = _coarse_of(batch.column(on), mask)
+        cols = {}
+        for name, typ in zip(l_names, l_types):
+            if name == on:
+                cols[name] = batch.column(on).cast(typ)
+            elif name == ts:
+                cols[name] = batch.column(ts).cast(typ)
+            else:
+                cols[name] = pa.nulls(batch.num_rows, typ)
+        for c in r_cols:
+            cols[f"__r_{c}"] = batch.column(c)
+        t = pa.table(cols)
+        return t.append_column("__coarse", pa.array(coarse)).append_column(
+            "__right", pa.array(np.ones(batch.num_rows, dtype=bool))
+        )
+
+    unioned = left_ds.map_batches(norm_left, batch_format="pyarrow").union(
+        right_ds.select_columns(r_cols).map_batches(norm_right, batch_format="pyarrow")
+    )
+
+    def in_group(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return group.drop_columns(["__coarse", "__right"])
+        key = group.column(on).to_numpy(zero_copy_only=False)
+        tsv = group.column(ts).to_numpy(zero_copy_only=False)
+        is_r = group.column("__right").to_numpy(zero_copy_only=False)
+        tiev = (
+            group.column(f"__r_{tie}").to_numpy(zero_copy_only=False)
+            if tie
+            else np.zeros(n)
+        )
+        # rights sort BEFORE lefts at equal ts (<= is inclusive); among
+        # equal-ts rights the tie column ascending puts the winner last
+        side = (~is_r).astype(np.int8)
+        tie_sort = np.where(is_r, tiev, np.zeros_like(tiev))
+        kcodes = np.unique(key, return_inverse=True)[1]
+        order = np.lexsort((tie_sort, side, tsv, kcodes))
+        k2, r2 = kcodes[order], is_r[order]
+        idx = np.arange(n, dtype=np.int64)
+        run = np.concatenate(([True], k2[1:] != k2[:-1])).cumsum() - 1
+        m = np.where(r2, run * np.int64(n) + idx, -1)
+        cm = np.maximum.accumulate(m)
+        valid = (cm >= 0) & (cm // n == run)
+        right_pos = np.where(valid, cm % n, -1)
+        left_mask = ~r2
+        lp = idx[left_mask]
+        rp = right_pos[left_mask]
+        matched = rp >= 0
+        if how == "inner":
+            lp, rp = lp[matched], rp[matched]
+            matched = np.ones(lp.size, dtype=bool)
+        left_rows = group.take(pa.array(order[lp]))
+        out = left_rows.select(l_names)
+        for c, out_name in right_keep.items():
+            col = group.column(f"__r_{c}").take(
+                pa.array(np.where(matched, order[np.maximum(rp, 0)], 0))
+            )
+            if not matched.all():
+                col = pa.compute.if_else(pa.array(matched), col, pa.nulls(lp.size, col.type))
+            out = out.append_column(out_name, col)
+        return out
+
+    return (
+        unioned.groupby("__coarse")
+        .map_groups(in_group, batch_format="pyarrow")
+    )
+
+
 def block_group_top_k(
     ds: ray.data.Dataset,
     *,

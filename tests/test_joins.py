@@ -195,3 +195,84 @@ def test_block_group_top_k():
     assert got_set == exp_set
     # group order = best-score order
     assert list(dict.fromkeys(got["block"])) == chosen
+
+
+def test_asof_join_backward():
+    """As-of join vs a brute-force oracle: latest right with ts <= left.ts
+    per key, ties by tie-column desc; inner and left variants."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.joins import asof_join
+
+    rng = np.random.default_rng(17)
+    nl, nr = 800, 600
+    left = pa.table(
+        {
+            "k": rng.integers(0, 40, size=nl),
+            "ts": rng.integers(0, 10_000, size=nl),
+            "lid": np.arange(nl),
+        }
+    )
+    right = pa.table(
+        {
+            "k": rng.integers(0, 50, size=nr),
+            "ts": rng.integers(0, 10_000, size=nr),
+            "rid": np.arange(nr),
+            "val": np.round(rng.random(nr), 3),
+        }
+    )
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right).repartition(3)
+
+    got = asof_join(
+        lds, rds, on="k", ts="ts",
+        right_keep={"rid": "rid", "val": "val"}, tie="rid",
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    # brute force
+    rdf = right.to_pandas()
+    rows = []
+    for k, t, lid in zip(left["k"].to_pylist(), left["ts"].to_pylist(), left["lid"].to_pylist()):
+        cand = rdf[(rdf["k"] == k) & (rdf["ts"] <= t)]
+        if len(cand):
+            best = cand.sort_values(["ts", "rid"], ascending=[False, False]).iloc[0]
+            rows.append((k, t, lid, int(best["rid"]), float(best["val"])))
+    exp = pd.DataFrame(rows, columns=["k", "ts", "lid", "rid", "val"]).sort_values(
+        "lid"
+    ).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got[["lid", "rid", "val"]].equals(exp[["lid", "rid", "val"]])
+
+    # left join keeps unmatched lefts with nulls
+    got_l = asof_join(
+        lds, rds, on="k", ts="ts", right_keep={"rid": "rid"}, tie="rid", how="left",
+    ).to_pandas()
+    assert len(got_l) == nl
+    matched_ids = set(exp["lid"])
+    assert set(got_l[got_l["rid"].notna()]["lid"]) == matched_ids
+
+
+def test_asof_join_inclusive_and_ties():
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.joins import asof_join
+
+    left = pa.table({"k": [1, 1, 2], "ts": [10, 5, 10], "lid": [0, 1, 2]})
+    right = pa.table(
+        {"k": [1, 1, 1, 2], "ts": [10, 10, 4, 11], "rid": [7, 9, 3, 5]}
+    )
+    got = (
+        asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", ts="ts", right_keep={"rid": "rid"}, tie="rid",
+        )
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    # lid 0: ts=10 matches rights at ts=10 inclusively; tie rid 9 > 7
+    # lid 1: ts=5 -> right ts=4 (rid 3); lid 2: right ts=11 > 10 -> no match
+    assert got["lid"].tolist() == [0, 1]
+    assert got["rid"].tolist() == [9, 3]
