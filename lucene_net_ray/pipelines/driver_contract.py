@@ -1255,6 +1255,43 @@ def q_asof_purchase_view(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_range_join_views(sf_dir: str):
+    """Range join over events: ALL views by the same user within the hour
+    before each purchase (attribution window; one coarse-hash shuffle,
+    probe-row kernel)."""
+    from .joins import range_join
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def only(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pa.compute.equal(batch.column("event_type"), kind)
+            ).select(["event_id", "ts", "user_id"])
+
+        return f
+
+    left = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(only("view"), batch_format="pyarrow")
+    out = range_join(
+        left, right, on="user_id", ts="ts",
+        window=np.timedelta64(1, "h"), right_keep={"event_id": "view_event_id"},
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "purchase_id": batch.column("event_id").cast(pa.int64()),
+                "view_event_id": batch.column("view_event_id").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_sorted_index_top15(sf_dir: str):
     """sort_index + EarlyTerminatingSortingCollector analog: index built in
     n_chars-descending order (range-partitioned segments), top-15 docs
@@ -1493,6 +1530,7 @@ QUERIES = {
     "block_group_topk": q_block_group_topk,
     "sorted_index_top15": q_sorted_index_top15,
     "asof_purchase_view": q_asof_purchase_view,
+    "range_join_views": q_range_join_views,
     "decontaminate_kept": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
     "stratified_sample": q_stratified_sample,
@@ -1581,6 +1619,13 @@ WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge'
 """,
         "duplicate_filter_docs": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang ORDER BY 1
+""",
+        "range_join_views": """
+SELECT l.event_id AS purchase_id, r.event_id AS view_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id
+ AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR
 """,
         "asof_purchase_view": """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

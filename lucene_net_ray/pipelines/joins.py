@@ -300,6 +300,139 @@ def asof_join(
     )
 
 
+def range_join(
+    left_ds: ray.data.Dataset,
+    right_ds: ray.data.Dataset,
+    *,
+    on: str,
+    ts: str,
+    window,
+    right_keep: dict | None = None,
+    coarse_groups: int = 256,
+) -> ray.data.Dataset:
+    """Range (interval) join: ALL pairs with the same ``on`` key and
+    ``left.ts - window <= right.ts <= left.ts`` — the bounded-window sibling
+    of asof_join (the charter's other custom-operator example; sessions,
+    attribution windows, feature lookback).
+
+    Plan: same single coarse-hash shuffle as asof_join; inside each group
+    the window bounds come from PROBE ROWS — every left contributes a lower
+    probe at ts-window and an upper probe at ts, one lexsort orders
+    (key, ts, lower<right<upper), and an exclusive cumsum of right rows
+    read at the probe positions yields each left's right-range without any
+    per-key or per-row search. Pair emission is the repeat/arange ragged
+    expansion. No composite-key overflow, no per-key Python loop.
+    """
+    right_keep = dict(right_keep or {ts: f"{ts}_right"})
+    mask = coarse_groups - 1
+    l_schema = left_ds.schema()
+    l_names = list(l_schema.names)
+    l_types = list(l_schema.types)
+    r_schema = right_ds.schema()
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    r_cols = list(dict.fromkeys([on, ts, *right_keep]))
+
+    # the asof_join union discipline: null-pad the right side to the left
+    # schema plus __r_* carrier columns, ONE coarse-hash groupby co-locates
+    # both sides, the kernel splits them in-group — nothing crosses the
+    # driver
+    def norm_left(batch: pa.Table) -> pa.Table:
+        coarse = _coarse_of(batch.column(on), mask)
+        t = batch
+        for c in r_cols:
+            t = t.append_column(f"__r_{c}", pa.nulls(batch.num_rows, r_types[c]))
+        return t.append_column("__coarse", pa.array(coarse)).append_column(
+            "__right", pa.array(np.zeros(batch.num_rows, dtype=bool))
+        )
+
+    def norm_right(batch: pa.Table) -> pa.Table:
+        coarse = _coarse_of(batch.column(on), mask)
+        cols = {}
+        for name, typ in zip(l_names, l_types):
+            cols[name] = (
+                batch.column(on).cast(typ) if name == on else pa.nulls(batch.num_rows, typ)
+            )
+        for c in r_cols:
+            cols[f"__r_{c}"] = batch.column(c)
+        t = pa.table(cols)
+        return t.append_column("__coarse", pa.array(coarse)).append_column(
+            "__right", pa.array(np.ones(batch.num_rows, dtype=bool))
+        )
+
+    unioned = left_ds.map_batches(norm_left, batch_format="pyarrow").union(
+        right_ds.select_columns(r_cols).map_batches(norm_right, batch_format="pyarrow")
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        is_r = group.column("__right")
+        right = group.filter(is_r)
+        left = group.filter(pa.compute.invert(is_r))
+        right_view = pa.table(
+            {c: right.column(f"__r_{c}") for c in r_cols}
+        )
+        return _range_join_tables(
+            left, right_view, on=on, ts=ts, window=window,
+            l_names=l_names, right_keep=right_keep,
+        )
+
+    return (
+        unioned.groupby("__coarse")
+        .map_groups(join_group, batch_format="pyarrow")
+    )
+
+
+def _empty_pairs(group: pa.Table, l_names, right_keep, right: pa.Table | None):
+    cols = {n: group.column(n).slice(0, 0) for n in l_names}
+    for c, out_name in right_keep.items():
+        typ = right.column(c).type if right is not None else pa.int64()
+        cols[out_name] = pa.nulls(0, typ)
+    return pa.table(cols)
+
+
+def _range_join_tables(
+    left: pa.Table, right: pa.Table, *, on, ts, window, l_names, right_keep
+) -> pa.Table:
+    """The probe-row kernel over two already-co-partitioned tables."""
+    lk = left.column(on).to_numpy(zero_copy_only=False)
+    lt = left.column(ts).to_numpy(zero_copy_only=False)
+    rk = right.column(on).to_numpy(zero_copy_only=False)
+    rt = right.column(ts).to_numpy(zero_copy_only=False)
+    nl, nr = lk.size, rk.size
+    if nl == 0 or nr == 0:
+        return _empty_pairs(left, l_names, right_keep, right)
+    keys = np.concatenate((lk, lk, rk))
+    # numpy datetime64 arithmetic handles timestamp windows; ints pass through
+    tss = np.concatenate(((lt - window), lt, rt))
+    # side order at equal ts: lower probe (0) < right (1) < upper probe (2)
+    side = np.concatenate(
+        (np.zeros(nl, np.int8), np.full(nl, 2, np.int8), np.ones(nr, np.int8))
+    )
+    order = np.lexsort((side, tss, keys))
+    is_right = side[order] == 1
+    # exclusive prefix count of rights at every sorted position: at a lower
+    # probe (sorts before equal-ts rights) it excludes them; at an upper
+    # probe (sorts after) it includes them — inclusive [ts-window, ts]
+    excl = np.concatenate(([0], np.cumsum(is_right)))[:-1]
+    pos_of = np.empty(2 * nl + nr, dtype=np.int64)
+    pos_of[order] = np.arange(order.size)
+    lo = excl[pos_of[:nl]]
+    hi = excl[pos_of[nl : 2 * nl]]
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return _empty_pairs(left, l_names, right_keep, right)
+    # right rows in sorted order -> their indices in the right table
+    right_order = order[np.flatnonzero(is_right)] - 2 * nl
+    left_idx = np.repeat(np.arange(nl), counts)
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    slot = np.repeat(lo, counts) + np.arange(total) - np.repeat(bounds[:-1], counts)
+    right_idx = right_order[slot]
+    out = left.select(l_names).take(pa.array(left_idx))
+    for c, out_name in right_keep.items():
+        out = out.append_column(out_name, right.column(c).take(pa.array(right_idx)))
+    return out
+
+
 def block_group_top_k(
     ds: ray.data.Dataset,
     *,

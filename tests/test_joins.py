@@ -276,3 +276,64 @@ def test_asof_join_inclusive_and_ties():
     # lid 1: ts=5 -> right ts=4 (rid 3); lid 2: right ts=11 > 10 -> no match
     assert got["lid"].tolist() == [0, 1]
     assert got["rid"].tolist() == [9, 3]
+
+
+def test_range_join_window_pairs():
+    """Range join vs brute force: ALL pairs with right.ts in
+    [left.ts - window, left.ts], inclusive both ends, per key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.joins import range_join
+
+    rng = np.random.default_rng(23)
+    nl, nr = 500, 700
+    left = pa.table(
+        {"k": rng.integers(0, 30, size=nl), "ts": rng.integers(0, 5000, size=nl),
+         "lid": np.arange(nl)}
+    )
+    right = pa.table(
+        {"k": rng.integers(0, 35, size=nr), "ts": rng.integers(0, 5000, size=nr),
+         "rid": np.arange(nr)}
+    )
+    got = range_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        on="k", ts="ts", window=100, right_keep={"rid": "rid"},
+    ).to_pandas()
+    got_set = {(r.lid, r.rid) for r in got.itertuples()}
+
+    ldf, rdf = left.to_pandas(), right.to_pandas()
+    exp = set()
+    for k, t, lid in zip(ldf["k"], ldf["ts"], ldf["lid"]):
+        m = rdf[(rdf["k"] == k) & (rdf["ts"] >= t - 100) & (rdf["ts"] <= t)]
+        exp |= {(lid, rid) for rid in m["rid"]}
+    assert got_set == exp
+    assert len(got) == len(exp)  # no duplicate pair emission
+
+
+def test_range_join_inclusive_bounds_and_timestamps():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.joins import range_join
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    left = pa.table({"k": [1], "ts": [base + np.timedelta64(100, "s")], "lid": [0]})
+    right = pa.table(
+        {
+            "k": [1, 1, 1, 1],
+            "ts": [base, base + np.timedelta64(40, "s"),
+                   base + np.timedelta64(100, "s"), base + np.timedelta64(101, "s")],
+            "rid": [0, 1, 2, 3],
+        }
+    )
+    got = range_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", ts="ts", window=np.timedelta64(60, "s"), right_keep={"rid": "rid"},
+    ).to_pandas()
+    # [ts-60s, ts] inclusive: rid 1 (t-60<t-40? in) and rid 2 (== ts); rid 0
+    # is 100s before (outside), rid 3 is after
+    assert sorted(got["rid"].tolist()) == [1, 2]
