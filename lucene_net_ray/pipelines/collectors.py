@@ -144,6 +144,31 @@ def group_top_k(
     ]
 
 
+def field_stats(searcher: Searcher, fields: list[str]) -> dict[str, tuple]:
+    """Global (min, max) per stored field over LIVE docs — one partial per
+    segment group, scalars to the driver (feeds the ScaleFloatFunction
+    analog in expressions.function_query)."""
+    out: dict = {}
+    for part in _group_call_nostats(searcher, "field_minmax_partial", list(fields)):
+        for f, (mn, mx) in part.items():
+            cur = out.get(f)
+            out[f] = (
+                (mn, mx)
+                if cur is None
+                else (min(cur[0], mn), max(cur[1], mx))
+            )
+    return out
+
+
+def _group_call_nostats(searcher: Searcher, method: str, *args) -> list:
+    """_group_call for partials that take no query/stats."""
+    import ray as _ray
+
+    if searcher.use_actors:
+        return _ray.get([getattr(g, method).remote(*args) for g in searcher.groups])
+    return [getattr(g, method)(*args) for g in searcher.groups]
+
+
 def all_group_heads(
     searcher: Searcher, q: Query, group_field: str, sort_fields: list[tuple[str, bool]]
 ) -> list[dict]:

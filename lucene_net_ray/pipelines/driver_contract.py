@@ -689,6 +689,30 @@ def q_function_sort_topk(sf_dir: str):
     )
 
 
+def q_function_scale_topk(sf_dir: str):
+    """ScaleFloatFunction as primary ranking: scale(n_chars, 0, 100) over
+    the corpus's GLOBAL min/max (distributed per-segment partials). Raw f64
+    arithmetic matches DuckDB bit-for-bit (same op order); equal n_chars tie
+    exactly, re-ranked by original doc_id on the driver."""
+    from .expressions import function_query
+    from .search import Searcher
+
+    meta, orig = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    hits = function_query(s, "scale(n_chars, 0.0, 100.0)", k=4 * TOPK)
+    rows = sorted(
+        ((math.floor(sc * 1e6 + 0.5) / 1e6, int(orig[g])) for g, sc in hits),
+        key=lambda x: (-x[0], x[1]),
+    )[:TOPK]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(rows) + 1, dtype=np.int64),
+            "doc_id": np.array([d for _, d in rows], dtype=np.int64),
+            "score": np.array([sc for sc, _ in rows], dtype=np.float64),
+        }
+    )
+
+
 def q_drill_sideways(sf_dir: str):
     """DrillSideways over (lang, length bucket): filters lang='en' &
     bucket='long'; each dimension's counts drop its own filter. Output:
@@ -1510,6 +1534,7 @@ QUERIES = {
     "group_distinct_counts": q_group_distinct_counts,
     "group_facet_counts": q_group_facet_counts,
     "function_sort_topk": q_function_sort_topk,
+    "function_scale_topk": q_function_scale_topk,
     "sort_top15_longest": q_sort_top15_longest,
     "drill_sideways_counts": q_drill_sideways,
     "taxonomy_counts": q_taxonomy_counts,
@@ -1696,6 +1721,17 @@ m AS (
 SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank,
        doc_id, n_chars AS weight
 FROM m ORDER BY rank LIMIT {TOPK}
+""",
+        "function_scale_topk": f"""
+WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+sc AS (
+  SELECT doc_id,
+         (n_chars - mn) / (mx - mn) * (100.0 - 0.0) + 0.0 AS raw
+  FROM documents, s
+)
+SELECT row_number() OVER (ORDER BY raw DESC, doc_id ASC) AS rank,
+       doc_id, round(raw, 6) AS score
+FROM sc ORDER BY rank LIMIT {TOPK}
 """,
         "function_sort_topk": f"""
 SELECT row_number() OVER (

@@ -61,14 +61,54 @@ def expression_fields(expr: str) -> list[str]:
     names = {
         n.id for n in ast.walk(tree) if isinstance(n, ast.Name) and n.id not in _FUNCS
     }
-    return sorted(names - {"score"})
+    return sorted(names - {"score", "scale"})
 
 
-def compile_expression(expr: str):
-    """-> fn(scores: np.ndarray, values: dict[str, np.ndarray]) -> np.ndarray."""
+def scale_fields(expr: str) -> list[str]:
+    """Fields wrapped in scale(field, a, b) calls — they need global min/max
+    before compilation (ScaleFloatFunction semantics)."""
     tree = ast.parse(expr, mode="eval")
+    out = []
+    for n in ast.walk(tree):
+        if isinstance(n, ast.Call) and isinstance(n.func, ast.Name) and n.func.id == "scale":
+            if (
+                len(n.args) != 3
+                or not isinstance(n.args[0], ast.Name)
+                or not all(isinstance(a, ast.Constant) for a in n.args[1:])
+            ):
+                raise ExpressionError("scale() takes (field, min_const, max_const)")
+            out.append(n.args[0].id)
+    return sorted(set(out))
+
+
+def compile_expression(expr: str, scale_stats: dict | None = None):
+    """-> fn(scores: np.ndarray, values: dict[str, np.ndarray]) -> np.ndarray.
+
+    ``scale_stats`` maps field -> (global_min, global_max) and enables the
+    ScaleFloatFunction analog (reference
+    Queries/Function/ValueSources/ScaleFloatFunction.cs): scale(field, a, b)
+    maps the field's GLOBAL value range onto [a, b]; a degenerate range
+    (min == max) yields a."""
+    tree = ast.parse(expr, mode="eval")
+    scale_stats = scale_stats or {}
 
     def ev(node, scores, values):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "scale"
+        ):
+            field = node.args[0].id
+            a, b = float(node.args[1].value), float(node.args[2].value)
+            if field not in scale_stats:
+                raise ExpressionError(
+                    f"scale({field},...) needs global stats — use function_query"
+                )
+            mn, mx = (float(v) for v in scale_stats[field])
+            vals = values[field].astype(np.float64)
+            if mx == mn:
+                return np.full_like(vals, a)
+            return (vals - mn) / (mx - mn) * (b - a) + a
         if isinstance(node, ast.Expression):
             return ev(node.body, scores, values)
         if isinstance(node, ast.Constant):
@@ -125,10 +165,12 @@ def function_query(searcher, expr: str, *, q=None, k: int = 10):
     style ordering): sorting by an expression is scoring by it.
     """
     from ..query import MatchAllDocsQuery
-    from .collectors import function_rescore
+    from .collectors import field_stats, function_rescore
 
     q = q if q is not None else MatchAllDocsQuery()
-    fn = compile_expression(expr)
+    need_scale = scale_fields(expr)
+    stats = field_stats(searcher, need_scale) if need_scale else None
+    fn = compile_expression(expr, scale_stats=stats)
     # window == k: the per-segment partial evaluates the formula over ALL
     # matching docs and returns its top-k — exact, not an approximation.
     return function_rescore(

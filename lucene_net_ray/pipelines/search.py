@@ -230,6 +230,29 @@ class _SegmentGroup:
             for v, hits in groups.items()
         }
 
+    def field_minmax_partial(self, fields: list) -> dict:
+        """{field: (min, max)} over this shard's LIVE docs."""
+        import numpy as _np
+
+        out: dict = {}
+        for r, dels in zip(self.readers, self.deleted_local):
+            for f in fields:
+                vals = r.doc_values(f)
+                if dels.size:
+                    keep = _np.ones(len(vals), dtype=bool)
+                    keep[dels] = False
+                    vals = vals[keep]
+                if len(vals) == 0:
+                    continue
+                mn, mx = vals.min(), vals.max()
+                cur = out.get(f)
+                out[f] = (
+                    (mn, mx) if cur is None else (min(cur[0], mn), max(cur[1], mx))
+                )
+        return {f: (v[0].item() if hasattr(v[0], "item") else v[0],
+                    v[1].item() if hasattr(v[1], "item") else v[1])
+                for f, v in out.items()}
+
     def sorted_partial_early(
         self, q: Query, stats: dict, sort_fields: list, k: int, ranges: dict
     ) -> tuple:

@@ -78,3 +78,39 @@ def test_function_query_with_underlying_query_score(tmp_path):
     s = Searcher(idx, use_actors=False)
     hits = function_query(s, "score * 0.0 + popularity", q=TermQuery(term="target"), k=4)
     assert [d for d, _ in hits] == [1, 3, 0]  # doc 2 doesn't match
+
+
+def test_scale_value_source(tmp_path):
+    """ScaleFloatFunction analog: scale(field, a, b) maps the field's GLOBAL
+    range onto [a, b] using distributed min/max."""
+    from lucene_net_ray.pipelines.expressions import function_query, scale_fields
+
+    assert scale_fields("scale(pop, 0, 100) + score") == ["pop"]
+
+    pop = [10, 20, 30, 40, 50, 60, 70, 90]
+    docs = [f"item number{i}" for i in range(len(pop))]
+    tbl = pa.table({"content": docs, "pop": pop})
+    idx = str(tmp_path / "idx")
+    build_index_from_table(tbl, idx, target_rows_per_segment=3, stored_columns=("pop",))
+    s = Searcher(idx, use_actors=False)
+    hits = function_query(s, "scale(pop, 0.0, 100.0)", k=8)
+    # min=10 max=90 -> scaled = (v-10)/80*100
+    expected = sorted(
+        ((d, (v - 10) / 80 * 100) for d, v in enumerate(pop)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [(d, sc) for d, sc in hits] == expected
+    # degenerate range -> the lower bound
+    tbl2 = pa.table({"content": ["a b", "a c"], "pop": [5, 5]})
+    idx2 = str(tmp_path / "idx2")
+    build_index_from_table(tbl2, idx2, target_rows_per_segment=2, stored_columns=("pop",))
+    s2 = Searcher(idx2, use_actors=False)
+    hits2 = function_query(s2, "scale(pop, 3.0, 9.0)", k=2)
+    assert [sc for _, sc in hits2] == [3.0, 3.0]
+
+
+def test_scale_requires_stats():
+    from lucene_net_ray.pipelines.expressions import ExpressionError, compile_expression
+
+    with pytest.raises(ExpressionError):
+        compile_expression("scale(pop, 0, 1)")
