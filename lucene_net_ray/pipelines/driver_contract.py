@@ -1375,6 +1375,18 @@ def q_spell_suggest(sf_dir: str):
     return pd.DataFrame(rows, columns=["word", "rank", "suggestion", "score"])
 
 
+def q_trending_terms(sf_dir: str):
+    """Top-5 analyzer tokens per lang by exact count (combiner-before-
+    shuffle + coarse-hash reduce + per-group top-k; ties by token asc)."""
+    from ..stages.textstats import top_terms_per_group
+
+    ds = _documents_ds(sf_dir)
+    out = top_terms_per_group(
+        ds.select_columns(["lang", "text"]), group_column="lang", k=5
+    )
+    return out.select_columns(["lang", "tok", "n"])
+
+
 def q_clean_corpus_ids(sf_dir: str):
     """End-to-end cleaning pipeline: kept (doc_id, quality) after a quality
     floor + exact dedup keep-first."""
@@ -1556,6 +1568,7 @@ QUERIES = {
     "sorted_index_top15": q_sorted_index_top15,
     "asof_purchase_view": q_asof_purchase_view,
     "range_join_views": q_range_join_views,
+    "trending_terms": q_trending_terms,
     "decontaminate_kept": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
     "stratified_sample": q_stratified_sample,
@@ -1644,6 +1657,19 @@ WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge'
 """,
         "duplicate_filter_docs": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang ORDER BY 1
+""",
+        "trending_terms": f"""
+WITH {_TOKS_CTE},
+cnt AS (
+  SELECT d.lang, t.tok, count(*) AS n
+  FROM toks t JOIN documents d USING (doc_id)
+  GROUP BY d.lang, t.tok
+)
+SELECT lang, tok, n FROM (
+  SELECT lang, tok, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn
+  FROM cnt
+) WHERE rn <= 5 ORDER BY lang, tok
 """,
         "range_join_views": """
 SELECT l.event_id AS purchase_id, r.event_id AS view_event_id

@@ -50,3 +50,37 @@ def test_mix_sources_empty_weights():
         pa.table({"doc_id": [1, 2], "text": ["x", "y"], "source": ["a", "b"]})
     )
     assert mix_sources(ds, {}).count() == 0
+
+
+def test_top_terms_per_group():
+    """Trending terms: exact per-group token counts, top-k with (count desc,
+    token asc) ties — vs a brute-force Counter oracle."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.functions.analysis import ENGLISH_STOP_WORDS
+    from lucene_net_ray.stages.textstats import top_terms_per_group
+
+    rng = np.random.default_rng(31)
+    vocab = ["merge", "spark", "window", "vector", "the", "and", "data", "query"]
+    docs, langs = [], []
+    for i in range(400):
+        docs.append(" ".join(rng.choice(vocab, size=rng.integers(3, 12))))
+        langs.append(["en", "de", "fr"][i % 3])
+    ds = ray.data.from_arrow(pa.table({"lang": langs, "text": docs})).repartition(5)
+    got = top_terms_per_group(ds, k=3).to_pandas()
+
+    exp: dict = {}
+    for lang, text in zip(langs, docs):
+        c = exp.setdefault(lang, Counter())
+        c.update(
+            t for t in re.findall(r"[a-z0-9]+", text) if t not in ENGLISH_STOP_WORDS
+        )
+    for lang, c in exp.items():
+        top = sorted(c.items(), key=lambda x: (-x[1], x[0]))[:3]
+        sub = got[got["lang"] == lang].sort_values(["n", "tok"], ascending=[False, True])
+        assert [(r.tok, r.n) for r in sub.itertuples()] == top
