@@ -501,3 +501,66 @@ def sort_index(
     manifest["sorted_by"] = [sort_field, bool(descending)]
     write_index_manifest(out_dir, manifest)
     return IndexMeta(out_dir)
+
+
+def split_index_by_filter(
+    index_dir: str | IndexMeta, out_a: str, out_b: str, q
+) -> tuple[IndexMeta, IndexMeta]:
+    """PKIndexSplitter analog (reference Misc/Index/PKIndexSplitter.cs:
+    partition one index into two by a query/filter — docs MATCHING ``q`` go
+    to ``out_a``, the rest to ``out_b``, both densely renumbered with
+    authentic post-split statistics).
+
+    Plan: evaluate the filter once (per-segment scorers, membership only),
+    clone the immutable segments into two temp views by HARDLINK (O(files),
+    no data copy), write each view's complement as tombstones, and reuse the
+    expunge pipeline (one Ray task per segment) for the rewrite — the same
+    machinery ForceMergeDeletes exercises, so remapping and stat shrinkage
+    are already tested. The matching-id array is the only driver-resident
+    state (8 bytes/doc; the reference's per-segment bitset equivalent)."""
+    import tempfile
+
+    from ..state.deletes import load_deleted, write_deletes
+    from .search import Searcher
+
+    src = index_dir if isinstance(index_dir, IndexMeta) else IndexMeta(index_dir)
+    s = Searcher(src, use_actors=False)
+    matching = np.unique(
+        np.array([d for d, _ in s.scored_docs(q)], dtype=np.int64)
+    )
+    already = load_deleted(src.index_dir)
+    alive = np.setdiff1d(
+        np.arange(src.max_doc, dtype=np.int64), already, assume_unique=True
+    )
+    match_alive = np.intersect1d(matching, alive, assume_unique=True)
+    rest_alive = np.setdiff1d(alive, match_alive, assume_unique=True)
+
+    def _clone_with_tombstones(tombstones: np.ndarray) -> str:
+        tmp = tempfile.mkdtemp(prefix="lnr_pksplit_", dir="/tmp")
+        os.makedirs(os.path.join(tmp, "segments"))
+        for d in src.segment_dirs:
+            dst = os.path.join(tmp, "segments", os.path.basename(d.rstrip("/")))
+            os.makedirs(dst)
+            for f in os.listdir(d):
+                try:
+                    os.link(os.path.join(d, f), os.path.join(dst, f))
+                except OSError:
+                    shutil.copy2(os.path.join(d, f), os.path.join(dst, f))
+        write_index_manifest(tmp, dict(src.manifest))
+        if tombstones.size:
+            write_deletes(tmp, tombstones)
+        return tmp
+
+    tmp_a = _clone_with_tombstones(
+        np.setdiff1d(np.arange(src.max_doc, dtype=np.int64), match_alive)
+    )
+    tmp_b = _clone_with_tombstones(
+        np.setdiff1d(np.arange(src.max_doc, dtype=np.int64), rest_alive)
+    )
+    try:
+        meta_a = expunge_deletes(tmp_a, out_a)
+        meta_b = expunge_deletes(tmp_b, out_b)
+    finally:
+        shutil.rmtree(tmp_a, ignore_errors=True)
+        shutil.rmtree(tmp_b, ignore_errors=True)
+    return meta_a, meta_b

@@ -331,3 +331,51 @@ def test_bulk_eval_sharded_partition_invariance(tmp_path):
     assert base
     assert run(idx_a, 3) == base  # group-count invariant
     assert run(idx_b, 4) == base  # segmentation invariant
+
+
+def test_split_index_by_filter(tmp_path):
+    """PKIndexSplitter analog: matching docs land in index A, the rest in B;
+    both densely renumbered with correct post-split stats and searchable."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.maintenance import split_index_by_filter
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.query import TermQuery
+
+    docs = [
+        f"{'keep' if i % 3 == 0 else 'drop'} common token{i % 5} body"
+        for i in range(60)
+    ]
+    tbl = pa.table({"content": docs, "orig": list(range(60))})
+    idx = str(tmp_path / "src")
+    build_index_from_table(tbl, idx, target_rows_per_segment=13, stored_columns=("orig",))
+
+    a, b = split_index_by_filter(
+        idx, str(tmp_path / "a"), str(tmp_path / "b"), TermQuery(term="keep")
+    )
+    n_keep = sum(1 for d in docs if d.startswith("keep"))
+    assert a.max_doc == n_keep
+    assert b.max_doc == 60 - n_keep
+    sa, sb = Searcher(a, use_actors=False), Searcher(b, use_actors=False)
+    # A contains exactly the matching docs (orig ids preserved as stored col)
+    import os
+
+    import pyarrow.parquet as pq
+
+    orig_a = sorted(
+        v
+        for d in a.segment_dirs
+        for v in pq.read_table(os.path.join(d, "docs.parquet"), columns=["orig"])
+        .column("orig")
+        .to_pylist()
+    )
+    assert orig_a == [i for i in range(60) if i % 3 == 0]
+    # B has no 'keep' docs at all; 'common' matches everything in each half
+    assert sb.count(TermQuery(term="keep")) == 0
+    assert sa.count(TermQuery(term="common")) == n_keep
+    assert sb.count(TermQuery(term="common")) == 60 - n_keep
+    # dense renumbering: every docid < max_doc reachable
+    hits = sa.search(TermQuery(term="common"), k=60)
+    assert {d for d, _ in hits} == set(range(n_keep))
