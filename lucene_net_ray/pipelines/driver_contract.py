@@ -1375,6 +1375,32 @@ def q_spell_suggest(sf_dir: str):
     return pd.DataFrame(rows, columns=["word", "rank", "suggestion", "score"])
 
 
+def q_assoc_facet_sums(sf_dir: str):
+    """Association facets over synthetic lang/len-bucket taxonomy paths:
+    per label (every prefix level), SUM(n_chars) and doc count."""
+    from .facets import association_facet_sums
+
+    def pathize(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        chars = batch.column("n_chars").to_pylist()
+        paths = [f"{l}/{'long' if c >= 300 else 'short'}" for l, c in zip(langs, chars)]
+        return batch.append_column("path", pa.array(paths, type=pa.string()))
+
+    ds = _documents_ds(sf_dir).map_batches(pathize, batch_format="pyarrow")
+    out = association_facet_sums(ds, "path", "n_chars", taxonomy=True)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "facet": batch.column("facet"),
+                "sum_chars": batch.column("sum_value").cast(pa.int64()),
+                "n_docs": batch.column("n_docs").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_trending_terms(sf_dir: str):
     """Top-5 analyzer tokens per lang by exact count (combiner-before-
     shuffle + coarse-hash reduce + per-group top-k; ties by token asc)."""
@@ -1569,6 +1595,7 @@ QUERIES = {
     "asof_purchase_view": q_asof_purchase_view,
     "range_join_views": q_range_join_views,
     "trending_terms": q_trending_terms,
+    "assoc_facet_sums": q_assoc_facet_sums,
     "decontaminate_kept": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
     "stratified_sample": q_stratified_sample,
@@ -1657,6 +1684,20 @@ WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge'
 """,
         "duplicate_filter_docs": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang ORDER BY 1
+""",
+        "assoc_facet_sums": """
+WITH p AS (
+  SELECT lang || '/' || CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS path,
+         n_chars
+  FROM documents
+)
+SELECT facet, CAST(sum(n_chars) AS BIGINT) AS sum_chars, count(*) AS n_docs
+FROM (
+  SELECT lang AS facet, n_chars FROM documents
+  UNION ALL
+  SELECT path, n_chars FROM p
+)
+GROUP BY facet ORDER BY facet
 """,
         "trending_terms": f"""
 WITH {_TOKS_CTE},

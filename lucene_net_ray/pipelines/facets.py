@@ -52,6 +52,66 @@ def taxonomy_counts(
     return counts.rename_columns({"count()": "n_docs"})
 
 
+def association_facet_sums(
+    ds: ray.data.Dataset,
+    facet_column: str,
+    value_column: str,
+    *,
+    taxonomy: bool = False,
+    sep: str = "/",
+) -> ray.data.Dataset:
+    """Association facets (reference
+    Facet/Taxonomy/TaxonomyFacetSumValueSource.cs and
+    Taxonomy/{Int,Float}AssociationFacetField): per facet label, the SUM of
+    an associated per-doc value (and the doc count) instead of a plain
+    count. With ``taxonomy=True`` the facet column holds slash paths and
+    every prefix level aggregates (rollup semantics) — one vectorized
+    prefix expansion per depth, one groupby."""
+    import numpy as np
+
+    def expand(batch: pa.Table) -> pa.Table:
+        col = batch.column(facet_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = batch.column(value_column)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        keep = pc.and_kleene(col.is_valid(), pc.not_equal(col, ""))
+        keep = pc.fill_null(keep, False)
+        col, vals = col.filter(keep), vals.filter(keep)
+        empty = pa.table(
+            {
+                "facet": pa.array([], type=pa.string()),
+                "v": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(col) == 0:
+            return empty
+        if not taxonomy:
+            return pa.table({"facet": col, "v": vals.cast(pa.float64())})
+        parts = pc.split_pattern(col, sep)
+        depth = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        outs, vouts = [], []
+        vnp = vals.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        for i in range(1, int(depth.max()) + 1):
+            m = depth >= i
+            sliced = pc.list_slice(parts.filter(pa.array(m)), 0, i)
+            outs.append(pc.binary_join(sliced, sep))
+            vouts.append(vnp[m])
+        joined = pa.concat_arrays(
+            [o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o for o in outs]
+        )
+        return pa.table({"facet": joined, "v": pa.array(np.concatenate(vouts))})
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("facet")
+        .aggregate(Sum("v", alias_name="sum_value"), Count(alias_name="n_docs"))
+    )
+
+
 def range_counts(
     ds: ray.data.Dataset,
     field: str,

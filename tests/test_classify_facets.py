@@ -95,3 +95,33 @@ def test_range_facet_counts():
         ],
     ).to_pandas().set_index("label")["n_docs"].to_dict()
     assert out == {"low": 2, "mid": 3, "high": 1, "none": 0}
+
+
+def test_association_facet_sums():
+    """Association facets: per facet label, SUM of an associated value (+
+    doc count); taxonomy mode rolls up every path prefix."""
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.facets import association_facet_sums
+
+    tbl = pa.table(
+        {
+            "path": ["a/x", "a/y", "a/x", "b/x", "", None],
+            "w": [10, 20, 5, 7, 99, 99],
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    flat = {
+        r["facet"]: (r["sum_value"], r["n_docs"])
+        for r in association_facet_sums(ds, "path", "w").take_all()
+    }
+    assert flat == {"a/x": (15.0, 2), "a/y": (20.0, 1), "b/x": (7.0, 1)}
+    tax = {
+        r["facet"]: (r["sum_value"], r["n_docs"])
+        for r in association_facet_sums(ds, "path", "w", taxonomy=True).take_all()
+    }
+    assert tax == {
+        "a": (35.0, 3), "a/x": (15.0, 2), "a/y": (20.0, 1),
+        "b": (7.0, 1), "b/x": (7.0, 1),
+    }
