@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--query", required=True)
 
+    ti = sub.add_parser(
+        "term-info", help="global df/ttf for terms (Misc/GetTermInfo analog)"
+    )
+    ti.add_argument("--index", required=True)
+    ti.add_argument("--terms", required=True, help="comma-separated terms")
+
     args = ap.parse_args(argv)
     _ensure_ray()
     try:
@@ -156,6 +162,21 @@ def main(argv: list[str] | None = None) -> int:
 
             rows = high_freq_terms(IndexMeta(args.index), k=args.k).take_all()
             print(json.dumps(rows))
+        elif args.cmd == "term-info":
+            from .state.index import IndexMeta
+            from .state.segment import SegmentReader
+
+            meta = IndexMeta(args.index)
+            out = []
+            for term in args.terms.split(","):
+                df = ttf = 0
+                for d in meta.segment_dirs:
+                    r = SegmentReader(d)
+                    sdf, sttf = r.term_stats(term)[:2]
+                    df += int(sdf)
+                    ttf += int(sttf)
+                out.append({"term": term, "df": df, "ttf": ttf})
+            print(json.dumps(out))
         elif args.cmd == "expunge":
             from .pipelines.maintenance import expunge_deletes
 

@@ -503,6 +503,61 @@ def sort_index(
     return IndexMeta(out_dir)
 
 
+def _clone_with_tombstones(src: IndexMeta, tombstones: "np.ndarray") -> str:
+    """Hardlink clone of an index's immutable segments (O(files), no data
+    copy) carrying a fresh tombstone set — the shared substrate of the
+    filter/round-robin splitters."""
+    import tempfile
+
+    from ..state.deletes import write_deletes
+
+    tmp = tempfile.mkdtemp(prefix="lnr_split_", dir="/tmp")
+    os.makedirs(os.path.join(tmp, "segments"))
+    for d in src.segment_dirs:
+        dst = os.path.join(tmp, "segments", os.path.basename(d.rstrip("/")))
+        os.makedirs(dst)
+        for f in os.listdir(d):
+            try:
+                os.link(os.path.join(d, f), os.path.join(dst, f))
+            except OSError:
+                shutil.copy2(os.path.join(d, f), os.path.join(dst, f))
+    write_index_manifest(tmp, dict(src.manifest))
+    if tombstones.size:
+        write_deletes(tmp, tombstones)
+    return tmp
+
+
+def split_index_round_robin(
+    index_dir: str | IndexMeta, out_dirs: list[str]
+) -> list[IndexMeta]:
+    """MultiPassIndexSplitter analog (reference
+    Misc/Index/MultiPassIndexSplitter.cs: N passes over the source, each
+    keeping every Nth doc via negated-deletes views, then rewriting): part p
+    keeps live docs with position % N == p; each part is a hardlink clone +
+    complement tombstones pushed through the expunge rewrite (one Ray task
+    per segment per part — the reference's N passes, parallelized)."""
+    from ..state.deletes import load_deleted
+
+    src = index_dir if isinstance(index_dir, IndexMeta) else IndexMeta(index_dir)
+    n = len(out_dirs)
+    if n < 1:
+        raise ValueError("need at least one output")
+    alive = np.setdiff1d(
+        np.arange(src.max_doc, dtype=np.int64), load_deleted(src.index_dir),
+        assume_unique=True,
+    )
+    out = []
+    all_ids = np.arange(src.max_doc, dtype=np.int64)
+    for p, out_dir in enumerate(out_dirs):
+        keep = alive[p::n]
+        tmp = _clone_with_tombstones(src, np.setdiff1d(all_ids, keep))
+        try:
+            out.append(expunge_deletes(tmp, out_dir))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def split_index_by_filter(
     index_dir: str | IndexMeta, out_a: str, out_b: str, q
 ) -> tuple[IndexMeta, IndexMeta]:
@@ -535,27 +590,11 @@ def split_index_by_filter(
     match_alive = np.intersect1d(matching, alive, assume_unique=True)
     rest_alive = np.setdiff1d(alive, match_alive, assume_unique=True)
 
-    def _clone_with_tombstones(tombstones: np.ndarray) -> str:
-        tmp = tempfile.mkdtemp(prefix="lnr_pksplit_", dir="/tmp")
-        os.makedirs(os.path.join(tmp, "segments"))
-        for d in src.segment_dirs:
-            dst = os.path.join(tmp, "segments", os.path.basename(d.rstrip("/")))
-            os.makedirs(dst)
-            for f in os.listdir(d):
-                try:
-                    os.link(os.path.join(d, f), os.path.join(dst, f))
-                except OSError:
-                    shutil.copy2(os.path.join(d, f), os.path.join(dst, f))
-        write_index_manifest(tmp, dict(src.manifest))
-        if tombstones.size:
-            write_deletes(tmp, tombstones)
-        return tmp
-
     tmp_a = _clone_with_tombstones(
-        np.setdiff1d(np.arange(src.max_doc, dtype=np.int64), match_alive)
+        src, np.setdiff1d(np.arange(src.max_doc, dtype=np.int64), match_alive)
     )
     tmp_b = _clone_with_tombstones(
-        np.setdiff1d(np.arange(src.max_doc, dtype=np.int64), rest_alive)
+        src, np.setdiff1d(np.arange(src.max_doc, dtype=np.int64), rest_alive)
     )
     try:
         meta_a = expunge_deletes(tmp_a, out_a)

@@ -379,3 +379,34 @@ def test_split_index_by_filter(tmp_path):
     # dense renumbering: every docid < max_doc reachable
     hits = sa.search(TermQuery(term="common"), k=60)
     assert {d for d, _ in hits} == set(range(n_keep))
+
+
+def test_split_index_round_robin(tmp_path):
+    """MultiPassIndexSplitter analog: part p keeps every Nth live doc; parts
+    are disjoint, cover the source, and renumber densely."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.maintenance import split_index_round_robin
+
+    docs = [f"body token{i % 4} common" for i in range(45)]
+    tbl = pa.table({"content": docs, "orig": list(range(45))})
+    idx = str(tmp_path / "src")
+    build_index_from_table(tbl, idx, target_rows_per_segment=10, stored_columns=("orig",))
+
+    parts = split_index_round_robin(idx, [str(tmp_path / f"p{i}") for i in range(3)])
+    assert [m.max_doc for m in parts] == [15, 15, 15]
+    seen = []
+    for p, m in enumerate(parts):
+        origs = sorted(
+            v
+            for d in m.segment_dirs
+            for v in pq.read_table(os.path.join(d, "docs.parquet"), columns=["orig"])
+            .column("orig").to_pylist()
+        )
+        assert origs == list(range(p, 45, 3))
+        seen.extend(origs)
+    assert sorted(seen) == list(range(45))
