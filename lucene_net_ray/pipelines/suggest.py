@@ -409,6 +409,7 @@ class AnalyzingInfixSuggester:
         weight_column: str = "weight",
         payload_column: str | None = None,
         id_column: str | None = None,
+        contexts_column: str | None = None,
         analyzer: Analyzer | None = None,
     ):
         import json
@@ -421,11 +422,17 @@ class AnalyzingInfixSuggester:
         if not os.path.exists(man_path):
             if ds is None:
                 raise FileNotFoundError(f"no suggester store at {store_dir} and no ds")
-            self._build(ds, surface_column, weight_column, payload_column, id_column)
+            self._build(
+                ds, surface_column, weight_column, payload_column, id_column,
+                contexts_column,
+            )
         with open(man_path) as f:
             self.manifest = json.load(f)
 
-    def _build(self, ds, surface_column, weight_column, payload_column, id_column):
+    def _build(
+        self, ds, surface_column, weight_column, payload_column, id_column,
+        contexts_column=None,
+    ):
         import hashlib as _hashlib
         import json
         import os
@@ -494,6 +501,12 @@ class AnalyzingInfixSuggester:
             }
             if has_payload:
                 cols["payload"] = pa.array(payloads)
+            if contexts_column is not None:
+                ctx = batch.column(contexts_column).to_pylist()
+                cols["contexts"] = pa.array(
+                    [([c] if isinstance(c, str) else list(c or [])) for c in ctx],
+                    type=pa.list_(pa.string()),
+                )
             return pa.table(cols)
 
         tok_dir = os.path.join(self.store_dir, "tokens")
@@ -510,6 +523,7 @@ class AnalyzingInfixSuggester:
             "token_parts": _part_ranges(tok_dir, "token"),
             "suggestion_parts": _part_ranges(sug_dir, "sid"),
             "has_payload": has_payload,
+            "has_contexts": contexts_column is not None,
         }
         tmp = os.path.join(self.store_dir, "manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -559,11 +573,16 @@ class AnalyzingInfixSuggester:
                 filters=[("sid", "in", sorted(want))],
             )
             pay = t.column("payload").to_pylist() if "payload" in t.column_names else [None] * t.num_rows
-            for sid, surf, w, pl in zip(
+            ctx = (
+                t.column("contexts").to_pylist()
+                if "contexts" in t.column_names
+                else [None] * t.num_rows
+            )
+            for sid, surf, w, pl, cx in zip(
                 t.column("sid").to_pylist(), t.column("surface").to_pylist(),
-                t.column("weight").to_pylist(), pay,
+                t.column("weight").to_pylist(), pay, ctx,
             ):
-                out[sid] = (surf, w, pl)
+                out[sid] = (surf, w, pl, cx)
         return out
 
     # -- lookup -------------------------------------------------------------
@@ -618,20 +637,39 @@ class AnalyzingInfixSuggester:
 
     def lookup(
         self, key: str, k: int = 5, *, all_terms_required: bool = True,
-        do_highlight: bool = False,
+        do_highlight: bool = False, contexts: "set | None" = None,
     ) -> list[dict]:
+        """``contexts``: when given (and the store carries a contexts
+        column), only suggestions tagged with at least one of these labels
+        return — Lookup(key, contexts, ...) semantics. Candidates fetch in
+        weight-ordered chunks until k context-matching rows are found, so
+        the filter never forces a full candidate fetch."""
         cands, _n, matched_tokens, prefix_token = self._candidates(key, all_terms_required)
-        ranked = self._rank(cands)[:k]
-        info = self._fetch_suggestions([s for s, _ in ranked])
+        ranked = self._rank(cands)
+        if contexts is not None and not self.manifest.get("has_contexts"):
+            raise ValueError("store was built without a contexts column")
+        wanted = set(contexts) if contexts is not None else None
         out = []
-        for sid, score in ranked:
-            surf, w, pl = info[sid]
-            row = {"surface": surf, "weight": int(w), "score": score, "sid": sid}
-            if self.manifest.get("has_payload"):
-                row["payload"] = pl
-            if do_highlight:
-                row["highlighted"] = self._highlight(surf, matched_tokens, prefix_token)
-            out.append(row)
+        chunk = max(4 * k, 64) if wanted is not None else k
+        for i in range(0, len(ranked), chunk):
+            page = ranked[i : i + chunk]
+            info = self._fetch_suggestions([s for s, _ in page])
+            for sid, score in page:
+                surf, w, pl, cx = info[sid]
+                if wanted is not None and not (wanted & set(cx or [])):
+                    continue
+                row = {"surface": surf, "weight": int(w), "score": score, "sid": sid}
+                if self.manifest.get("has_payload"):
+                    row["payload"] = pl
+                if do_highlight:
+                    row["highlighted"] = self._highlight(
+                        surf, matched_tokens, prefix_token
+                    )
+                out.append(row)
+                if len(out) == k:
+                    return out
+            if len(out) == k:
+                break
         return out
 
     def _highlight(self, surface: str, matched: set, prefix_token: str | None) -> str:

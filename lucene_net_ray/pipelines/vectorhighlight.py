@@ -169,10 +169,14 @@ def fast_vector_highlight(
 
     Requires the index built with index_options='offsets' and the text
     column stored (the same contract as postings_highlight — the engine's
-    term-vector-with-offsets equivalent)."""
+    term-vector-with-offsets equivalent). ``pre``/``post`` may be LISTS —
+    the reference's multi-colored tag arrays, cycled per highlighted span
+    in document order (BaseFragmentsBuilder.preTags/postTags)."""
     phrases = _flatten_phrases(q)
     if not phrases:
         return []
+    pres = list(pre) if isinstance(pre, (list, tuple)) else [pre]
+    posts = list(post) if isinstance(post, (list, tuple)) else [post]
     r, local = _reader_for(searcher, docid)
     if hasattr(searcher, "reader"):
         field = field or "content"
@@ -202,9 +206,9 @@ def fast_vector_highlight(
             else:
                 merged.append([a, b])
         buf, cur = [], s0
-        for a, b in merged:
+        for si, (a, b) in enumerate(merged):
             buf.append(text[cur:a])
-            buf.append(pre + text[a:b] + post)
+            buf.append(pres[si % len(pres)] + text[a:b] + posts[si % len(posts)])
             cur = b
         buf.append(text[cur:e0])
         out.append("".join(buf))

@@ -268,3 +268,40 @@ def test_prefix_suggesters_reopen_from_disk(tmp_path):
     assert a2.lookup("lend", k=2) == a1.lookup("lend", k=2) == [("lend me your ear", 8)]
     fz = FuzzySuggester(store_dir=str(tmp_path / "st"), analyzer=Analyzer(stop_words=None))
     assert fz.lookup("lond", k=2) == [("lend me your ear", 8)]
+
+
+def test_infix_contexts_filter(tmp_path):
+    """Lookup(key, contexts, ...) semantics: only suggestions tagged with an
+    intersecting context label return; fetch stays weight-ordered."""
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.pipelines.suggest import AnalyzingInfixSuggester
+
+    tbl = pa.table(
+        {
+            "suggestion": ["lend me your ear", "earned income", "early bird", "ear ring"],
+            "weight": [10, 9, 8, 7],
+            "cat": [["books"], ["finance"], ["books", "idioms"], ["jewelry"]],
+        }
+    )
+    s = AnalyzingInfixSuggester(
+        ray.data.from_arrow(tbl),
+        store_dir=str(tmp_path / "ctx"),
+        analyzer=Analyzer(stop_words=None),
+        contexts_column="cat",
+    )
+    all_hits = s.lookup("ear", k=10)
+    assert [r["weight"] for r in all_hits] == [10, 9, 8, 7]
+    books = s.lookup("ear", k=10, contexts={"books"})
+    assert [r["surface"] for r in books] == ["lend me your ear", "early bird"]
+    multi = s.lookup("ear", k=10, contexts={"finance", "jewelry"})
+    assert [r["surface"] for r in multi] == ["earned income", "ear ring"]
+    assert s.lookup("ear", k=10, contexts={"nonexistent"}) == []
+    import pytest as _pt
+
+    s2 = AnalyzingInfixSuggester(
+        ray.data.from_arrow(tbl.select(["suggestion", "weight"])),
+        store_dir=str(tmp_path / "noctx"),
+        analyzer=Analyzer(stop_words=None),
+    )
+    with _pt.raises(ValueError):
+        s2.lookup("ear", contexts={"books"})

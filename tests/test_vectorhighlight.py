@@ -137,3 +137,22 @@ def test_fvh_overlapping_phrase_and_term_spans_merge(fvh_index):
     f = frags[0]
     assert "<b><b>" not in f and "</b></b>" not in f
     assert "<b>brown fox</b>" in f
+
+
+def test_fvh_multi_color_tags_cycle(fvh_index):
+    """Per-span tag arrays cycle in document order (the reference's
+    multi-colored preTags/postTags)."""
+    q = BooleanQuery(
+        clauses=(
+            BooleanClause(TermQuery(term="brown"), "SHOULD"),
+            BooleanClause(TermQuery(term="fox"), "SHOULD"),
+        )
+    )
+    frags = fast_vector_highlight(
+        fvh_index, 1, q, frag_char_size=1000, max_frags=1,
+        pre=["<b1>", "<b2>"], post=["</b1>", "</b2>"],
+    )
+    f = frags[0]
+    # spans in doc order: brown, fox, brown, fox -> tags alternate
+    assert "<b1>brown</b1> <b2>fox</b2>" in f
+    assert f.count("<b1>") == 2 and f.count("<b2>") == 2
