@@ -625,3 +625,50 @@ class DictionarySegmenterCharFilter:
 
     def config(self) -> dict:
         return {"kind": "dict_segmenter", "n_words": len(self.words)}
+
+
+def query_auto_stopword_analyzer(
+    index,
+    *,
+    base: "Analyzer | None" = None,
+    max_doc_freq: int | None = None,
+    max_percent_docs: float | None = None,
+):
+    """QueryAutoStopWordAnalyzer analog (reference
+    Analysis/Query/QueryAutoStopWordAnalyzer.cs:71): derive EXTRA stopwords
+    from the index itself — every term whose document frequency exceeds
+    ``max_doc_freq`` (or ``max_percent_docs`` of maxDoc) is stopped at
+    query-analysis time. The df scan is the distributed global-term-stats
+    exchange (one per-segment pre-aggregation + one groupby.sum), filtered
+    BEFORE take_all so only the stopword set itself reaches the driver.
+
+    Returns an Analyzer-compatible chain whose stop set = the base
+    analyzer's stops UNION the auto-derived high-df terms.
+    """
+    import pyarrow.compute as _pc
+
+    from ..pipelines.merge import global_term_stats
+    from ..state.index import IndexMeta
+
+    meta = index if isinstance(index, IndexMeta) else IndexMeta(index)
+    if (max_doc_freq is None) == (max_percent_docs is None):
+        raise ValueError("pass exactly one of max_doc_freq / max_percent_docs")
+    threshold = (
+        max_doc_freq
+        if max_doc_freq is not None
+        else int(max_percent_docs * meta.max_doc)
+    )
+    stats = global_term_stats(meta)
+    hot = stats.map_batches(
+        lambda b: b.filter(_pc.greater(b.column("df"), threshold)).select(["term"]),
+        batch_format="pyarrow",
+    ).take_all()  # stopword-set-sized, not vocabulary-sized
+    auto = frozenset(r["term"] for r in hot)
+    b = base or Analyzer()
+    merged = Analyzer(
+        kind=b.kind if b.kind in ("standard", "whitespace", "simple", "keyword") else "standard",
+        stop_words=frozenset(b.stop_words) | auto,
+        max_token_length=b.max_token_length,
+    )
+    merged.auto_stop_words = auto  # introspection, mirrors GetStopWords()
+    return merged

@@ -304,3 +304,30 @@ def test_dictionary_segmenter_thai_seam(tmp_path):
     s = Searcher(idx, use_actors=False)
     assert [d for d, _ in s.search(TermQuery(term="ไทย"), k=5)] == [0]
     assert {d for d, _ in s.search(TermQuery(term="ภาษา"), k=5)} == {0, 1}
+
+
+def test_query_auto_stopword_analyzer(tmp_path):
+    """df-derived stopwords (QueryAutoStopWordAnalyzer): terms above the df
+    threshold vanish from query analysis; both threshold forms agree."""
+    import pyarrow as pa
+
+    from lucene_net_ray.functions.analysis_ext import query_auto_stopword_analyzer
+    from lucene_net_ray.pipelines.build import build_index_from_table
+
+    docs = [f"ubiquitous filler{i % 2} rare{i}" for i in range(50)]
+    tbl = pa.table({"content": docs})
+    idx = str(tmp_path / "idx")
+    build_index_from_table(tbl, idx, target_rows_per_segment=20)
+
+    an = query_auto_stopword_analyzer(idx, max_doc_freq=30)
+    assert "ubiquitous" in an.auto_stop_words  # df=50 > 30
+    assert "filler0" not in an.auto_stop_words  # df=25
+    assert an("ubiquitous rare7 filler0") == ["rare7", "filler0"]
+
+    an2 = query_auto_stopword_analyzer(idx, max_percent_docs=0.6)
+    assert an2.auto_stop_words == an.auto_stop_words
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        query_auto_stopword_analyzer(idx)
