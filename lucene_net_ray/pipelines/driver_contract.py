@@ -1401,6 +1401,39 @@ def q_assoc_facet_sums(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_training_shards(sf_dir: str):
+    """End-to-end training prep (clean -> chunk -> pack -> sharded write):
+    the packing sidecar (chunk -> training-sequence map) is the verified
+    surface — dedup winner selection, window arithmetic, and the global
+    token stream all mirrored in one SQL chain."""
+    from .training import prepare_training_shards
+
+    slug = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join("/tmp", "lnr_training_cache", slug)
+    prepare_training_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        out,
+        chunk_tokens=CHUNK_TOKENS,
+        overlap_tokens=CHUNK_OVERLAP,
+        pack_budget=2048,
+        num_shards=8,
+    )
+    ds = ray.data.read_parquet(os.path.join(out, "packing"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "chunk_uid": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+                "start_tok": batch.column("start_tok").cast(pa.int64()),
+                "first_seq": batch.column("first_seq").cast(pa.int64()),
+                "last_seq": batch.column("last_seq").cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
 def q_trending_terms(sf_dir: str):
     """Top-5 analyzer tokens per lang by exact count (combiner-before-
     shuffle + coarse-hash reduce + per-group top-k; ties by token asc)."""
@@ -1596,6 +1629,7 @@ QUERIES = {
     "range_join_views": q_range_join_views,
     "trending_terms": q_trending_terms,
     "assoc_facet_sums": q_assoc_facet_sums,
+    "training_shards": q_training_shards,
     "decontaminate_kept": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
     "stratified_sample": q_stratified_sample,
@@ -1698,6 +1732,37 @@ FROM (
   SELECT path, n_chars FROM p
 )
 GROUP BY facet ORDER BY facet
+""",
+        "training_shards": rf"""
+WITH kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE d.doc_id = (SELECT min(doc_id) FROM documents d2 WHERE d2.text = d.text)
+),
+ts AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+  FROM kept
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {CHUNK_TOKENS - CHUNK_OVERLAP})) AS st
+  FROM ts WHERE len(toks) > 0
+),
+chunks AS (
+  SELECT doc_id * 1000000 + CAST(st / {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_uid,
+         least({CHUNK_TOKENS}, len(toks) - st) AS n_tokens
+  FROM idx
+),
+ordered AS (
+  SELECT chunk_uid, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY chunk_uid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+           AS start_tok
+  FROM chunks
+)
+SELECT chunk_uid, n_tokens, start_tok,
+       start_tok // 2048 AS first_seq,
+       greatest(start_tok // 2048, (start_tok + n_tokens - 1) // 2048) AS last_seq
+FROM ordered
 """,
         "trending_terms": f"""
 WITH {_TOKS_CTE},
