@@ -1446,6 +1446,31 @@ def q_trending_terms(sf_dir: str):
     return out.select_columns(["lang", "tok", "n"])
 
 
+def q_ngram_counts(sf_dir: str):
+    """Global top-100 adjacent analyzer-token bigrams by exact count."""
+    from ..stages.corpus import ngram_counts_topk
+
+    ds = _documents_ds(sf_dir)
+    return ngram_counts_topk(ds.select_columns(["doc_id", "text"]), n=2, k=100)
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Top-50 bigram collocations by PMI (min bigram count 5)."""
+    from ..stages.corpus import pmi_bigrams_topk
+
+    ds = _documents_ds(sf_dir)
+    return pmi_bigrams_topk(ds.select_columns(["doc_id", "text"]), k=50, min_count=5)
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 terms by tf*ln(N/df)."""
+    from ..stages.corpus import tfidf_top_terms
+
+    ds = _documents_ds(sf_dir)
+    out = tfidf_top_terms(ds.select_columns(["doc_id", "text"]), k=3)
+    return out.select_columns(["doc_id", "rank", "tok", "tfidf"])
+
+
 def q_clean_corpus_ids(sf_dir: str):
     """End-to-end cleaning pipeline: kept (doc_id, quality) after a quality
     floor + exact dedup keep-first."""
@@ -1628,6 +1653,9 @@ QUERIES = {
     "asof_purchase_view": q_asof_purchase_view,
     "range_join_views": q_range_join_views,
     "trending_terms": q_trending_terms,
+    "ngram_counts": q_ngram_counts,
+    "pmi_bigrams": q_pmi_bigrams,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "assoc_facet_sums": q_assoc_facet_sums,
     "training_shards": q_training_shards,
     "decontaminate_kept": q_decontaminate,
@@ -1776,6 +1804,44 @@ SELECT lang, tok, n FROM (
          row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn
   FROM cnt
 ) WHERE rn <= 5 ORDER BY lang, tok
+""",
+        "ngram_counts": f"""
+WITH lst AS (
+  SELECT doc_id, list_filter(regexp_extract_all(text, '[a-z0-9]+'), t -> t NOT IN ({STOPS_SQL})) AS l
+  FROM documents),
+bg AS (SELECT l[i] AS t1, l[i+1] AS t2 FROM lst, unnest(range(1, len(l))) AS u(i))
+SELECT t1, t2, count(*) AS n FROM bg GROUP BY t1, t2
+ORDER BY n DESC, t1 || chr(31) || t2 ASC LIMIT 100
+""",
+        "pmi_bigrams": f"""
+WITH lst AS (
+  SELECT doc_id, list_filter(regexp_extract_all(text, '[a-z0-9]+'), t -> t NOT IN ({STOPS_SQL})) AS l
+  FROM documents),
+uni AS (SELECT unnest(l) AS tok FROM lst),
+ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+nu AS (SELECT count(*) AS v FROM uni),
+bg AS (SELECT l[i] AS t1, l[i+1] AS t2 FROM lst, unnest(range(1, len(l))) AS u(i)),
+nb AS (SELECT count(*) AS v FROM bg),
+bcnt AS (SELECT t1, t2, count(*) AS n FROM bg GROUP BY t1, t2 HAVING count(*) >= 5),
+scored AS (
+  SELECT t1, t2, n,
+    ROUND(ln(((n * 1.0 * (SELECT v FROM nu) / ux.c) * (SELECT v FROM nu) / uy.c) / (SELECT v FROM nb)), 6) AS pmi
+  FROM bcnt JOIN ucnt ux ON ux.tok = bcnt.t1 JOIN ucnt uy ON uy.tok = bcnt.t2)
+SELECT t1, t2, n, pmi FROM scored ORDER BY pmi DESC, t1 ASC, t2 ASC LIMIT 50
+""",
+        "tfidf_top_terms": f"""
+WITH {_TOKS_CTE},
+tfs AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfs AS (SELECT tok, count(*) AS df FROM tfs GROUP BY tok),
+nd AS (SELECT count(*) AS v FROM documents),
+scored AS (
+  SELECT tfs.doc_id, tfs.tok,
+    ROUND(tf * ln((SELECT v FROM nd) * 1.0 / df), 6) AS tfidf,
+    row_number() OVER (PARTITION BY tfs.doc_id
+      ORDER BY ROUND(tf * ln((SELECT v FROM nd) * 1.0 / df), 6) DESC, tfs.tok ASC) AS rank
+  FROM tfs JOIN dfs ON dfs.tok = tfs.tok)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tfidf FROM scored WHERE rank <= 3
+ORDER BY doc_id, rank
 """,
         "range_join_views": """
 SELECT l.event_id AS purchase_id, r.event_id AS view_event_id
