@@ -31,6 +31,15 @@ Rules implemented (WordDelimiterFilter.cs:41-56):
 Output ordering (flat-list analog of the reference's position buffering):
 original first, then subwords in order, each run-catenation immediately
 after its run's last part, CATENATE_ALL last.
+
+Chain-order note: this repo's base analyzers lowercase during
+tokenization, so inside a ChainAnalyzer the SPLIT_ON_CASE_CHANGE flag never
+fires (the reference's canonical chain is WhitespaceTokenizer ->
+WordDelimiterFilter -> LowerCaseFilter). Delimiter and numeric splitting
+plus catenation work unchanged; for case-change splitting drive the filter
+directly (or via a custom non-folding base) — verified end-to-end in the
+/tmp drive: 'sd500' -> sd/500 searchable, 'wi-fi' -> wifi catenation
+searchable through build_index + Searcher.
 """
 
 from __future__ import annotations
