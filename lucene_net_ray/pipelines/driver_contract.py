@@ -486,6 +486,36 @@ def q_simple_parser_count(sf_dir: str):
     return pd.DataFrame({"n": [np.int64(s.count(parse_simple("merge + spark + -window")))]})
 
 
+def q_flexible_parser_counts(sf_dir: str):
+    """Flexible (StandardQueryParser/PrecedenceQueryParser analog) surface
+    end-to-end over ONE query string, 'merge AND spark OR window':
+      n_std  — StandardQueryParser FLATTENS precedence -> +merge +spark window
+               (SHOULD optional next to MUSTs => docs with merge AND spark);
+      n_prec — PrecedenceQueryParser keeps the tree -> (merge AND spark) OR window;
+      n_num  — numeric-config field: 'n_chars:{150 TO 400] AND merge' becomes
+               an exclusive-lower docvalues range filter AND'd with a term.
+    The std/prec split is the defining semantic difference between the two
+    reference parsers (BooleanQuery2ModifierNodeProcessor.cs vs
+    Precedence/Processors/BooleanModifiersQueryNodeProcessor.cs)."""
+    from ..flexible import PrecedenceQueryParser, StandardQueryParser
+    from .search import Searcher
+
+    meta, _ = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    text = "merge AND spark OR window"
+    n_std = s.count(StandardQueryParser().parse(text))
+    n_prec = s.count(PrecedenceQueryParser().parse(text))
+    pn = StandardQueryParser().set_numeric_config("n_chars", "long")
+    n_num = s.count(pn.parse("n_chars:{150 TO 400] AND merge"))
+    return pd.DataFrame(
+        {
+            "n_std": [np.int64(n_std)],
+            "n_prec": [np.int64(n_prec)],
+            "n_num": [np.int64(n_num)],
+        }
+    )
+
+
 def q_prefix_doc_count(sf_dir: str):
     from ..query import PrefixQuery
     from .search import Searcher
@@ -1667,6 +1697,7 @@ QUERIES = {
     "facet_range_counts": q_facet_range_counts,
     "xml_filtered_count": q_xml_filtered_count,
     "simple_parser_count": q_simple_parser_count,
+    "flexible_parser_counts": q_flexible_parser_counts,
     "duplicate_filter_docs": q_duplicate_filter_docs,
     "block_join_scores": q_block_join_scores,
     "geo_distance": q_geo_distance,
@@ -1743,6 +1774,21 @@ SELECT count(*) AS n FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
   AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window')
+""",
+        "flexible_parser_counts": f"""
+WITH {_TOKS_CTE},
+has AS (
+  SELECT d.doc_id,
+         EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge') AS h_merge,
+         EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark') AS h_spark,
+         EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window') AS h_window,
+         d.n_chars
+  FROM documents d
+)
+SELECT
+  (SELECT count(*) FROM has WHERE h_merge AND h_spark) AS n_std,
+  (SELECT count(*) FROM has WHERE (h_merge AND h_spark) OR h_window) AS n_prec,
+  (SELECT count(*) FROM has WHERE n_chars > 150 AND n_chars <= 400 AND h_merge) AS n_num
 """,
         "duplicate_filter_docs": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY lang ORDER BY 1
