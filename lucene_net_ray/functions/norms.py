@@ -23,6 +23,7 @@ __all__ = [
     "encode_norm",
     "encode_norm_array",
     "NORM_TABLE",
+    "BYTE315_DECODE",
     "length_bucket_table",
 ]
 
@@ -54,6 +55,11 @@ with np.errstate(divide="ignore"):
         [np.float32(1.0) / (np.float32(byte315_to_float(i)) * np.float32(byte315_to_float(i))) for i in range(256)],
         dtype=np.float32,
     )
+
+
+# TFIDFSimilarity.DecodeNormValue analog: byte -> decoded boost/sqrt(len)
+# float32 (NormValueSource semantics; NORM_TABLE above is BM25's 1/decode^2).
+BYTE315_DECODE = np.array([byte315_to_float(i) for i in range(256)], dtype=np.float32)
 
 
 def encode_norm(field_length: int, boost: float = 1.0) -> int:

@@ -726,16 +726,27 @@ def function_rescore(
     fields: list[str] | None = None,
     k: int = 10,
     window: int = 100,
+    ispec: dict | None = None,
 ) -> list[tuple[int, float]]:
     """CustomScoreQuery / FunctionQuery analog (reference Search/Function/,
     Queries/Function/ ValueSource tree): retrieve a candidate window by BM25,
     rescore with a user numpy expression over (scores, {field: values}).
 
     score_fn(scores: np.ndarray, values: dict[str, np.ndarray]) -> np.ndarray
+
+    ``ispec`` (from expressions.bind_index_expression) switches to the
+    function_partial that also materializes per-doc index-bound sources
+    (termfreq/norm/ord/sub-query scores) segment-side.
     """
     fields = fields or []
     rows = []
-    for part in _group_call(searcher, "rescore_partial", q, fields, score_fn, window):
+    if ispec is not None:
+        parts = _group_call(
+            searcher, "function_partial", q, fields, score_fn, window, ispec
+        )
+    else:
+        parts = _group_call(searcher, "rescore_partial", q, fields, score_fn, window)
+    for part in parts:
         rows.extend(part)
     rows.sort(key=lambda h: (-h[1], h[0]))
     return rows[:k]

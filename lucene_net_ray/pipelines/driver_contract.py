@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..functions.analysis import ENGLISH_STOP_WORDS
-from ..functions.norms import NORM_TABLE, length_bucket_table
+from ..functions.norms import BYTE315_DECODE, NORM_TABLE, length_bucket_table
 from ..state.index import IndexMeta
 from ..state.segment import SegmentReader
 
@@ -512,6 +512,33 @@ def q_flexible_parser_counts(sf_dir: str):
             "n_std": [np.int64(n_std)],
             "n_prec": [np.int64(n_prec)],
             "n_num": [np.int64(n_num)],
+        }
+    )
+
+
+def q_function_valuesources(sf_dir: str):
+    """FunctionQuery with index-bound ValueSources as the primary score:
+    per-doc f64 of  log(1+termfreq('spark'))*idf('spark') + 3*rord('lang')
+                    + 100*norm() + where(n_chars > 300, 0.5, 0)
+    over EVERY live doc (k = maxDoc -> no top-k cutoff instability).
+    Exercises TermFreqValueSource (postings-aligned freq),
+    IDFValueSource (ln(maxDoc/(df+1))+1), ReverseOrdFieldSource (global
+    sorted-distinct ords), NormValueSource (byte315 decode) and the numeric
+    docvalues read, computed segment-side by function_partial."""
+    from .expressions import function_query
+    from .search import Searcher
+
+    meta, orig = _index_for(sf_dir)
+    s = Searcher(meta, use_actors=False)
+    expr = (
+        "log(1 + termfreq('spark')) * idf('spark') + 3.0*rord('lang')"
+        " + 100.0*norm() + where(n_chars > 300, 0.5, 0.0)"
+    )
+    hits = function_query(s, expr, k=meta.max_doc)
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([int(orig[g]) for g, _ in hits], dtype=np.int64),
+            "fscore": np.array([sc for _, sc in hits], dtype=np.float64),
         }
     )
 
@@ -1698,6 +1725,7 @@ QUERIES = {
     "xml_filtered_count": q_xml_filtered_count,
     "simple_parser_count": q_simple_parser_count,
     "flexible_parser_counts": q_flexible_parser_counts,
+    "function_valuesources": q_function_valuesources,
     "duplicate_filter_docs": q_duplicate_filter_docs,
     "block_join_scores": q_block_join_scores,
     "geo_distance": q_geo_distance,
@@ -1774,6 +1802,27 @@ SELECT count(*) AS n FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
   AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window')
+""",
+        "function_valuesources": f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),
+nb(lo, hi, norm_dec) AS (VALUES (0, 0, {float(BYTE315_DECODE[255])!r}), {", ".join(f"({lo}, {hi}, {float(BYTE315_DECODE[b])!r})" for lo, hi, b in length_bucket_table(1_000_000))}),
+tfs AS (SELECT doc_id, count(*) AS tf FROM toks WHERE tok = 'spark' GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(DISTINCT doc_id) FROM toks WHERE tok = 'spark') AS df,
+                 (SELECT count(DISTINCT lang) FROM documents) AS card),
+ords AS (SELECT doc_id, dense_rank() OVER (ORDER BY lang) - 1 AS o FROM documents)
+SELECT d.doc_id,
+  ln(1 + COALESCE(tfs.tf, 0)) * (ln((SELECT n FROM stats) / ((SELECT df FROM stats) + 1.0)) + 1.0)
+  + 3.0 * ((SELECT card FROM stats) - 1 - ords.o)
+  + 100.0 * nb.norm_dec
+  + CASE WHEN d.n_chars > 300 THEN 0.5 ELSE 0.0 END AS fscore
+FROM documents d
+JOIN ords ON ords.doc_id = d.doc_id
+LEFT JOIN tfs ON tfs.doc_id = d.doc_id
+LEFT JOIN dl ON dl.doc_id = d.doc_id
+JOIN nb ON COALESCE(dl.n_terms, 0) BETWEEN nb.lo AND nb.hi
+ORDER BY d.doc_id
 """,
         "flexible_parser_counts": f"""
 WITH {_TOKS_CTE},

@@ -55,11 +55,82 @@ class ExpressionError(ValueError):
     pass
 
 
+# --------------------------------------------------------------------------
+# Index-bound ValueSources (reference Queries/Function/ValueSources/):
+#   termfreq('t')  raw per-doc term frequency      TermFreqValueSource.cs
+#   tf('t')        sqrt(freq), ClassicSimilarity    TFValueSource.cs
+#   df('t')        global docFreq (scalar)          DocFreqValueSource.cs
+#   idf('t')       ln(maxDoc/(df+1)) + 1 (scalar)   IDFValueSource.cs
+#   ttf('t')       global totalTermFreq (scalar)    TotalTermFreqValueSource.cs
+#   sumttf()       global sum of all ttf (scalar)   SumTotalTermFreqValueSource.cs
+#   maxdoc()       reader maxDoc (scalar)           MaxDocValueSource.cs
+#   numdocs()      live doc count (scalar)          NumDocsValueSource.cs
+#   norm()         byte315-decoded norm float       NormValueSource.cs
+#   ord('f')       0-based ord of the doc's field value in the GLOBAL sorted
+#                  distinct values                   OrdFieldSource.cs
+#   rord('f')      valueCount - 1 - ord             ReverseOrdFieldSource.cs
+#   query('q', d)  score of the parsed sub-query, d where it doesn't match
+#                                                   QueryValueSource.cs
+# Scalars bind at compile time on the driver; per-doc sources become
+# reserved keys in ``values`` computed segment-side by function_partial.
+# --------------------------------------------------------------------------
+
+_TERM_STAT_FUNCS = ("df", "idf", "ttf")
+_INDEX_FUNCS = {
+    "termfreq", "tf", "df", "idf", "ttf", "sumttf",
+    "maxdoc", "numdocs", "norm", "ord", "rord", "query",
+}
+
+
+def _str_arg(node: "ast.Call", i: int, fname: str) -> str:
+    a = node.args[i]
+    if not (isinstance(a, ast.Constant) and isinstance(a.value, str)):
+        raise ExpressionError(f"{fname}() argument {i + 1} must be a string literal")
+    return a.value
+
+
+def index_requests(expr: str) -> dict:
+    """Static scan for index-bound calls. Returns
+    {tf_terms, stat_terms, norm, ord_fields, queries} (queries keep their
+    default values; duplicates collapse)."""
+    tree = ast.parse(expr, mode="eval")
+    req = {"tf_terms": set(), "stat_terms": set(), "norm": False,
+           "ord_fields": set(), "queries": {}}
+    for n in ast.walk(tree):
+        if not (isinstance(n, ast.Call) and isinstance(n.func, ast.Name)):
+            continue
+        f = n.func.id
+        if f in ("termfreq", "tf"):
+            req["tf_terms"].add(_str_arg(n, 0, f))
+        elif f in _TERM_STAT_FUNCS:
+            req["stat_terms"].add(_str_arg(n, 0, f))
+        elif f == "norm":
+            req["norm"] = True
+        elif f in ("ord", "rord"):
+            req["ord_fields"].add(_str_arg(n, 0, f))
+        elif f == "query":
+            if len(n.args) != 2 or not isinstance(n.args[1], ast.Constant):
+                raise ExpressionError("query() takes ('query string', default_const)")
+            req["queries"][_str_arg(n, 0, f)] = float(n.args[1].value)
+    return req
+
+
+def has_index_requests(expr: str) -> bool:
+    r = index_requests(expr)
+    return bool(r["tf_terms"] or r["stat_terms"] or r["norm"]
+                or r["ord_fields"] or r["queries"]
+                or any(isinstance(n, ast.Call) and isinstance(n.func, ast.Name)
+                       and n.func.id in ("sumttf", "maxdoc", "numdocs")
+                       for n in ast.walk(ast.parse(expr, mode="eval"))))
+
+
 def expression_fields(expr: str) -> list[str]:
     """Identifiers the expression reads, minus the implicit ``score``."""
     tree = ast.parse(expr, mode="eval")
     names = {
-        n.id for n in ast.walk(tree) if isinstance(n, ast.Name) and n.id not in _FUNCS
+        n.id
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Name) and n.id not in _FUNCS and n.id not in _INDEX_FUNCS
     }
     return sorted(names - {"score", "scale"})
 
@@ -81,16 +152,63 @@ def scale_fields(expr: str) -> list[str]:
     return sorted(set(out))
 
 
-def compile_expression(expr: str, scale_stats: dict | None = None):
+def compile_expression(
+    expr: str, scale_stats: dict | None = None, index_bind: dict | None = None
+):
     """-> fn(scores: np.ndarray, values: dict[str, np.ndarray]) -> np.ndarray.
 
     ``scale_stats`` maps field -> (global_min, global_max) and enables the
     ScaleFloatFunction analog (reference
     Queries/Function/ValueSources/ScaleFloatFunction.cs): scale(field, a, b)
     maps the field's GLOBAL value range onto [a, b]; a degenerate range
-    (min == max) yields a."""
+    (min == max) yields a.
+
+    ``index_bind`` (from bind_index_expression) enables the index-bound
+    ValueSources: {"max_doc", "num_docs", "sum_ttf", "df": {term: int},
+    "ttf": {term: int}, "ord_card": {field: int}}. Scalar sources fold to
+    constants here; per-doc sources read reserved ``values`` keys filled by
+    the segment-side function_partial."""
     tree = ast.parse(expr, mode="eval")
     scale_stats = scale_stats or {}
+    ib = index_bind
+
+    def _ib(fname):
+        if ib is None:
+            raise ExpressionError(
+                f"{fname}() needs an index binding — use function_query/expression_rescore"
+            )
+        return ib
+
+    def ev_index_call(node, scores, values):
+        f = node.func.id
+        if f == "termfreq":
+            return values[f"__tf:{node.args[0].value}"].astype(np.float64)
+        if f == "tf":  # ClassicSimilarity.Tf = sqrt(freq)
+            return np.sqrt(values[f"__tf:{node.args[0].value}"].astype(np.float64))
+        if f == "df":
+            return float(_ib(f)["df"][node.args[0].value])
+        if f == "idf":  # ClassicSimilarity.Idf(df, maxDoc)
+            b = _ib(f)
+            return np.log(b["max_doc"] / (b["df"][node.args[0].value] + 1.0)) + 1.0
+        if f == "ttf":
+            return float(_ib(f)["ttf"][node.args[0].value])
+        if f == "sumttf":
+            return float(_ib(f)["sum_ttf"])
+        if f == "maxdoc":
+            return float(_ib(f)["max_doc"])
+        if f == "numdocs":
+            return float(_ib(f)["num_docs"])
+        if f == "norm":
+            return values["__norm"].astype(np.float64)
+        if f == "ord":
+            return values[f"__ord:{node.args[0].value}"].astype(np.float64)
+        if f == "rord":
+            fld = node.args[0].value
+            card = _ib(f)["ord_card"][fld]
+            return (card - 1.0) - values[f"__ord:{fld}"].astype(np.float64)
+        if f == "query":
+            return values[f"__query:{node.args[0].value}"].astype(np.float64)
+        raise ExpressionError(f"unhandled index function {f}")
 
     def ev(node, scores, values):
         if (
@@ -136,6 +254,8 @@ def compile_expression(expr: str, scale_stats: dict | None = None):
                 ev(node.left, scores, values), ev(node.comparators[0], scores, values)
             ).astype(np.float64)
         if isinstance(node, ast.Call):
+            if isinstance(node.func, ast.Name) and node.func.id in _INDEX_FUNCS:
+                return ev_index_call(node, scores, values)
             if not isinstance(node.func, ast.Name) or node.func.id not in _FUNCS:
                 raise ExpressionError(f"function not allowed: {ast.dump(node.func)}")
             args = [ev(a, scores, values) for a in node.args]
@@ -145,12 +265,87 @@ def compile_expression(expr: str, scale_stats: dict | None = None):
     # validate eagerly with dummy inputs so bad expressions fail at compile
     fields = expression_fields(expr)
     dummy = {f: np.ones(1) for f in fields}
+    req = index_requests(expr)
+    for t in req["tf_terms"]:
+        dummy[f"__tf:{t}"] = np.ones(1)
+    if req["norm"]:
+        dummy["__norm"] = np.ones(1)
+    for f in req["ord_fields"]:
+        dummy[f"__ord:{f}"] = np.ones(1)
+    for qs in req["queries"]:
+        dummy[f"__query:{qs}"] = np.ones(1)
     ev(tree, np.ones(1, dtype=np.float32), dummy)
 
     def fn(scores, values):
-        return np.asarray(ev(tree, scores, values), dtype=np.float64)
+        out = np.asarray(ev(tree, scores, values), dtype=np.float64)
+        if out.ndim == 0:  # constant-folded expression (e.g. pure scalars)
+            out = np.full(np.shape(scores), float(out), dtype=np.float64)
+        return out
 
     return fn
+
+
+def bind_index_expression(searcher, expr: str) -> tuple[dict, dict]:
+    """Gather the global state the expression's index-bound sources need.
+
+    Returns (index_bind, ispec):
+      index_bind — compile-time scalars {max_doc, num_docs, sum_ttf,
+        df/ttf per stat term, ord_card per ord field};
+      ispec — shipped to function_partial: {tf_terms, norm,
+        ords: {field: sorted global distinct values (np array)},
+        queries: {qstr: (Query, stats, default)}}.
+    Ord tables are field-cardinality-sized (facet-like fields); they ride the
+    task closure like any broadcast small side.
+    """
+    from ..query import MatchAllDocsQuery, parse_query
+    from .collectors import all_groups
+
+    if not has_index_requests(expr):
+        return None, {"tf_terms": (), "norm": False, "ords": {}, "queries": {}}
+    req = index_requests(expr)
+    stat_terms = sorted(req["stat_terms"])
+    df: dict = {t: 0 for t in stat_terms}
+    ttf: dict = {t: 0 for t in stat_terms}
+    if stat_terms:
+        if searcher.use_actors:
+            import ray as _ray
+
+            per = _ray.get([g.term_stats.remote(stat_terms) for g in searcher.groups])
+        else:
+            per = [g.term_stats(stat_terms) for g in searcher.groups]
+        for part in per:
+            for t, (d, tt) in part.items():
+                df[t] += d
+                ttf[t] += tt
+    ords = {}
+    ord_card = {}
+    for f in sorted(req["ord_fields"]):
+        vals = all_groups(searcher, MatchAllDocsQuery(), f)
+        ords[f] = np.array(vals)
+        ord_card[f] = len(vals)
+    queries = {}
+    for qstr, defval in req["queries"].items():
+        subq, substats = searcher._rewrite_and_stats(parse_query(qstr))
+        queries[qstr] = (subq, substats, float(defval))
+    index_bind = {
+        "max_doc": int(searcher.index.max_doc),
+        "num_docs": int(searcher.count(MatchAllDocsQuery())),
+        "sum_ttf": int(searcher.index.sum_ttf),
+        "df": df,
+        "ttf": ttf,
+        "ord_card": ord_card,
+    }
+    ispec = {
+        "tf_terms": sorted(req["tf_terms"]),
+        "norm": bool(req["norm"]),
+        "ords": ords,
+        "queries": queries,
+    }
+    return index_bind, ispec
+
+
+def _needs_partial(ispec: dict) -> bool:
+    return bool(ispec["tf_terms"] or ispec["norm"] or ispec["ords"] or ispec["queries"])
 
 
 def function_query(searcher, expr: str, *, q=None, k: int = 10):
@@ -170,11 +365,13 @@ def function_query(searcher, expr: str, *, q=None, k: int = 10):
     q = q if q is not None else MatchAllDocsQuery()
     need_scale = scale_fields(expr)
     stats = field_stats(searcher, need_scale) if need_scale else None
-    fn = compile_expression(expr, scale_stats=stats)
+    index_bind, ispec = bind_index_expression(searcher, expr)
+    fn = compile_expression(expr, scale_stats=stats, index_bind=index_bind)
     # window == k: the per-segment partial evaluates the formula over ALL
     # matching docs and returns its top-k — exact, not an approximation.
     return function_rescore(
-        searcher, q, fn, fields=expression_fields(expr), k=k, window=k
+        searcher, q, fn, fields=expression_fields(expr), k=k, window=k,
+        ispec=ispec if _needs_partial(ispec) else None,
     )
 
 
@@ -183,7 +380,9 @@ def expression_rescore(searcher, q, expr: str, *, k: int = 10, window: int = 100
     the compiled formula inside the segment actors."""
     from .collectors import function_rescore
 
-    fn = compile_expression(expr)
+    index_bind, ispec = bind_index_expression(searcher, expr)
+    fn = compile_expression(expr, index_bind=index_bind)
     return function_rescore(
-        searcher, q, fn, fields=expression_fields(expr), k=k, window=window
+        searcher, q, fn, fields=expression_fields(expr), k=k, window=window,
+        ispec=ispec if _needs_partial(ispec) else None,
     )

@@ -389,6 +389,47 @@ class _SegmentGroup:
             rows.extend((int(gids[i]), float(new_scores[i])) for i in order)
         return rows
 
+    def function_partial(
+        self, q: Query, stats: dict, fields: list[str], score_fn, window: int, ispec: dict
+    ) -> list:
+        """rescore_partial plus per-doc index-bound ValueSources (reference
+        Queries/Function/ValueSources/): raw term freqs aligned to the
+        candidate docs, byte315-decoded norms, global-ord lookups, and
+        sub-query scores with default fill — all vectorized per segment."""
+        import numpy as _np
+
+        from ..functions.norms import BYTE315_DECODE
+
+        def _align(src_docs, src_vals, docs, default, dtype=_np.float64):
+            """Scatter (src_docs -> src_vals) onto the sorted candidate docs."""
+            out = _np.full(docs.size, default, dtype=dtype)
+            if src_docs.size:
+                idx = _np.searchsorted(src_docs, docs)
+                idx_c = _np.minimum(idx, src_docs.size - 1)
+                m = src_docs[idx_c] == docs
+                out[m] = src_vals[idx_c[m]]
+            return out
+
+        rows: list = []
+        for r, docs, scores in self._matching(q, stats):
+            vals = {f: r.doc_values(f)[docs] for f in fields}
+            for t in ispec.get("tf_terms", ()):
+                pdocs, ptfs = r.postings(t)
+                vals[f"__tf:{t}"] = _align(pdocs, ptfs, docs, 0.0)
+            if ispec.get("norm"):
+                vals["__norm"] = BYTE315_DECODE[r.norms[docs]].astype(_np.float64)
+            for fld, gvals in ispec.get("ords", {}).items():
+                fv = r.doc_values(fld)[docs]
+                vals[f"__ord:{fld}"] = _np.searchsorted(gvals, fv).astype(_np.float64)
+            for qstr, (subq, substats, defval) in ispec.get("queries", {}).items():
+                qdocs, qscores = SegmentScorer(r, substats).evaluate(subq)
+                vals[f"__query:{qstr}"] = _align(qdocs, qscores, docs, defval)
+            new_scores = _np.asarray(score_fn(scores, vals), dtype=_np.float64)
+            gids = docs + r.doc_base
+            order = _np.lexsort((gids, -new_scores))[:window]
+            rows.extend((int(gids[i]), float(new_scores[i])) for i in order)
+        return rows
+
     def scored_docs(self, q: Query, stats: dict) -> list[tuple[int, float]]:
         """All matching live (global docid, score) — for tests/oracles."""
         import numpy as _np
