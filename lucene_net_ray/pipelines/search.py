@@ -85,15 +85,34 @@ class _SegmentGroup:
             self.deleted_local.append(sel)
 
     def term_stats(self, terms: list[str]) -> dict[str, list[int]]:
+        # Codecs/Bloom fast path: a reader whose term set says "definitely
+        # absent" is skipped without a dict probe (vectorized per reader).
+        maybes = []
+        for r in self.readers:
+            bl = r.term_bloom
+            maybes.append(bl.may_contain_many(terms) if bl is not None else None)
         out = {}
-        for t in terms:
+        for i, t in enumerate(terms):
             df = ttf = 0
-            for r in self.readers:
+            for r, mb in zip(self.readers, maybes):
+                if mb is not None and not mb[i]:
+                    continue
                 d, tt = r.term_stats(t)
                 df += d
                 ttf += tt
             out[t] = [df, ttf]
         return out
+
+    def bloom_union(self):
+        """OR of the segments' term sets — None unless EVERY segment has one
+        (a missing set would make the union claim false absences)."""
+        blooms = [r.term_bloom for r in self.readers]
+        if not blooms or any(b is None for b in blooms):
+            return None
+        u = blooms[0]
+        for b in blooms[1:]:
+            u = u.union(b)
+        return u
 
     def expand(self, q: Query) -> list[tuple[str, float]]:
         seen: dict[str, float] = {}
@@ -598,6 +617,8 @@ class Searcher:
         self.index = index if isinstance(index, IndexMeta) else IndexMeta(index)
         self.field = self.index.manifest.get("content_column", "content")
         self._df_cache: dict[str, int] = {}
+        self.use_term_bloom = True  # driver-side Codecs/Bloom fan-out skip
+        self._group_blooms_cache = None
         if groups is not None:
             self.use_actors = True
             self.groups = groups
@@ -659,34 +680,58 @@ class Searcher:
                 f"only has {self.field!r} (use MultiFieldSearcher for multi-field docs)"
             )
         terms = sorted(query_terms(q))
-        missing = [t for t in terms if t not in self._df_cache]
-        if missing:  # the index is immutable: global df is cacheable forever
-            agg = {t: 0 for t in missing}
-            if self.use_actors:
-                per = ray.get([g.term_stats.remote(missing) for g in self.groups])
-            else:
-                per = [g.term_stats(missing) for g in self.groups]
-            for stats in per:
-                for t, (d, _tt) in stats.items():
-                    agg[t] += d
-            self._df_cache.update(agg)
+        self._gather_df([t for t in terms if t not in self._df_cache])
         df = {t: self._df_cache[t] for t in terms}
         stats = {"max_doc": self.index.max_doc, "sum_ttf": self.index.sum_ttf, "df": df}
         return q, stats
 
+    @property
+    def _group_blooms(self):
+        """Per-group unioned Codecs/Bloom term sets, fetched ONCE (lazy).
+        Entry is None when a group lacks full coverage. Driver memory is the
+        sum of downsized set sizes — ~10 bits per distinct term, the same
+        budget the reference spends per segment."""
+        if self._group_blooms_cache is None:
+            if self.use_actors:
+                self._group_blooms_cache = ray.get(
+                    [g.bloom_union.remote() for g in self.groups]
+                )
+            else:
+                self._group_blooms_cache = [g.bloom_union() for g in self.groups]
+        return self._group_blooms_cache
+
+    def _gather_df(self, missing: list[str]) -> None:
+        """Fill the df cache for ``missing`` terms with ONE fan-out, skipping
+        groups whose bloom says 'definitely absent' (BloomFilteringPostings-
+        Format's reason to exist: fuzzy/spell candidate storms and PK-style
+        probes mostly ask for terms that aren't there)."""
+        if not missing:
+            return
+        agg = {t: 0 for t in missing}
+        sends: list[tuple[int, list[str]]] = []
+        blooms = self._group_blooms if self.use_term_bloom else [None] * len(self.groups)
+        for gi, bl in enumerate(blooms):
+            if bl is None:
+                sends.append((gi, missing))
+                continue
+            mb = bl.may_contain_many(missing)
+            sub = [t for t, m in zip(missing, mb) if m]
+            if sub:
+                sends.append((gi, sub))
+        if self.use_actors:
+            per = ray.get(
+                [self.groups[gi].term_stats.remote(sub) for gi, sub in sends]
+            )
+        else:
+            per = [self.groups[gi].term_stats(sub) for gi, sub in sends]
+        for stats in per:
+            for t, (d, _tt) in stats.items():
+                agg[t] += d
+        self._df_cache.update(agg)
+
     def _stats_for_terms(self, terms: list[str]) -> dict[str, int]:
         """Global df for arbitrary terms (cached; used by MLT/CommonTerms/suggest)."""
-        missing = [t for t in terms if t not in self._df_cache]
-        if missing:
-            agg = {t: 0 for t in missing}
-            if self.use_actors:
-                per = ray.get([g.term_stats.remote(missing) for g in self.groups])
-            else:
-                per = [g.term_stats(missing) for g in self.groups]
-            for stats in per:
-                for t, (d, _tt) in stats.items():
-                    agg[t] += d
-            self._df_cache.update(agg)
+        self._gather_df([t for t in terms if t not in self._df_cache])
         return {t: self._df_cache[t] for t in terms}
 
     def search(

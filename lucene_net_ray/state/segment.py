@@ -561,6 +561,15 @@ def write_terms_and_postings(
     )
     pq.write_table(terms_table, os.path.join(tmp_dir, "terms.parquet"))
 
+    # Codecs/Bloom analog: a single-hash term fuzzy-set for "definitely
+    # absent" answers without touching the dict (skipped when >90% full,
+    # downsized to ~10% saturation — see functions/bloom.py).
+    from ..functions.bloom import build_term_bloom
+
+    bloom = build_term_bloom(uniq_terms)
+    if bloom is not None:
+        bloom.save(os.path.join(tmp_dir, "bloom.bin"))
+
     return {
         "term_count": int(n_terms),
         "postings": int(n_post),
@@ -594,6 +603,17 @@ class SegmentReader:
         self.sum_ttf = self.meta["sum_ttf"]
         self._post = np.memmap(os.path.join(seg_dir, "postings.bin"), dtype=np.uint8, mode="r") \
             if os.path.getsize(os.path.join(seg_dir, "postings.bin")) else np.empty(0, dtype=np.uint8)
+
+    @property
+    def term_bloom(self):
+        """Lazy Codecs/Bloom term set; None when the segment has none
+        (old segments, or skipped for saturation at build)."""
+        if not hasattr(self, "_term_bloom"):
+            from ..functions.bloom import FuzzySet
+
+            p = os.path.join(self.seg_dir, "bloom.bin")
+            self._term_bloom = FuzzySet.load(p) if os.path.exists(p) else None
+        return self._term_bloom
 
     @property
     def norms(self) -> np.ndarray:
