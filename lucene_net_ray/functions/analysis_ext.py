@@ -672,3 +672,74 @@ def query_auto_stopword_analyzer(
     )
     merged.auto_stop_words = auto  # introspection, mirrors GetStopWords()
     return merged
+
+
+class PositionFilterAnalyzer:
+    """PositionFilter analog (reference
+    Analysis.Common/Analysis/Position/PositionFilter.cs): the first token
+    keeps its position; every later token's position increment is replaced
+    by ``position_increment`` (default 0, stacking all tokens on the first —
+    the "treat the query like one phrase slot" trick PositionFilter exists
+    for). Analyzer-compatible, position-aware."""
+
+    kind = "position_filter"
+
+    def __init__(self, base: Analyzer | None = None, position_increment: int = 0):
+        self.base = base or Analyzer()
+        self.position_increment = int(position_increment)
+        self.stop_words = self.base.stop_words
+        self.max_token_length = self.base.max_token_length
+
+    def __call__(self, text: str) -> list[str]:
+        return self.base(text)
+
+    def analyze_text_positions(self, text: str) -> tuple[list[str], list[int]]:
+        terms, positions = self.base.analyze_text_positions(text)
+        if not terms:
+            return terms, positions
+        out = [positions[0]]
+        for _ in terms[1:]:
+            out.append(out[-1] + self.position_increment)
+        return terms, out
+
+    def config(self) -> dict:
+        return {
+            "kind": "position_filter",
+            "base": self.base.config(),
+            "position_increment": self.position_increment,
+        }
+
+
+class TeeSinkAnalyzer:
+    """TeeSinkTokenFilter analog (reference
+    Analysis.Common/Analysis/Sinks/TeeSinkTokenFilter.cs): tokenize ONCE,
+    feed the same token stream to several named sink filter chains — the
+    one-pass multi-field indexing pattern (e.g. a raw field plus a stemmed
+    field from a single tokenization). ``analyze_sinks(text)`` returns
+    {sink_name: terms}; the analyzer itself yields the unfiltered stream.
+    Sinks may also carry a SinkFilter-style predicate: (terms) -> terms."""
+
+    kind = "tee_sink"
+
+    def __init__(self, base: Analyzer | None = None, sinks: dict | None = None):
+        self.base = base or Analyzer()
+        self.sinks = dict(sinks or {})  # name -> filter chain (tuple of callables)
+        self.stop_words = self.base.stop_words
+        self.max_token_length = self.base.max_token_length
+
+    def __call__(self, text: str) -> list[str]:
+        return self.base(text)
+
+    def analyze_sinks(self, text: str) -> dict[str, list[str]]:
+        terms = self.base(text)  # the single tokenization pass
+        out = {}
+        for name, chain in self.sinks.items():
+            ts = terms
+            for f in chain if isinstance(chain, (tuple, list)) else (chain,):
+                ts = f(ts)
+            out[name] = ts
+        return out
+
+    def config(self) -> dict:
+        return {"kind": "tee_sink", "base": self.base.config(),
+                "sinks": sorted(self.sinks)}

@@ -331,3 +331,69 @@ def test_query_auto_stopword_analyzer(tmp_path):
 
     with _pt.raises(ValueError):
         query_auto_stopword_analyzer(idx)
+
+
+# ---------------------------------------------------------------------------
+# PositionFilter + TeeSink (reference Analysis/Position/PositionFilter.cs,
+# Analysis/Sinks/TeeSinkTokenFilter.cs)
+# ---------------------------------------------------------------------------
+
+
+def test_position_filter_stacks_positions():
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.functions.analysis_ext import PositionFilterAnalyzer
+
+    a = PositionFilterAnalyzer(Analyzer())
+    terms, pos = a.analyze_text_positions("quick brown fox")
+    assert terms == ["quick", "brown", "fox"]
+    assert pos == [0, 0, 0]  # default increment 0 stacks everything
+    a2 = PositionFilterAnalyzer(Analyzer(), position_increment=5)
+    _, pos2 = a2.analyze_text_positions("quick brown fox")
+    assert pos2 == [0, 5, 10]
+    # first token keeps the base position (stopword shifts it)
+    terms3, pos3 = PositionFilterAnalyzer(Analyzer()).analyze_text_positions("the quick fox")
+    assert terms3 == ["quick", "fox"] and pos3 == [1, 1]
+
+
+def test_position_filter_autophrase_matches():
+    # stacked positions make 'quick fox' an exact phrase at slop 0 against a
+    # multi-term query analyzed through the filter
+    import pyarrow as pa
+
+    from lucene_net_ray.flexible import StandardQueryParser
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.functions.analysis_ext import PositionFilterAnalyzer
+    from lucene_net_ray.query import PhraseQuery
+
+    a = PositionFilterAnalyzer(Analyzer())
+    terms, pos = a.analyze_text_positions("quick brown fox")
+    q = PhraseQuery(field="content", terms=tuple(terms), positions=tuple(pos), slop=0)
+    # all positions equal -> phrase constraints collapse to co-occurrence
+    assert len(set(q.positions)) == 1
+
+
+def test_tee_sink_single_pass_multi_field():
+    from lucene_net_ray.functions.analysis import Analyzer
+    from lucene_net_ray.functions.analysis_ext import TeeSinkAnalyzer
+    from lucene_net_ray.functions.stem import porter_stem
+
+    calls = []
+
+    class CountingAnalyzer(Analyzer):
+        def __call__(self, text):
+            calls.append(text)
+            return super().__call__(text)
+
+    def stem_chain(terms):
+        return [porter_stem(t) for t in terms]
+
+    def short_only(terms):
+        return [t for t in terms if len(t) <= 4]
+
+    tee = TeeSinkAnalyzer(
+        CountingAnalyzer(), sinks={"stemmed": stem_chain, "short": (short_only,)}
+    )
+    out = tee.analyze_sinks("running dogs quickly")
+    assert out["stemmed"] == ["run", "dog", "quickli"]
+    assert out["short"] == ["dogs"]
+    assert calls == ["running dogs quickly"]  # ONE tokenization pass
