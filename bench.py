@@ -155,6 +155,23 @@ def throughput_bench(index_dir: str, n_queries: int = 960) -> dict:
             "bulk_sec": round(dt, 3)}
 
 
+def valuesource_bench(index_dir: str) -> dict:
+    """FunctionQuery with index-bound sources as the primary score over the
+    whole bench corpus (per-segment postings-aligned termfreq + norm decode
+    + sub-query scatter, all inside function_partial)."""
+    from lucene_net_ray.pipelines.expressions import function_query
+    from lucene_net_ray.pipelines.search import Searcher
+
+    searcher = Searcher(index_dir, num_actors=8, use_actors=True)
+    expr = "log(1 + termfreq('public'))*idf('public') + norm() + query('import', 0.0)"
+    function_query(searcher, expr, k=10)  # warm
+    t0 = time.perf_counter()
+    hits = function_query(searcher, expr, k=100)
+    dt = time.perf_counter() - t0
+    assert hits
+    return {"function_query_sec": round(dt, 3)}
+
+
 def merge_bench(index_dir: str) -> dict:
     from lucene_net_ray.pipelines.merge import high_freq_terms, merge_index
     from lucene_net_ray.state.index import IndexMeta
@@ -313,6 +330,7 @@ def run_full() -> dict:
     b = build_bench(NUM_CPUS, warmup=True)
     lat = query_bench(b["index_dir"])
     tp = throughput_bench(b["index_dir"])
+    vs = valuesource_bench(b["index_dir"])
     m = merge_bench(b["index_dir"])
     d = data_pipeline_bench(SF_DIR)
     total = time.perf_counter() - total0
@@ -328,6 +346,7 @@ def run_full() -> dict:
             "merged_multiterm_p50": m["merged_multiterm_p50"],
             **{f"q_{k}": v for k, v in lat.items()},
             "bulk_eval": tp["bulk_sec"],
+            "function_query": vs["function_query_sec"],
             **d,
         },
         "sf": SF_DIR,

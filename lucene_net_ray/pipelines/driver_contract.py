@@ -1432,6 +1432,47 @@ def q_spell_suggest(sf_dir: str):
     return pd.DataFrame(rows, columns=["word", "rank", "suggestion", "score"])
 
 
+def q_spell_lev_topk(sf_dir: str):
+    """DirectSpellChecker-style exhaustive variant, SQL-exact: rank the WHOLE
+    index vocabulary by LevensteinDistance similarity (1 - d/max(len),
+    integer edit distance -> bit-identical f64 both sides) for three
+    misspellings; accuracy cut 0.34, rank by ROUNDED score then term.
+    Complements the rows-only gram-candidate spell_suggest entry with a
+    hash-exact gate on the distance kernel + vocab scan."""
+    from .merge import global_term_stats
+    from .spell import levenstein_distance
+
+    meta, _ = _index_for(sf_dir)
+    words = ("mrege", "spakr", "windwo")
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        w_out, s_out, sc_out = [], [], []
+        for w in words:
+            for t in terms:
+                sim = levenstein_distance(w, t)
+                if sim > 0.34:
+                    w_out.append(w)
+                    s_out.append(t)
+                    sc_out.append(math.floor(sim * 1e6 + 0.5) / 1e6)
+        return pa.table(
+            {
+                "word": pa.array(w_out, type=pa.string()),
+                "suggestion": pa.array(s_out, type=pa.string()),
+                "score": pa.array(sc_out, type=pa.float64()),
+            }
+        )
+
+    cand = global_term_stats(meta).map_batches(score, batch_format="pyarrow")
+    df = cand.to_pandas()  # candidate-sized: terms within distance of 3 words
+    df = df.sort_values(["word", "score", "suggestion"], ascending=[True, False, True])
+    df["rank"] = df.groupby("word").cumcount() + 1
+    df = df[df["rank"] <= 5].reset_index(drop=True)
+    return df[["word", "rank", "suggestion", "score"]].astype(
+        {"rank": np.int64, "score": np.float64}
+    )
+
+
 def q_assoc_facet_sums(sf_dir: str):
     """Association facets over synthetic lang/len-bucket taxonomy paths:
     per label (every prefix level), SUM(n_chars) and doc count."""
@@ -1705,6 +1746,7 @@ QUERIES = {
     "freetext_suggest": q_freetext_suggest,
     "infix_suggest": q_infix_suggest,
     "spell_suggest": q_spell_suggest,
+    "spell_lev_topk": q_spell_lev_topk,
     "block_group_topk": q_block_group_topk,
     "sorted_index_top15": q_sorted_index_top15,
     "asof_purchase_view": q_asof_purchase_view,
@@ -1802,6 +1844,25 @@ SELECT count(*) AS n FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
   AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window')
+""",
+        "spell_lev_topk": f"""
+WITH {_TOKS_CTE},
+vocab AS (SELECT DISTINCT tok FROM toks),
+cand AS (
+  SELECT w.word, v.tok AS suggestion,
+         1.0 - levenshtein(w.word, v.tok)
+               / CAST(greatest(length(w.word), length(v.tok)) AS DOUBLE) AS sim
+  FROM (VALUES ('mrege'), ('spakr'), ('windwo')) AS w(word)
+  CROSS JOIN vocab v
+),
+ranked AS (
+  SELECT word, suggestion, ROUND(sim, 6) AS score,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY ROUND(sim, 6) DESC, suggestion) AS rank
+  FROM cand WHERE sim > 0.34
+)
+SELECT word, CAST(rank AS BIGINT) AS rank, suggestion, score
+FROM ranked WHERE rank <= 5 ORDER BY word, rank
 """,
         "function_valuesources": f"""
 WITH {_TOKS_CTE},
