@@ -163,7 +163,7 @@ def build_segment(
     # whitespace-token is exactly analyzing the document.
     if payload_delimiter is not None and index_options not in ("positions", "offsets"):
         raise ValueError("payload_delimiter requires index_options='positions' or 'offsets'")
-    if analyzer.kind not in ("keyword", "chain", "ngram", "pattern") and n_docs:
+    if analyzer.kind not in ("keyword", "chain", "ngram", "pattern", "wikipedia") and n_docs:
         ws = pc.utf8_split_whitespace(content_arr)
         ws_counts = pc.list_value_length(ws).to_numpy(zero_copy_only=False).astype(np.int64)
         flat_ws = pc.list_flatten(ws)
