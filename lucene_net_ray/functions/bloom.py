@@ -34,9 +34,13 @@ _SEED = np.uint64(14695981039346656037)  # FNV64 offset basis
 def _hash_many(terms) -> np.ndarray:
     """Vectorized 64-bit polynomial hash of UTF-8 strings.
 
-    h = ((seed * P + b0) * P + b1) ... mod 2^64 — the loop runs over BYTE
-    POSITIONS (bounded by the longest term), each step vectorized over all
-    terms; ragged ends simply stop updating once a term is exhausted.
+    h = ((seed*P + b0)*P + b1)... = seed*P^len + Σ b_i·P^(len-1-i) mod 2^64
+    — the closed form makes the whole batch ONE multiply + gather +
+    np.add.reduceat over the flat byte buffer (uint64 wrap IS the modulus),
+    no per-byte-position loop. A murmur3-style fmix64 finalizer decorrelates
+    the low bits the bloom mask keeps (a raw polynomial hash has no
+    avalanche: sequential terms land on adjacent bits, clustering false
+    positives).
     """
     import pyarrow as pa
 
@@ -47,20 +51,24 @@ def _hash_many(terms) -> np.ndarray:
     buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
     off = buf_off[arr.offset : arr.offset + len(arr) + 1]
-    starts, ends = off[:-1], off[1:]
-    lens = ends - starts
-    h = np.full(len(arr), _SEED, dtype=np.uint64)
-    max_len = int(lens.max()) if len(lens) else 0
+    lens = off[1:] - off[:-1]
+    n = len(arr)
+    max_len = int(lens.max()) if n else 0
     with np.errstate(over="ignore"):
-        for j in range(max_len):
-            active = lens > j
-            if not active.any():
-                break
-            b = data[starts[active] + j].astype(np.uint64)
-            h[active] = h[active] * _POLY + b
-        # murmur3-style finalizer: a raw polynomial hash has no avalanche
-        # (sequential terms land on adjacent bits, clustering false
-        # positives); fmix64 decorrelates the low bits the mask keeps
+        powers = np.empty(max_len + 1, dtype=np.uint64)
+        powers[0] = 1
+        for k in range(1, max_len + 1):  # O(max term length), not O(terms)
+            powers[k] = powers[k - 1] * _POLY
+        h = np.full(n, _SEED, dtype=np.uint64) * powers[lens]
+        flat = data[off[0] : off[-1]].astype(np.uint64)
+        if flat.size:
+            ends_rel = (off[1:] - off[0]).astype(np.int64)
+            per_byte_end = np.repeat(ends_rel, lens)
+            exps = per_byte_end - 1 - np.arange(flat.size, dtype=np.int64)
+            contrib = flat * powers[exps]
+            nz = np.flatnonzero(lens)
+            seg_starts = (ends_rel[nz] - lens[nz]).astype(np.int64)
+            h[nz] += np.add.reduceat(contrib, seg_starts)
         h ^= h >> np.uint64(33)
         h *= np.uint64(0xFF51AFD7ED558CCD)
         h ^= h >> np.uint64(29)
@@ -91,7 +99,9 @@ class FuzzySet:
 
     def add_many(self, terms) -> None:
         pos = _hash_many(terms) & np.uint64(self.mask)
-        np.bitwise_or.at(self.words, (pos >> 6).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
+        bits = np.zeros(self.mask + 1, dtype=bool)  # packbits scatter beats
+        bits[pos] = True                            # bitwise_or.at ~25x
+        self.words |= np.packbits(bits, bitorder="little").view(np.uint64)
 
     # -- queries --------------------------------------------------------------
     def may_contain_many(self, terms) -> np.ndarray:
