@@ -809,7 +809,10 @@ def q_taxonomy_counts(sf_dir: str):
 
 def q_nb_classify(sf_dir: str):
     """Naive Bayes trained on (text, lang), applied back to the corpus.
-    Rows-only (model scoring has no faithful SQL expression)."""
+    SQL-oracled as of r4: the prediction (argmax of log_prior + sum of
+    Laplace-smoothed log likelihoods, ties by label asc) mirrors exactly —
+    the engine sums per occurrence, the SQL sums tf*ln(p) per distinct
+    token; equal in reals, and the argmax absorbs the ulp difference."""
     from ..stages.classify import classify_dataset, train_naive_bayes
 
     ds = _documents_ds(sf_dir)
@@ -1844,6 +1847,40 @@ SELECT count(*) AS n FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
   AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window')
+""",
+        "nb_classify": f"""
+WITH {_TOKS_CTE},
+labels AS (SELECT DISTINCT lang AS label FROM documents),
+cls AS (SELECT lang AS label, count(*) AS doc_count FROM documents GROUP BY lang),
+tok_cnt AS (SELECT d.lang AS label, t.tok, count(*) AS n
+            FROM toks t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+cls_tok AS (SELECT label, sum(n) AS tokens FROM tok_cnt GROUP BY label),
+vsize AS (SELECT count(DISTINCT tok) AS v FROM toks),
+doc_tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+contrib AS (
+  SELECT dt.doc_id, l.label,
+         sum(dt.tf * ln((COALESCE(tc.n, 0) + 1.0)
+                        / (ct.tokens + (SELECT v FROM vsize)))) AS s
+  FROM doc_tf dt
+  CROSS JOIN labels l
+  LEFT JOIN tok_cnt tc ON tc.label = l.label AND tc.tok = dt.tok
+  JOIN cls_tok ct ON ct.label = l.label
+  GROUP BY dt.doc_id, l.label
+),
+scored AS (
+  SELECT d.doc_id, d.lang, l.label,
+         ln(cl.doc_count * 1.0 / (SELECT count(*) FROM documents))
+           + COALESCE(co.s, 0.0) AS score
+  FROM documents d
+  CROSS JOIN labels l
+  JOIN cls cl ON cl.label = l.label
+  LEFT JOIN contrib co ON co.doc_id = d.doc_id AND co.label = l.label
+)
+SELECT doc_id, lang, label AS pred_label
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, label) AS rn
+      FROM scored)
+WHERE rn = 1 ORDER BY doc_id
 """,
         "spell_lev_topk": f"""
 WITH {_TOKS_CTE},
