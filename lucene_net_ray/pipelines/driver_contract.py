@@ -1232,9 +1232,11 @@ def q_decontaminate(sf_dir: str):
 
 def q_freetext_suggest(sf_dir: str):
     """FreeTextSuggester (shingle LM + stupid backoff) over the documents
-    table: top next-token suggestions for a fixed context per language row.
-    Rows-only (the backoff LM has no SQL analog); scoring semantics are
-    verified in tests/test_suggest.py."""
+    table: top next-token suggestions for three complete 1-token contexts.
+    SQL-oracled as of r4: order-1 candidates score cnt(bigram)/cnt(context)
+    and the order-0 backoff scores 0.4*cnt(unigram)/total, higher order
+    winning per token — all exact integer-ratio f64 both sides. (The
+    analyzer here keeps stopwords: Analyzer(stop_words=None).)"""
     from .suggest import FreeTextSuggester
 
     ds = _documents_ds(sf_dir)
@@ -1242,7 +1244,7 @@ def q_freetext_suggest(sf_dir: str):
     rows = []
     for ctx in ["public ", "import ", "the "]:
         for tok, score in sg.lookup(ctx, k=5):
-            rows.append({"context": ctx.strip(), "token": tok, "score": round(score, 6)})
+            rows.append({"context": ctx.strip(), "token": tok, "score": score})
     import pandas as pd
 
     return pd.DataFrame(rows, columns=["context", "token", "score"])
@@ -1847,6 +1849,47 @@ SELECT count(*) AS n FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
   AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window')
+""",
+        "freetext_suggest": """
+WITH toks0 AS (SELECT regexp_extract_all(text, '[a-z0-9]+') AS l FROM documents),
+uni AS (SELECT u.tok, count(*) AS cnt
+        FROM (SELECT unnest(l) AS tok FROM toks0) u GROUP BY 1),
+tot AS (SELECT sum(cnt) AS t FROM uni),
+pairs AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM toks0),
+big AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+ctxs(ctx) AS (VALUES ('public'), ('import'), ('the')),
+o1 AS (SELECT c.ctx, b.w2 AS token, b.cnt * 1.0 / u.cnt AS score
+       FROM ctxs c JOIN big b ON b.w1 = c.ctx JOIN uni u ON u.tok = c.ctx),
+o0 AS (SELECT c.ctx, u.tok AS token, 0.4 * u.cnt / (SELECT t FROM tot) AS score
+       FROM ctxs c CROSS JOIN uni u
+       WHERE NOT EXISTS (SELECT 1 FROM o1
+                         WHERE o1.ctx = c.ctx AND o1.token = u.tok)),
+ranked AS (SELECT ctx AS context, token, score,
+                  row_number() OVER (PARTITION BY ctx
+                                     ORDER BY score DESC, token) AS rn
+           FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o0))
+SELECT context, token, score FROM ranked WHERE rn <= 5
+ORDER BY context, rn
+""",
+        "pack_whole": r"""
+WITH RECURSIVE
+tf AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n,
+              doc_id // 100 AS part,
+              row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+       FROM documents),
+walk AS (
+  SELECT part, rn, doc_id, n, CAST(0 AS BIGINT) AS seq, n AS fill
+  FROM tf WHERE rn = 1
+  UNION ALL
+  SELECT t.part, t.rn, t.doc_id, t.n,
+         CASE WHEN w.fill > 0 AND w.fill + t.n > 256 THEN w.seq + 1 ELSE w.seq END,
+         CASE WHEN w.fill > 0 AND w.fill + t.n > 256 THEN t.n ELSE w.fill + t.n END
+  FROM walk w JOIN tf t ON t.part = w.part AND t.rn = w.rn + 1
+)
+SELECT doc_id, n AS n_tokens, (part << 32) | seq AS seq_id,
+       fill AS seq_fill, n > 256 AS oversize
+FROM walk ORDER BY doc_id
 """,
         "nb_classify": f"""
 WITH {_TOKS_CTE},
