@@ -347,6 +347,7 @@ class Analyzer:
             "portuguese": "portuguese",
             "spanish_snowball": "spanish_snowball",
             "german_snowball": "german_snowball",
+            "german2": "german2",
             "french_snowball": "french_snowball",
             "arabic": "arabic",
             "indonesian": "indonesian",

@@ -1053,6 +1053,43 @@ def german_snowball_stem(word: str) -> str:
         if c in "uy" and 0 < i < len(chars) - 1 and chars[i - 1] in _DE_V and chars[i + 1] in _DE_V:
             chars[i] = c.upper()
     w = "".join(chars)
+    return _german_steps(w)
+
+
+def german2_snowball_stem(word: str) -> str:
+    """Snowball "german2" variant (reference contrib
+    Snowball/SF/Snowball/Ext/German2Stemmer.cs): identical steps to German,
+    but the prelude additionally folds the typewriter umlaut spellings
+    ae/oe/ue to ä/ö/ü — EXCEPT after q ('qu' consumes its u) — so
+    'schoen' and 'schön' stem identically. U/Y marking happens first, on
+    the original text, so a u already marked as consonant (between vowels)
+    is not folded."""
+    chars = list(word)
+    for i, c in enumerate(chars):
+        if c in "uy" and 0 < i < len(chars) - 1 and chars[i - 1] in _DE_V and chars[i + 1] in _DE_V:
+            chars[i] = c.upper()
+    out: list[str] = []
+    i = 0
+    fold = {"a": "ä", "o": "ö", "u": "ü"}
+    while i < len(chars):
+        c = chars[i]
+        nxt = chars[i + 1] if i + 1 < len(chars) else ""
+        if c == "ß":
+            out.append("ss")
+            i += 1
+        elif c == "q" and nxt == "u":
+            out.append("qu")
+            i += 2
+        elif c in fold and nxt == "e":
+            out.append(fold[c])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return _german_steps("".join(out))
+
+
+def _german_steps(w: str) -> str:
     r1 = max(_region_after_vc(w, _DE_V, 0), 3)
     r2 = _region_after_vc(w, _DE_V, _region_after_vc(w, _DE_V, 0))
 
@@ -1108,6 +1145,7 @@ def german_snowball_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS["german_snowball"] = german_snowball_stem
+SNOWBALL_STEMMERS["german2"] = german2_snowball_stem
 
 
 # ---------------------------------------------------------------------------

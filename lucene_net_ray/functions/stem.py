@@ -280,6 +280,7 @@ from .snowball import (  # noqa: E402
     danish_stem,
     dutch_stem,
     french_stem,
+    german2_snowball_stem,
     german_snowball_stem,
     italian_stem,
     norwegian_stem,
@@ -306,6 +307,7 @@ STEMMERS = {
     "portuguese": portuguese_stem,
     "spanish_snowball": spanish_snowball_stem,
     "german_snowball": german_snowball_stem,
+    "german2": german2_snowball_stem,
     "french_snowball": french_stem,
     "romanian": romanian_stem,
     "brazilian": brazilian_stem,

@@ -358,3 +358,35 @@ def test_french_snowball_conflation_roundtrip(tmp_path):
     term = an("chanter")[0]
     hits = s.search(TermQuery(field="content", term=term), k=5)
     assert [d for d, _ in hits] == [0]
+
+
+# ---------------------------------------------------------------------------
+# German2 variant (reference contrib Snowball/SF/Snowball/Ext/German2Stemmer.cs)
+# ---------------------------------------------------------------------------
+
+
+def test_german2_folds_typewriter_umlauts():
+    from lucene_net_ray.functions.snowball import (
+        german2_snowball_stem as g2,
+        german_snowball_stem as g1,
+    )
+
+    # the defining property: ae/oe/ue spellings conflate with umlaut forms
+    for ae, um in [("schoen", "schön"), ("koennen", "können"), ("fuer", "für"),
+                   ("haeuser", "häuser"), ("gruesse", "grüße"), ("uebung", "übung")]:
+        assert g2(ae) == g2(um), (ae, um)
+    # 'qu' protects its u from the ue fold
+    for w in ("quelle", "bequem", "quer"):
+        assert g2(w) == g1(w), w
+    # words without the digraphs behave exactly like German
+    for w in ("aufeinander", "kategorie", "abendessen", "laufen", "kinder"):
+        assert g2(w) == g1(w), w
+    # plain German does NOT fold (the variants differ where they should)
+    assert g1("schoen") != g1("schön")
+
+
+def test_german2_analyzer_kind():
+    from lucene_net_ray.functions.analysis import Analyzer
+
+    a = Analyzer(kind="german2")
+    assert a("die schoenen Haeuser") == a("die schönen Häuser")
