@@ -1052,17 +1052,15 @@ def q_sessionize(sf_dir: str):
 
 def q_lm_quality(sf_dir: str):
     """Backoff-LM quality scores over the documents table (perplexity-filter
-    analog). Rows-only — the LM has no SQL analog; determinism + ordering
-    semantics tested in test_decontam.py."""
+    analog). SQL-oracled as of r4: the grams=2 stupid backoff is bigram
+    c/ctx_count, else 0.4*unigram/total (position 0 unweighted), mean of
+    ln() per doc — exact integer-ratio f64; the per-doc ln-sum order is the
+    only divergence and the gate's 6dp rounding absorbs it."""
     from ..stages.textstats import lm_quality_scores
 
     ds = _documents_ds(sf_dir)
     out = lm_quality_scores(ds, text_column="text", grams=2)
-    import pandas as pd_
-
-    df = out.select_columns(["doc_id", "lm_logprob"]).to_pandas()
-    df["lm_logprob"] = df["lm_logprob"].round(6)
-    return df
+    return out.select_columns(["doc_id", "lm_logprob"]).to_pandas()
 
 
 def q_stratified_sample(sf_dir: str):
@@ -1849,6 +1847,35 @@ SELECT count(*) AS n FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'merge')
   AND EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'spark')
   AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.tok = 'window')
+""",
+        "lm_quality_scores": """
+WITH toks0 AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS l FROM documents),
+uni AS (SELECT u.tok, count(*) AS cnt
+        FROM (SELECT unnest(l) AS tok FROM toks0) u GROUP BY 1),
+tot AS (SELECT sum(cnt) AS t FROM uni),
+pairs AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z FROM toks0),
+big AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS cnt FROM pairs GROUP BY 1, 2),
+pos AS (SELECT doc_id, unnest(l) AS tok,
+               unnest(list_prepend(CAST(NULL AS VARCHAR), l[1:len(l)-1])) AS prev
+        FROM toks0),
+lps AS (
+  SELECT p.doc_id,
+         CASE WHEN p.prev IS NOT NULL AND b.cnt IS NOT NULL
+              THEN ln(b.cnt * 1.0 / up.cnt)
+              WHEN p.prev IS NOT NULL
+              THEN ln(0.4 * u.cnt / (SELECT t FROM tot))
+              ELSE ln(u.cnt * 1.0 / (SELECT t FROM tot))
+         END AS lp
+  FROM pos p
+  JOIN uni u ON u.tok = p.tok
+  LEFT JOIN big b ON b.w1 = p.prev AND b.w2 = p.tok
+  LEFT JOIN uni up ON up.tok = p.prev
+),
+agg AS (SELECT doc_id, sum(lp) / count(*) AS lm_logprob FROM lps GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.lm_logprob, ln(0.000000001)) AS lm_logprob
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
 """,
         "freetext_suggest": """
 WITH toks0 AS (SELECT regexp_extract_all(text, '[a-z0-9]+') AS l FROM documents),
