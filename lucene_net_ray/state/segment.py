@@ -129,6 +129,7 @@ def build_segment(
     index_options: str = "freqs",  # "freqs" | "positions" | "offsets" (FieldInfo.IndexOptions analog)
     store_term_vectors: bool = False,  # per-doc (term, tf) columns in docs.parquet
     payload_delimiter: str | None = None,  # DelimitedPayloadTokenFilter analog
+    term_bloom: bool = True,  # Codecs/Bloom term fuzzy-set (bloom.bin)
 ) -> dict:
     """Tokenize + invert one partition of the corpus and write a segment.
 
@@ -362,6 +363,7 @@ def build_segment(
         tfs_sorted=tfs_sorted,
         pos_deltas=pos_deltas,
         norms=norms,
+        term_bloom=term_bloom,
     )
     n_terms = enc["term_count"]
     n_post = enc["postings"]
@@ -452,6 +454,7 @@ def write_terms_and_postings(
     tfs_sorted: np.ndarray,
     pos_deltas: np.ndarray | None,
     norms: np.ndarray,
+    term_bloom: bool = True,
 ) -> dict:
     """Encode term-major posting arrays into terms.parquet + postings.bin.
 
@@ -564,11 +567,12 @@ def write_terms_and_postings(
     # Codecs/Bloom analog: a single-hash term fuzzy-set for "definitely
     # absent" answers without touching the dict (skipped when >90% full,
     # downsized to ~10% saturation — see functions/bloom.py).
-    from ..functions.bloom import build_term_bloom
+    if term_bloom:
+        from ..functions.bloom import build_term_bloom
 
-    bloom = build_term_bloom(uniq_terms)
-    if bloom is not None:
-        bloom.save(os.path.join(tmp_dir, "bloom.bin"))
+        bloom = build_term_bloom(uniq_terms)
+        if bloom is not None:
+            bloom.save(os.path.join(tmp_dir, "bloom.bin"))
 
     return {
         "term_count": int(n_terms),

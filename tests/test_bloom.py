@@ -136,3 +136,21 @@ def test_search_results_identical_with_bloom_off(bloom_index):
     for text in ("alpha", "shared", "alpha OR charlie", "doc7 doc27"):
         q = parse_query(text)
         assert s_on.search(q, k=10) == s_off.search(q, k=10), text
+
+
+def test_term_bloom_flag_disables_write(tmp_path):
+    import os
+
+    docs = pa.table(
+        {"doc_id": pa.array(range(5), pa.int64()),
+         "content": pa.array([f"alpha doc{i}" for i in range(5)])}
+    )
+    from lucene_net_ray.pipelines.build import build_index_from_table
+
+    out = str(tmp_path / "nobloom")
+    meta = build_index_from_table(docs, out, content_column="content", term_bloom=False)
+    for d in meta.segment_dirs:
+        assert not os.path.exists(os.path.join(d, "bloom.bin"))
+    # search still correct, just no fast-negative path
+    s = Searcher(meta, use_actors=False)
+    assert s._stats_for_terms(["alpha", "zzz"]) == {"alpha": 5, "zzz": 0}
