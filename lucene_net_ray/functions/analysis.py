@@ -348,6 +348,7 @@ class Analyzer:
             "spanish_snowball": "spanish_snowball",
             "german_snowball": "german_snowball",
             "german2": "german2",
+            "finnish_snowball": "finnish_snowball",
             "french_snowball": "french_snowball",
             "arabic": "arabic",
             "indonesian": "indonesian",

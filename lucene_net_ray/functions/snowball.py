@@ -1520,3 +1520,158 @@ def romanian_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS["romanian"] = romanian_stem
+
+
+# ---------------------------------------------------------------------------
+# Finnish ("The Finnish stemming algorithm", snowballstem.org; structure and
+# rule data pinned from the reference's generated
+# contrib/Snowball/SF/Snowball/Ext/FinnishStemmer.cs — clean-room rewrite)
+# ---------------------------------------------------------------------------
+
+_FI_V = frozenset("aeiouyäö")           # g_v
+_FI_V_RESTR = frozenset("aeiouäö")      # g_V (no y) — the LV/VI vowel class
+_FI_AEI = frozenset("aeiä")             # g_AEI
+_FI_PARTICLE_END = frozenset("aeinotuyäö")  # g_particle_end (vowels + n, t)
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_PARTICLES = ("kään", "kaan", "sti", "han", "hän", "kin", "pa", "pä", "ko", "kö")
+_FI_POSS = ("nsa", "nsä", "mme", "nne", "si", "ni", "an", "än", "en")
+# a_6 longest-first; value = condition key
+_FI_CASE = (
+    ("seen", "LONG"), ("siin", "VI"), ("tten", "VI"),
+    ("han", "a"), ("hen", "e"), ("hin", "i"), ("hon", "o"), ("hän", "ä"), ("hön", "ö"),
+    ("den", "VI"),
+    ("lla", None), ("ssa", None), ("lta", None), ("sta", None), ("tta", "e"),
+    ("llä", None), ("ssä", None), ("ltä", None), ("stä", None), ("ttä", "e"),
+    ("lle", None), ("ine", None), ("ksi", None),
+    ("na", None), ("ta", None), ("nä", None), ("tä", None),
+    ("n", "N"), ("a", "CV"), ("ä", "CV"),
+)
+_FI_OTHER = ("imma", "impa", "immi", "impi", "immä", "impä", "eja", "ejä",
+             "mma", "mpa", "mmi", "mpi", "mmä", "mpä")
+
+
+def _fi_ends_long(w: str) -> bool:
+    return any(w.endswith(lv) for lv in _FI_LONG)
+
+
+def _fi_among(w: str, sufs, limit: int) -> str | None:
+    """Longest suffix of ``w`` whose match fits entirely at or after
+    ``limit`` — snowball find_among_b under setlimit: a longer suffix that
+    would cross the limit cannot match, and a shorter one is tried."""
+    best = None
+    for s in sufs:
+        if w.endswith(s) and len(w) - len(s) >= limit:
+            if best is None or len(s) > len(best):
+                best = s
+    return best
+
+
+def finnish_snowball_stem(word: str) -> str:
+    w = word
+    p1 = _region_after_vc(w, _FI_V, 0)
+    p2 = _region_after_vc(w, _FI_V, p1)
+    ending_removed = False
+
+    # step 1: particle etc (a_0 under setlimit p1; conditions unrestricted)
+    suf = _fi_among(w, _FI_PARTICLES, p1)
+    if suf == "sti":
+        if len(w) - 3 >= p2:
+            w = w[:-3]
+    elif suf is not None:
+        if len(w) > len(suf) and w[-len(suf) - 1] in _FI_PARTICLE_END:
+            w = w[: -len(suf)]
+
+    # step 2: possessive (a_4 under setlimit p1)
+    suf = _fi_among(w, _FI_POSS, p1)
+    if suf is not None:
+        stem_ = w[: -len(suf)]
+        if suf == "si":
+            if not stem_.endswith("k"):
+                w = stem_
+        elif suf == "ni":
+            w = stem_
+            if w.endswith("kse"):
+                w = w[:-1] + "i"
+        elif suf in ("nsa", "nsä", "mme", "nne"):
+            w = stem_
+        elif suf == "an":
+            if stem_.endswith(("lla", "na", "ssa", "ta", "lta", "sta")):
+                w = stem_
+        elif suf == "än":
+            if stem_.endswith(("llä", "nä", "ssä", "tä", "ltä", "stä")):
+                w = stem_
+        elif suf == "en":
+            if stem_.endswith(("lle", "ine")):
+                w = stem_
+
+    # step 3: case endings (a_6 under setlimit p1)
+    suf = _fi_among(w, [c for c, _ in _FI_CASE], p1)
+    if suf is not None:
+        cond = dict(_FI_CASE)[suf]
+        stem_ = w[: -len(suf)]
+        if cond is None:
+            w = stem_
+            ending_removed = True
+        elif cond in ("a", "e", "i", "o", "ä", "ö"):
+            if stem_.endswith(cond):
+                w = stem_
+                ending_removed = True
+        elif cond == "LONG":
+            if _fi_ends_long(stem_):
+                w = stem_
+                ending_removed = True
+        elif cond == "VI":
+            if stem_.endswith("i") and len(stem_) >= 2 and stem_[-2] in _FI_V_RESTR:
+                w = stem_
+                ending_removed = True
+        elif cond == "N":  # 'n': delete; LONG or 'ie' before eats one more
+            w = stem_
+            ending_removed = True
+            if _fi_ends_long(w) or w.endswith("ie"):
+                w = w[:-1]
+        elif cond == "CV":  # 'a'/'ä' preceded by consonant + vowel
+            if len(stem_) >= 2 and stem_[-1] in _FI_V and stem_[-2] not in _FI_V:
+                w = stem_
+                ending_removed = True
+
+    # step 4: other endings (a_7 under setlimit p2)
+    suf = _fi_among(w, _FI_OTHER, p2)
+    if suf is not None:
+        if suf in ("mma", "mpa", "mmi", "mpi", "mmä", "mpä"):
+            if not w[: -len(suf)].endswith("po"):
+                w = w[: -len(suf)]
+        else:
+            w = w[: -len(suf)]
+
+    # step 5: plurals
+    if ending_removed:
+        if w and w[-1] in "ij" and len(w) - 1 >= p1:
+            w = w[:-1]
+    else:
+        if w.endswith("t") and len(w) - 1 >= p1 and len(w) >= 2 and w[-2] in _FI_V:
+            w = w[:-1]
+            suf = _fi_among(w, ("imma", "mma"), p2)
+            if suf == "imma" or (suf == "mma" and not w[:-3].endswith("po")):
+                w = w[: -len(suf)]
+
+    # step 6: tidy — four rules under setlimit p1 (the WHOLE window of each
+    # match, condition chars included, must sit in R1), then the final
+    # consonant undoubling with the limit restored
+    if len(w) - 2 >= p1 and _fi_ends_long(w):
+        w = w[:-1]  # undouble long vowel: remove ONE char
+    if len(w) - 2 >= p1 and w[-1] in _FI_AEI and w[-2] not in _FI_V:
+        w = w[:-1]
+    if len(w) - 2 >= p1 and (w.endswith("oj") or w.endswith("uj")):
+        w = w[:-1]
+    if len(w) - 2 >= p1 and w.endswith("jo"):
+        w = w[:-1]
+    # undouble final consonant before trailing vowels (NOT limited to R1)
+    i = len(w) - 1
+    while i >= 0 and w[i] in _FI_V:
+        i -= 1
+    if i >= 1 and w[i] not in _FI_V and w[i - 1] == w[i]:
+        w = w[:i] + w[i + 1 :]
+    return w
+
+
+SNOWBALL_STEMMERS["finnish_snowball"] = finnish_snowball_stem

@@ -280,6 +280,7 @@ from .snowball import (  # noqa: E402
     danish_stem,
     dutch_stem,
     french_stem,
+    finnish_snowball_stem,
     german2_snowball_stem,
     german_snowball_stem,
     italian_stem,
@@ -308,6 +309,7 @@ STEMMERS = {
     "spanish_snowball": spanish_snowball_stem,
     "german_snowball": german_snowball_stem,
     "german2": german2_snowball_stem,
+    "finnish_snowball": finnish_snowball_stem,
     "french_snowball": french_stem,
     "romanian": romanian_stem,
     "brazilian": brazilian_stem,

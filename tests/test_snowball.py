@@ -390,3 +390,60 @@ def test_german2_analyzer_kind():
 
     a = Analyzer(kind="german2")
     assert a("die schoenen Haeuser") == a("die schönen Häuser")
+
+
+# ---------------------------------------------------------------------------
+# Finnish Snowball (rule data pinned from the reference's generated
+# contrib/Snowball/SF/Snowball/Ext/FinnishStemmer.cs; vectors hand-traced
+# through that code — see functions/snowball.py provenance note)
+# ---------------------------------------------------------------------------
+
+
+def test_finnish_snowball_traced_vectors():
+    from lucene_net_ray.functions.snowball import finnish_snowball_stem as f
+
+    # case endings + i-plural
+    assert f("talossa") == "talo"    # talo+ssa
+    assert f("taloissa") == "talo"   # talo+i+ssa (i_plural after case)
+    assert f("talon") == "talo"      # genitive n
+    assert f("taloja") == "talo"     # tidy AEI + oj rules
+    # possessive chain then case then i-plural
+    assert f("käsissäni") == "käs"   # käsi+ssä+ni
+    # particle (kö after particle_end 'n') then case n
+    assert f("menenkö") == "mene"
+    assert f("menen") == "mene"      # conflates with the particle form
+    # 'kaan' is a particle here (preceded by n), then n-case + i-plural
+    assert f("kuninkaan") == "kun"
+    assert f("hännän") == "hän"      # n-case, AEI tidy, nn undouble
+    assert f("hännät") == "hän"      # t-plural path conflates
+    # sti particle needs R2 (p2=6 > 5 here) -> only the AEI tidy fires
+    assert f("nopeasti") == "nopeast"
+
+
+def test_finnish_snowball_conflation_groups():
+    from lucene_net_ray.functions.snowball import finnish_snowball_stem as f
+
+    groups = [
+        ("talossa", "taloissa", "talon", "taloja"),
+        ("menen", "menenkö"),
+        ("hännän", "hännät"),
+    ]
+    for g in groups:
+        stems = {f(w) for w in g}
+        assert len(stems) == 1, (g, stems)
+
+
+def test_finnish_snowball_among_limit_fallback():
+    from lucene_net_ray.functions.snowball import _fi_among
+
+    # the longest suffix crossing the limit is skipped for a shorter fit
+    assert _fi_among("massa", ("ssa", "a"), 3) == "a"
+    assert _fi_among("talossa", ("ssa", "a"), 3) == "ssa"
+    assert _fi_among("xy", ("ssa", "a"), 99) is None
+
+
+def test_finnish_snowball_analyzer_kind():
+    from lucene_net_ray.functions.analysis import Analyzer
+
+    a = Analyzer(kind="finnish_snowball")
+    assert a("menen taloissa") == a("menenkö talossa")
