@@ -49,10 +49,14 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("search", help="run a query (classic/simple/xml syntax)")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
-    s.add_argument("--syntax", choices=("classic", "simple", "xml"), default="classic",
+    s.add_argument("--syntax",
+                   choices=("classic", "simple", "xml", "flexible", "precedence"),
+                   default="classic",
                    help="classic = Lucene QueryParser subset; simple = "
                         "SimpleQueryParser (never fails); xml = CoreParser "
-                        "element tree")
+                        "element tree; flexible = StandardQueryParser "
+                        "(precedence flattened); precedence = "
+                        "PrecedenceQueryParser (AND/OR tree kept)")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--actors", type=int, default=4)
     s.add_argument("--merged", action="store_true",
@@ -90,6 +94,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     ti.add_argument("--index", required=True)
     ti.add_argument("--terms", required=True, help="comma-separated terms")
+
+    sp = sub.add_parser("spell", help="n-gram spell suggestions from the term dict")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--word", required=True)
+    sp.add_argument("-k", type=int, default=5)
+    sp.add_argument("--distance", choices=("levenstein", "jarowinkler", "ngram"),
+                    default="levenstein")
 
     args = ap.parse_args(argv)
     _ensure_ray()
@@ -133,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
                 from .xmlparser import parse_xml_query
 
                 q = parse_xml_query(args.query)
+            elif args.syntax in ("flexible", "precedence"):
+                from .flexible import PrecedenceQueryParser, StandardQueryParser
+
+                parser_cls = (
+                    StandardQueryParser if args.syntax == "flexible" else PrecedenceQueryParser
+                )
+                q = parser_cls().parse(args.query)
             else:
                 q = parse_query(args.query)
             hits = searcher.search(q, k=args.k)
@@ -177,6 +195,16 @@ def main(argv: list[str] | None = None) -> int:
                     ttf += int(sttf)
                 out.append({"term": term, "df": df, "ttf": ttf})
             print(json.dumps(out))
+        elif args.cmd == "spell":
+            from .pipelines.search import Searcher
+            from .pipelines.spell import SpellChecker
+
+            searcher = Searcher(args.index, use_actors=False)
+            sc = SpellChecker.from_searcher(searcher, distance=args.distance)
+            print(json.dumps(
+                [{"suggestion": w, "score": round(sc_, 6)}
+                 for w, sc_ in sc.suggest_similar(args.word, args.k)]
+            ))
         elif args.cmd == "expunge":
             from .pipelines.maintenance import expunge_deletes
 
