@@ -349,6 +349,7 @@ class Analyzer:
             "german_snowball": "german_snowball",
             "german2": "german2",
             "finnish_snowball": "finnish_snowball",
+            "hungarian_snowball": "hungarian_snowball",
             "french_snowball": "french_snowball",
             "arabic": "arabic",
             "indonesian": "indonesian",

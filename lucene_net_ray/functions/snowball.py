@@ -1675,3 +1675,147 @@ def finnish_snowball_stem(word: str) -> str:
 
 
 SNOWBALL_STEMMERS["finnish_snowball"] = finnish_snowball_stem
+
+
+# ---------------------------------------------------------------------------
+# Hungarian ("The Hungarian stemming algorithm", snowballstem.org; rule data
+# pinned from the reference's generated
+# contrib/Snowball/SF/Snowball/Ext/HungarianStemmer.cs — clean-room rewrite.
+# The legacy file encodes ő/ű as õ/û (ISO-8859-2 artefact); modern
+# codepoints are used here.)
+# ---------------------------------------------------------------------------
+
+_HU_V = frozenset("aeiouáéíóöőúüű")
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = (
+    "ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+    "pp", "rr", "ss", "tt", "vv", "zz",
+)
+# each table: (suffix, replacement-or-None-for-delete), longest-match wins
+_HU_CASE = (
+    "anként", "enként", "onként", "képpen", "ként", "képp", "ban", "ben", "nak", "nek", "val",
+    "vel", "nál", "nél", "ból", "ról", "tól", "ből", "ről", "től", "kor",
+    "ba", "be", "ra", "re", "ig", "ul", "ül", "an", "en", "on", "ön", "at",
+    "et", "ot", "öt", "ért", "hez", "hoz", "höz", "vá", "vé", "n", "t",
+)
+_HU_CASE_SPECIAL = {"én": "e", "án": "a", "ánként": "a"}
+_HU_CASE_OTHER = {"astul": None, "estül": None, "stul": None, "stül": None,
+                  "ástul": "a", "éstül": "e"}
+_HU_PLURAL = {"ák": "a", "ék": "e", "ök": None, "ak": None, "ok": None,
+              "ek": None, "k": None}
+_HU_OWNED = {"áéi": "a", "ééi": "e", "éi": None, "áké": "a", "éké": "e",
+             "aké": None, "eké": None, "oké": None, "öké": None, "ké": None,
+             "éé": "e", "é": None}
+_HU_SING_OWNER = {
+    "ájuk": "a", "éjük": "e", "unk": None, "ünk": None, "ánk": "a",
+    "énk": "e", "juk": None, "jük": None, "ád": "a", "éd": "e",
+    "ad": None, "ed": None, "od": None, "öd": None, "ja": None, "je": None,
+    "ám": "a", "ém": "e", "am": None, "em": None, "om": None, "nk": None,
+    "uk": None, "ük": None, "d": None, "m": None, "a": None, "e": None,
+    "o": None, "á": "a", "é": "e",
+}
+_HU_PLUR_OWNER = {
+    "jaitok": None, "jeitek": None, "áitok": "a", "éitek": "e",
+    "jaink": None, "jeink": None, "aitok": None, "eitek": None,
+    "áink": "a", "éink": "e", "jaid": None, "jeid": None, "jaik": None,
+    "jeik": None, "jaim": None, "jeim": None, "aink": None, "eink": None,
+    "itek": None, "áid": "a", "éid": "e", "áik": "a", "éik": "e",
+    "áim": "a", "éim": "e", "aid": None, "eid": None, "aik": None,
+    "eik": None, "aim": None, "eim": None, "ink": None, "jai": None,
+    "jei": None, "ái": "a", "éi": "e", "ai": None, "ei": None, "id": None,
+    "ik": None, "im": None, "i": None,
+}
+
+
+def _hu_p1(w: str) -> int:
+    """Hungarian R1: word starts with a vowel -> after the first consonant
+    or consonant digraph; starts with a consonant -> after the first vowel."""
+    if not w:
+        return 0
+    if w[0] in _HU_V:
+        for i in range(1, len(w)):
+            if w[i] not in _HU_V:
+                for d in _HU_DIGRAPHS:
+                    if w.startswith(d, i):
+                        return i + len(d)
+                return i + 1
+        return len(w)
+    for i in range(1, len(w)):
+        if w[i] in _HU_V:
+            return i + 1
+    return len(w)
+
+
+def _hu_among(w: str, table, p1: int):
+    """Longest-suffix match; R1 is a POST-condition (match start >= p1) —
+    on failure the whole step fails, no fallback (no setlimit in the
+    Hungarian script, unlike Finnish)."""
+    sufs = table if not isinstance(table, dict) else table.keys()
+    best = None
+    for s in sufs:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    if best is None or len(w) - len(best) < p1:
+        return None
+    return best
+
+
+def _hu_ends_double(w: str) -> bool:
+    return any(w.endswith(d) for d in _HU_DOUBLES)
+
+
+def _hu_undouble(w: str) -> str:
+    """Remove the second-to-last character (the generated r_undouble:
+    next, hop 1, delete) — 'bott' -> 'bot', 'meccs' -> 'mecs'."""
+    return w[:-2] + w[-1] if len(w) >= 2 else w
+
+
+def _hu_v_ending(w: str, p1: int) -> str:
+    if w.endswith("á") and len(w) - 1 >= p1:
+        return w[:-1] + "a"
+    if w.endswith("é") and len(w) - 1 >= p1:
+        return w[:-1] + "e"
+    return w
+
+
+def hungarian_snowball_stem(word: str) -> str:
+    w = word
+    p1 = _hu_p1(w)
+
+    # instrum: al/el in R1 preceded by a double consonant, delete + undouble
+    suf = _hu_among(w, ("al", "el"), p1)
+    if suf is not None and _hu_ends_double(w[:-2]):
+        w = _hu_undouble(w[:-2])
+
+    # case endings, then v_ending
+    suf = _hu_among(w, _HU_CASE, p1)
+    if suf is not None:
+        w = _hu_v_ending(w[: -len(suf)], p1)
+
+    # case_special: én/án/ánként -> e/a/a
+    suf = _hu_among(w, _HU_CASE_SPECIAL, p1)
+    if suf is not None:
+        w = w[: -len(suf)] + _HU_CASE_SPECIAL[suf]
+
+    # case_other: stul/stül family
+    suf = _hu_among(w, _HU_CASE_OTHER, p1)
+    if suf is not None:
+        rep = _HU_CASE_OTHER[suf]
+        w = w[: -len(suf)] + (rep or "")
+
+    # factive: á/é in R1 preceded by a double consonant, delete + undouble
+    suf = _hu_among(w, ("á", "é"), p1)
+    if suf is not None and _hu_ends_double(w[:-1]):
+        w = _hu_undouble(w[:-1])
+
+    # owned / sing_owner / plur_owner / plural
+    for table in (_HU_OWNED, _HU_SING_OWNER, _HU_PLUR_OWNER, _HU_PLURAL):
+        suf = _hu_among(w, table, p1)
+        if suf is not None:
+            rep = table[suf]
+            w = w[: -len(suf)] + (rep or "")
+    return w
+
+
+SNOWBALL_STEMMERS["hungarian_snowball"] = hungarian_snowball_stem

@@ -281,6 +281,7 @@ from .snowball import (  # noqa: E402
     dutch_stem,
     french_stem,
     finnish_snowball_stem,
+    hungarian_snowball_stem,
     german2_snowball_stem,
     german_snowball_stem,
     italian_stem,
@@ -310,6 +311,7 @@ STEMMERS = {
     "german_snowball": german_snowball_stem,
     "german2": german2_snowball_stem,
     "finnish_snowball": finnish_snowball_stem,
+    "hungarian_snowball": hungarian_snowball_stem,
     "french_snowball": french_stem,
     "romanian": romanian_stem,
     "brazilian": brazilian_stem,

@@ -447,3 +447,55 @@ def test_finnish_snowball_analyzer_kind():
 
     a = Analyzer(kind="finnish_snowball")
     assert a("menen taloissa") == a("menenkö talossa")
+
+
+# ---------------------------------------------------------------------------
+# Hungarian Snowball (rule data pinned from the reference's generated
+# contrib/Snowball/SF/Snowball/Ext/HungarianStemmer.cs; vectors hand-traced)
+# ---------------------------------------------------------------------------
+
+
+def test_hungarian_snowball_traced_vectors():
+    from lucene_net_ray.functions.snowball import hungarian_snowball_stem as h
+
+    # case endings
+    assert h("házakban") == "ház"     # ban + plural ak
+    assert h("kertben") == "kert"
+    assert h("autóval") == "autó"
+    assert h("darabonként") == "darab"  # onként distributive
+    # instrum assimilation: bot+tal -> delete al, undouble tt
+    assert h("bottal") == "bot"
+    # possessives
+    assert h("házam") == "ház"        # am sing_owner
+    assert h("háza") == "ház"         # a sing_owner
+    assert h("házaim") == "ház"       # aim plur_owner
+    # plural
+    assert h("házak") == "ház"
+    assert h("emberek") == "ember"
+    assert h("embereknek") == "ember"  # nek case then plural
+    # á/é restoration (ák -> a needs the suffix inside R1)
+    assert h("almák") == "alma"
+    assert h("kezét") == "kez"         # ét case + v_ending
+    # R1 guards: short words keep suffix-looking tails (among picks the
+    # LONGEST match and fails on its R1 check without fallback)
+    assert h("fa") == "fa"
+    assert h("fák") == "fák"
+
+
+def test_hungarian_snowball_conflation_groups():
+    from lucene_net_ray.functions.snowball import hungarian_snowball_stem as h
+
+    groups = [
+        ("házakban", "házak", "házam", "háza", "házaim"),
+        ("emberek", "embereknek"),
+    ]
+    for g in groups:
+        stems = {h(w) for w in g}
+        assert len(stems) == 1, (g, stems)
+
+
+def test_hungarian_snowball_analyzer_kind():
+    from lucene_net_ray.functions.analysis import Analyzer
+
+    a = Analyzer(kind="hungarian_snowball")
+    assert a("a házakban emberek") == a("a házak embereknek")
