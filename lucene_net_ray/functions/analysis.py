@@ -350,6 +350,7 @@ class Analyzer:
             "german2": "german2",
             "finnish_snowball": "finnish_snowball",
             "hungarian_snowball": "hungarian_snowball",
+            "lovins": "lovins",
             "french_snowball": "french_snowball",
             "arabic": "arabic",
             "indonesian": "indonesian",

@@ -275,6 +275,7 @@ def french_minimal_stem(w: str) -> str:
     return "".join(s[:n])
 
 
+from .lovins import lovins_stem  # noqa: E402
 from .rslp import brazilian_stem  # noqa: E402
 from .snowball import (  # noqa: E402
     danish_stem,
@@ -312,6 +313,7 @@ STEMMERS = {
     "german2": german2_snowball_stem,
     "finnish_snowball": finnish_snowball_stem,
     "hungarian_snowball": hungarian_snowball_stem,
+    "lovins": lovins_stem,
     "french_snowball": french_stem,
     "romanian": romanian_stem,
     "brazilian": brazilian_stem,

@@ -499,3 +499,51 @@ def test_hungarian_snowball_analyzer_kind():
 
     a = Analyzer(kind="hungarian_snowball")
     assert a("a házakban emberek") == a("a házak embereknek")
+
+
+# ---------------------------------------------------------------------------
+# Lovins stemmer (Lovins 1968; data pinned from the reference's
+# contrib/Snowball/SF/Snowball/Ext/LovinsStemmer.cs among tables)
+# ---------------------------------------------------------------------------
+
+
+def test_lovins_published_examples():
+    from lucene_net_ray.functions.lovins import lovins_stem as L
+
+    # the paper's flagship conflation: magnesia / magnesite family
+    assert L("magnesia") == "magnes"
+    assert L("magnesite") == "magnes"
+    assert L("magnesian") == "magnes"
+    # transformation rules
+    assert L("sitting") == "sit"        # ing removed, tt undoubled
+    assert L("induction") == "induc"    # ion removed, uct -> uc
+    assert L("believes") == "belief"    # es removed (E), iev -> ief
+    assert L("involution") == "involut" # ion removed (Q)
+    assert L("matrices") == "matric"
+    # famous documented shortcoming: longest-match 'ationally' fails its
+    # min-stem-3 condition and Lovins does NOT fall back to 'ally'
+    assert L("nationally") == "nationally"
+
+
+def test_lovins_conditions():
+    from lucene_net_ray.functions.lovins import lovins_stem as L
+
+    # E: do not remove after e ('es' ending, stem would end e)
+    assert L("bees") == "bees"          # stem 'be' too short anyway (min 2: 'be' ok but ends e)
+    # G: 'ication' only after f
+    assert L("magnification") == "magnif"
+    assert L("publication") == "publication"  # stem 'publ' does not end f
+    # V: 'us' only after c
+    assert L("focus") == "foc"
+    assert L("virus") == "virus"
+    # Y: 'eal'/'ear' only after 'in'
+    assert L("lineal") == "lin"
+    assert L("appeal") == "appeal"
+
+
+def test_lovins_analyzer_kind():
+    from lucene_net_ray.functions.analysis import Analyzer
+
+    a = Analyzer(kind="lovins")
+    assert a("sitting induction believes") == ["sit", "induc", "belief"]
+    assert a("magnesia magnesite") == ["magnes", "magnes"]
