@@ -1707,6 +1707,41 @@ def q_pack_whole(sf_dir: str):
 
 
 QUERIES = {
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "assoc_facet_sums": q_assoc_facet_sums,
+    "training_shards": q_training_shards,
+    "flexible_parser_counts": q_flexible_parser_counts,
+    "function_valuesources": q_function_valuesources,
+    "hopping_windows": q_hopping_windows,
+    "media_neardup": q_media_neardup,
+    "session_windows": q_sessionize,
+    "funnel_counts": q_funnel_counts,
+    "percolate_matches": q_percolate,
+    "ann_sq8_topk": q_ann_sq8_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "pack_sequences": q_pack_sequences,
+    "pack_whole": q_pack_whole,
+    "decontaminate_kept": q_decontaminate,
+    "decontaminate_semantic": q_decontaminate_semantic,
+    "stratified_sample": q_stratified_sample,
+    "mix_sources": q_mix_sources,
+    "repetition_stats": q_repetition_stats,
+    "chunk_documents": q_chunk_documents,
+    "facet_range_counts": q_facet_range_counts,
+    "xml_filtered_count": q_xml_filtered_count,
+    "simple_parser_count": q_simple_parser_count,
+    "duplicate_filter_docs": q_duplicate_filter_docs,
+    "block_join_scores": q_block_join_scores,
+    "geo_distance": q_geo_distance,
+    "geo_distance_join": q_geo_distance_join,
+    "lm_quality_scores": q_lm_quality,
+    "tumbling_windows": q_tumbling_windows,
+    "clean_corpus_ids": q_clean_corpus_ids,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
     "token_counts": q_token_counts,
     "collection_stats": q_collection_stats,
     "term_df_top100": q_term_df_top100,
@@ -1757,41 +1792,6 @@ QUERIES = {
     "trending_terms": q_trending_terms,
     "ngram_counts": q_ngram_counts,
     "pmi_bigrams": q_pmi_bigrams,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "assoc_facet_sums": q_assoc_facet_sums,
-    "training_shards": q_training_shards,
-    "decontaminate_kept": q_decontaminate,
-    "decontaminate_semantic": q_decontaminate_semantic,
-    "stratified_sample": q_stratified_sample,
-    "mix_sources": q_mix_sources,
-    "repetition_stats": q_repetition_stats,
-    "chunk_documents": q_chunk_documents,
-    "facet_range_counts": q_facet_range_counts,
-    "xml_filtered_count": q_xml_filtered_count,
-    "simple_parser_count": q_simple_parser_count,
-    "flexible_parser_counts": q_flexible_parser_counts,
-    "function_valuesources": q_function_valuesources,
-    "duplicate_filter_docs": q_duplicate_filter_docs,
-    "block_join_scores": q_block_join_scores,
-    "geo_distance": q_geo_distance,
-    "geo_distance_join": q_geo_distance_join,
-    "lm_quality_scores": q_lm_quality,
-    "tumbling_windows": q_tumbling_windows,
-    "hopping_windows": q_hopping_windows,
-    "media_neardup": q_media_neardup,
-    "session_windows": q_sessionize,
-    "funnel_counts": q_funnel_counts,
-    "percolate_matches": q_percolate,
-    "clean_corpus_ids": q_clean_corpus_ids,
-    "lang_id": q_lang_id,
-    "quality_scores": q_quality_scores,
-    "ann_brute_topk": q_ann_brute_topk,
-    "ann_sq8_topk": q_ann_sq8_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "multimodal_features": q_multimodal_features,
-    "pack_sequences": q_pack_sequences,
-    "pack_whole": q_pack_whole,
 }
 
 
