@@ -135,7 +135,45 @@ class PercolatorStage:
                     cols.append(np.array([self._col[t] for t in sorted(g)], dtype=np.int64))
             self._plans.append((name, q, cols, _presence_exact(q)))
         self._qtset = frozenset(self._col)
+        # column-ordered vocabulary for the vectorized incidence fill: one
+        # Arrow index_in per batch dictionary-encodes every doc token against
+        # this list, so the token's code IS its matrix column
+        vocab: list[str | None] = [None] * len(self._col)
+        for t, i in self._col.items():
+            vocab[i] = t
+        self._vocab_arr = pa.array(vocab, type=pa.string())
         self._need_oracle = any(not exact for _, _, _, exact in self._plans)
+
+    def _fill_incidence(self, key_sets, n: int) -> np.ndarray:
+        """Boolean doc x query-term incidence matrix, vectorized: flatten the
+        batch's tokens, hash-join them against the query vocabulary in ONE
+        pa.compute.index_in call, scatter the hits in one fancy-index
+        assignment. Replaces the per-doc ``ks & qtset`` set-intersection loop
+        (round-4's last interpreted inner loop on this path)."""
+        import itertools
+
+        import pyarrow.compute as pc
+
+        m = np.zeros((n, len(self._col)), dtype=bool)
+        if not len(self._col):
+            return m
+        lens = np.fromiter((len(ks) for ks in key_sets), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        if not total:
+            return m
+        flat = pa.array(
+            itertools.chain.from_iterable(key_sets), type=pa.string(), size=total
+        )
+        codes = (
+            pc.index_in(flat, value_set=self._vocab_arr)
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hit = codes >= 0
+        m[doc_idx[hit], codes[hit]] = True
+        return m
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
@@ -148,14 +186,10 @@ class PercolatorStage:
             oracle = OracleIndex(texts, analyzer=self.analyzer)
             key_sets = [c.keys() for c in oracle.docs]
         else:
-            key_sets = [frozenset(self.analyzer(t)) for t in texts]
+            # token lists, not sets: the boolean scatter dedups for free
+            key_sets = [self.analyzer(t) for t in texts]
         # one incidence matrix per batch: docs x union-query-terms
-        m = np.zeros((n, len(self._col)), dtype=bool)
-        col = self._col
-        qtset = self._qtset
-        for d, ks in enumerate(key_sets):
-            for t in ks & qtset:
-                m[d, col[t]] = True
+        m = self._fill_incidence(key_sets, n)
         out_ids: list[np.ndarray] = []
         out_names: list[str] = []
         counts: list[int] = []
