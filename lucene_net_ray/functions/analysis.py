@@ -369,11 +369,18 @@ class Analyzer:
             "galician_minimal": "galician_minimal",
             "turkish": "turkish_snowball",
             "irish": None,
+            # Ca/Eu/Hy analyzer shells (reference Analysis/{Ca,Eu,Hy}/*.cs):
+            # original light stemmers — the Snowball sources are absent from
+            # the reference tree; provenance in functions/ca_eu_hy.py.
+            # Catalan adds the tree-verified elision set via _lang_case.
+            "catalan": "catalan",
+            "basque": "basque",
+            "armenian": "armenian",
         }
         # kinds whose chain replaces plain str.lower() with a language case
         # fold (reference Tr/TurkishLowerCaseFilter.cs + ApostropheFilter.cs,
         # Ga/IrishLowerCaseFilter.cs + hyphenation stop + article elision)
-        _lang_case = {"turkish": "turkish", "irish": "irish"}
+        _lang_case = {"turkish": "turkish", "irish": "irish", "catalan": "catalan"}
         if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
             raise ValueError(f"unknown analyzer kind: {kind}")
         self.kind = kind

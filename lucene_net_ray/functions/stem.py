@@ -1055,9 +1055,17 @@ def irish_lower(w: str) -> str:
     return w.lower()
 
 
+from .ca_eu_hy import (  # noqa: E402
+    armenian_light_stem,
+    basque_light_stem,
+    catalan_light_stem,
+    catalan_lower,
+)
+
 CASE_FOLDS = {
     "turkish": turkish_lower,
     "irish": irish_lower,
+    "catalan": catalan_lower,
 }
 
 
@@ -1069,3 +1077,6 @@ from .galician import galician_minimal_stem, galician_stem  # noqa: E402
 
 STEMMERS["galician"] = galician_stem
 STEMMERS["galician_minimal"] = galician_minimal_stem
+STEMMERS["catalan"] = catalan_light_stem
+STEMMERS["basque"] = basque_light_stem
+STEMMERS["armenian"] = armenian_light_stem
