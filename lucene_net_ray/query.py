@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field as dc_field
+from typing import NamedTuple
 
 MUST = "MUST"
 SHOULD = "SHOULD"
@@ -307,12 +308,29 @@ class QueryParseError(ValueError):
     pass
 
 
-def parse_query(s: str, default_field: str = "content", analyzer=None) -> Query:
+def parse_query(
+    s: str,
+    default_field: str = "content",
+    analyzer=None,
+    *,
+    analyze_multiterm: bool = False,
+    allow_leading_wildcard: bool = True,
+    extensions: dict | None = None,
+) -> Query:
     """Parse the classic-syntax subset into a Query tree.
 
     Bare multi-term input produces a BooleanQuery of SHOULD clauses (the
     classic parser's default OR operator). The analyzer (default: standard)
     is applied to term text, like QueryParserBase.GetFieldQuery.
+
+    ``analyze_multiterm=True`` is the AnalyzingQueryParser mode (reference
+    QueryParser/Analyzing/AnalyzingQueryParser.cs:74-246): wildcard, prefix,
+    fuzzy and range operands are ALSO passed through the analyzer — wildcard
+    characters ``*``/``?`` survive, each non-wildcard chunk must analyze to
+    exactly one token (multiple or zero tokens raise, mirroring
+    AnalyzeSingleChunk), and leading wildcards raise unless
+    ``allow_leading_wildcard`` (the mode flips its default to False, like
+    the classic parser's allowLeadingWildcard).
     """
     from .functions.analysis import Analyzer
 
@@ -392,7 +410,14 @@ def parse_query(s: str, default_field: str = "content", analyzer=None) -> Query:
                 q = RegexpQuery(field=field, pattern=text[1:-1])
             elif kind in ("atom", "range"):
                 _, text = advance()
-                q = _parse_atom(text, default_field, analyzer)
+                q = _parse_atom(
+                    text,
+                    default_field,
+                    analyzer,
+                    analyze_multiterm=analyze_multiterm,
+                    allow_leading_wildcard=allow_leading_wildcard,
+                    extensions=extensions,
+                )
                 if q is None:
                     continue
             else:
@@ -420,6 +445,48 @@ def parse_query(s: str, default_field: str = "content", analyzer=None) -> Query:
     return q
 
 
+def parse_query_analyzing(
+    s: str,
+    default_field: str = "content",
+    analyzer=None,
+    *,
+    allow_leading_wildcard: bool = False,
+) -> Query:
+    """AnalyzingQueryParser analog (reference
+    QueryParser/Analyzing/AnalyzingQueryParser.cs): classic syntax, but
+    fuzzy/prefix/range/wildcard operands are also passed through the
+    analyzer (wildcard characters survive; each chunk must analyze to one
+    token). Leading wildcards are rejected by default, like the classic
+    parser's allowLeadingWildcard=false."""
+    return parse_query(
+        s,
+        default_field=default_field,
+        analyzer=analyzer,
+        analyze_multiterm=True,
+        allow_leading_wildcard=allow_leading_wildcard,
+    )
+
+
+def parse_query_extendable(
+    s: str,
+    default_field: str = "content",
+    analyzer=None,
+    extensions: dict | None = None,
+) -> Query:
+    """ExtendableQueryParser analog (reference QueryParser/Ext/): classic
+    syntax plus extension-field atoms ``field:key:term`` (or ``:key:term``
+    for the default field). ``extensions`` maps extension keys to callables
+    ``fn(ExtensionQuery) -> Query`` (the ParserExtension.Parse plug-point);
+    unregistered keys and plain atoms fall through to classic behavior,
+    exactly like the reference when GetExtension returns null."""
+    return parse_query(
+        s,
+        default_field=default_field,
+        analyzer=analyzer,
+        extensions=extensions or {},
+    )
+
+
 def _tokenize_query(s: str) -> list[tuple[str, str]]:
     out = []
     i = 0
@@ -436,27 +503,117 @@ def _tokenize_query(s: str) -> list[tuple[str, str]]:
     return out
 
 
-def _parse_atom(text: str, default_field: str, analyzer) -> Query | None:
+def _analyze_single_chunk(analyzer, chunk: str) -> str:
+    """AnalyzeSingleChunk analog (reference AnalyzingQueryParser.cs:190-246):
+    the chunk must come out of the analyzer as exactly one token."""
+    toks = analyzer(chunk)
+    if not toks:
+        raise QueryParseError(f'analyzer returned nothing for "{chunk}"')
+    if len(toks) > 1:
+        raise QueryParseError(
+            f'analyzer created multiple terms for "{chunk}": {toks}'
+        )
+    return toks[0]
+
+
+# gobble escaped chars or find a run of wildcard characters
+# (reference AnalyzingQueryParser.cs:35 wildcardPattern)
+_WILDCARD_CHUNK_RE = re.compile(r"(\\.)|([?*]+)")
+
+
+def _analyze_wildcard_operand(analyzer, text: str) -> str:
+    """GetWildcardQuery analog: analyze each non-wildcard chunk, keep the
+    ``*``/``?`` runs verbatim (reference AnalyzingQueryParser.cs:74-113)."""
+    out: list[str] = []
+    last = 0
+    for m in _WILDCARD_CHUNK_RE.finditer(text):
+        if m.group(1) is not None:
+            continue  # escaped char rides along with its chunk
+        if m.start() > last:
+            out.append(_analyze_single_chunk(analyzer, text[last : m.start()]))
+        out.append(m.group(2))
+        last = m.end()
+    if last < len(text):
+        out.append(_analyze_single_chunk(analyzer, text[last:]))
+    return "".join(out)
+
+
+class ExtensionQuery(NamedTuple):
+    """Argument handed to a ParserExtension callable (reference
+    QueryParser/Ext/ExtensionQuery.cs): the resolved index field and the
+    raw (unescaped) extension term."""
+
+    field: str
+    term: str
+
+
+# an extension-field atom: `field:key:term` / `:key:term` — the key rides
+# between the field symbol and the term, separated by the default ':'
+# delimiter (reference Ext/Extensions.cs:139-152 SplitExtensionField)
+_EXT_FIELD_RE = re.compile(r"^(?P<f>[^:]*):(?P<key>[^:]+):(?P<term>.+)$", re.DOTALL)
+
+
+def _parse_atom(
+    text: str,
+    default_field: str,
+    analyzer,
+    *,
+    analyze_multiterm: bool = False,
+    allow_leading_wildcard: bool = True,
+    extensions: dict | None = None,
+) -> Query | None:
     field = default_field
     boost = 1.0
     if "^" in text:
         text, bs = text.rsplit("^", 1)
         boost = float(bs)
+    if extensions:
+        m = _EXT_FIELD_RE.match(text)
+        if m and m.group("key") in extensions:
+            # ExtendableQueryParser.GetFieldQuery analog (reference
+            # Ext/ExtendableQueryParser.cs:135-147): resolve the key, hand
+            # the (field, unescaped term) to the registered extension;
+            # empty field symbol means the default field.
+            eq = ExtensionQuery(
+                field=m.group("f") or default_field,
+                term=re.sub(r"\\(.)", r"\1", m.group("term")),
+            )
+            q = extensions[m.group("key")](eq)
+            return _with_boost(q, boost) if boost != 1.0 else q
     if ":" in text:
         field, text = text.split(":", 1)
+
+    def _term(raw: str) -> str:
+        # multi-term operands bypass full analysis in the classic parser
+        # (lowercased verbatim); the analyzing mode runs the analyzer and
+        # requires a single output token (SetAnalyzeRangeTerms(true) for
+        # ranges, GetPrefix/Fuzzy overrides for the rest).
+        if analyze_multiterm:
+            return _analyze_single_chunk(analyzer, raw)
+        return raw.lower()
+
     if text.startswith("[") and text.endswith("]") and " TO " in text:
         lo, hi = text[1:-1].split(" TO ")
-        lo = None if lo.strip() == "*" else lo.strip().lower()
-        hi = None if hi.strip() == "*" else hi.strip().lower()
+        lo = None if lo.strip() == "*" else _term(lo.strip())
+        hi = None if hi.strip() == "*" else _term(hi.strip())
         return TermRangeQuery(boost=boost, field=field, lower=lo, upper=hi)
     m = re.match(r"^(.*)~(\d*)$", text)
     if m and m.group(1):
         edits = int(m.group(2)) if m.group(2) else 2
-        return FuzzyQuery(boost=boost, field=field, term=m.group(1).lower(), max_edits=min(edits, 2))
+        return FuzzyQuery(boost=boost, field=field, term=_term(m.group(1)), max_edits=min(edits, 2))
     if "*" in text or "?" in text:
+        if not allow_leading_wildcard and text[0] in "*?":
+            raise QueryParseError(
+                "'*' or '?' not allowed as first character in WildcardQuery "
+                "unless allow_leading_wildcard is set"
+            )
         if text.endswith("*") and "*" not in text[:-1] and "?" not in text:
-            return PrefixQuery(boost=boost, field=field, prefix=text[:-1].lower())
-        return WildcardQuery(boost=boost, field=field, pattern=text.lower())
+            return PrefixQuery(boost=boost, field=field, prefix=_term(text[:-1]))
+        if analyze_multiterm:
+            pattern = _analyze_wildcard_operand(analyzer, text)
+        else:
+            pattern = text.lower()
+        return WildcardQuery(boost=boost, field=field, pattern=pattern)
     terms = analyzer(text)
     if not terms:
         return None
