@@ -577,11 +577,15 @@ class DictionarySegmenterCharFilter:
     container, so the SEAM is the deliverable: a user supplies their own
     word list and the chain tokenizes the result normally).
 
-    Greedy longest-match over runs of dictionary-script characters; spaces
-    are inserted at word boundaries, unknown spans pass through intact so a
-    downstream tokenizer still sees them. Text outside ``alphabet`` (when
-    given) is never touched — mixed Thai/Latin input segments only the Thai
-    runs, like the reference's per-script break iterator."""
+    Dictionary-script runs are segmented by the ICU-style dynamic program:
+    among all segmentations, minimize unknown characters first, then token
+    count (greedy longest-match alone mis-splits when a longer word shadows
+    a boundary, e.g. Thai ว่างานดี must be ว่า|งาน|ดี, not ว่าง|าน|ดี).
+    Spaces are inserted at word boundaries, unknown spans pass through
+    intact so a downstream tokenizer still sees them. Text outside
+    ``alphabet`` (when given) is never touched — mixed Thai/Latin input
+    segments only the Thai runs, like the reference's per-script break
+    iterator."""
 
     def __init__(self, words, *, alphabet: str | None = None):
         self.words = frozenset(words)
@@ -593,21 +597,40 @@ class DictionarySegmenterCharFilter:
         )
 
     def _segment_run(self, run: str) -> str:
-        out, i = [], 0
-        while i < len(run):
-            for ln in range(min(self.max_len, len(run) - i), 0, -1):
-                if run[i : i + ln] in self.words:
-                    out.append(run[i : i + ln])
-                    i += ln
-                    break
+        n = len(run)
+        INF = (n + 1, n + 1)
+        # dp[i] = (unknown_chars, tokens) for run[:i]; back[i] = start of the
+        # final piece (negative length marks an unknown single char)
+        dp = [INF] * (n + 1)
+        dp[0] = (0, 0)
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            # unknown char: one char of cost; adjacent unknowns glue into
+            # one token at reconstruction, so don't charge a token per char
+            prev_unknown = back[i - 1] < 0 if i > 1 else False
+            cand = (dp[i - 1][0] + 1, dp[i - 1][1] + (0 if prev_unknown else 1))
+            best, src = cand, -1
+            for ln in range(1, min(self.max_len, i) + 1):
+                if run[i - ln : i] in self.words:
+                    c = (dp[i - ln][0], dp[i - ln][1] + 1)
+                    if c < best:
+                        best, src = c, ln
+            dp[i] = best
+            back[i] = src
+        pieces: list[str] = []
+        i = n
+        while i > 0:
+            ln = back[i]
+            if ln > 0:
+                pieces.append(run[i - ln : i])
+                i -= ln
             else:
-                # unknown char: glue onto an unknown span (kept as one token)
-                if out and out[-1] not in self.words and not out[-1].isspace():
-                    out[-1] += run[i]
-                else:
-                    out.append(run[i])
-                i += 1
-        return " ".join(out)
+                j = i
+                while j > 0 and back[j] < 0:
+                    j -= 1
+                pieces.append(run[j:i])  # glued unknown span, one token
+                i = j
+        return " ".join(reversed(pieces))
 
     def __call__(self, text: str) -> str:
         out, run = [], []

@@ -17,17 +17,42 @@ one giant file).
   4. write      chunks partitioned by md5 hash shard + a packing sidecar
                 (chunk -> training-sequence map); `_done` manifest commits
                 the run atomically
+
+Resume is per-STAGE, not just per-run: each stage commits its own
+`_stage_<name>.json` manifest (written atomically after the stage's
+parquet lands), so a mid-run kill re-runs only the stage that was in
+flight — a half-written stage directory without its manifest is cleared
+and redone; committed stages are skipped untouched. At 100 TB that means
+a worker-pool crash during packing never re-pays the clean+chunk cost.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
+
+
+def _stage(out_dir: str, name: str, stage_dir: str, run) -> dict:
+    """Run one resumable stage: skip if its manifest is committed, clear a
+    half-written directory otherwise, and commit the manifest atomically."""
+    manifest_path = os.path.join(out_dir, f"_stage_{name}.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+    if os.path.exists(stage_dir):
+        shutil.rmtree(stage_dir)  # uncommitted partial output from a kill
+    result = run() or {}
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f)
+    os.replace(tmp, manifest_path)
+    return result
 
 
 def prepare_training_shards(
@@ -57,21 +82,18 @@ def prepare_training_shards(
     os.makedirs(out_dir, exist_ok=True)
 
     cleaned_dir = os.path.join(out_dir, "cleaned")
-    summary = clean_corpus(
-        input_path,
+    summary = _stage(
+        out_dir,
+        "clean",
         cleaned_dir,
-        text_column=text_column,
-        id_column=id_column,
-        min_quality=min_quality,
-        dedup=dedup,
-    )
-
-    chunks = chunk_documents(
-        ray.data.read_parquet(cleaned_dir).select_columns([id_column, text_column]),
-        chunk_tokens=chunk_tokens,
-        overlap_tokens=overlap_tokens,
-        text_column=text_column,
-        id_column=id_column,
+        lambda: clean_corpus(
+            input_path,
+            cleaned_dir,
+            text_column=text_column,
+            id_column=id_column,
+            min_quality=min_quality,
+            dedup=dedup,
+        ),
     )
 
     mask = num_shards - 1 if (num_shards & (num_shards - 1)) == 0 else None
@@ -91,22 +113,41 @@ def prepare_training_shards(
             "shard", pa.array(shard)
         )
 
-    keyed = chunks.map_batches(add_keys, batch_format="pyarrow")
     chunks_dir = os.path.join(out_dir, "chunks")
-    keyed.write_parquet(chunks_dir, partition_cols=["shard"])
 
-    # chunk uids are doc_id*1e6 + window: part_rows must scale with that
-    # spacing or the per-part offset dict becomes corpus-sized (one part
-    # per ~1000 source docs here)
-    packing = pack_sequences(
-        ray.data.read_parquet(chunks_dir),
-        budget=pack_budget,
-        text_column="chunk_text",
-        id_column="chunk_uid",
-        part_rows=1_000_000 * 1000,
-    )
+    def run_chunk_stage() -> dict:
+        chunks = chunk_documents(
+            ray.data.read_parquet(cleaned_dir).select_columns(
+                [id_column, text_column]
+            ),
+            chunk_tokens=chunk_tokens,
+            overlap_tokens=overlap_tokens,
+            text_column=text_column,
+            id_column=id_column,
+        )
+        keyed = chunks.map_batches(add_keys, batch_format="pyarrow")
+        keyed.write_parquet(chunks_dir, partition_cols=["shard"])
+        return {"chunks_dir": chunks_dir}
+
+    _stage(out_dir, "chunks", chunks_dir, run_chunk_stage)
+
     packing_dir = os.path.join(out_dir, "packing")
-    packing.write_parquet(packing_dir)
+
+    def run_pack_stage() -> dict:
+        # chunk uids are doc_id*1e6 + window: part_rows must scale with that
+        # spacing or the per-part offset dict becomes corpus-sized (one part
+        # per ~1000 source docs here)
+        packing = pack_sequences(
+            ray.data.read_parquet(chunks_dir),
+            budget=pack_budget,
+            text_column="chunk_text",
+            id_column="chunk_uid",
+            part_rows=1_000_000 * 1000,
+        )
+        packing.write_parquet(packing_dir)
+        return {"packing_dir": packing_dir}
+
+    _stage(out_dir, "packing", packing_dir, run_pack_stage)
 
     stats = ray.data.read_parquet(packing_dir)
     n_chunks = stats.count()

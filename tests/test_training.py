@@ -51,3 +51,62 @@ def test_prepare_training_shards(tmp_path):
     # resume: a second call returns the committed manifest without rework
     m2 = prepare_training_shards(src, out)
     assert m2 == m
+
+
+def test_mid_run_kill_resumes_per_stage(tmp_path, monkeypatch):
+    """A kill during packing must not re-pay clean+chunk on resume: the
+    committed stage manifests are honored, only the in-flight stage reruns."""
+    rng = np.random.default_rng(43)
+    vocab = [f"w{i}" for i in range(100)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(30, 200))) for _ in range(60)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"doc_id": list(range(60)), "text": texts}),
+        os.path.join(src, "c.parquet"),
+        row_group_size=20,
+    )
+    out = str(tmp_path / "out")
+
+    # simulate the kill: packing raises mid-stage after leaving partial files
+    import lucene_net_ray.stages.packing as packing_mod
+
+    real_pack = packing_mod.pack_sequences
+
+    def dying_pack(*a, **k):
+        os.makedirs(os.path.join(out, "packing"), exist_ok=True)
+        with open(os.path.join(out, "packing", "partial.parquet"), "w") as f:
+            f.write("garbage")  # half-written stage output
+        raise RuntimeError("simulated worker-pool crash")
+
+    monkeypatch.setattr(packing_mod, "pack_sequences", dying_pack)
+    try:
+        prepare_training_shards(src, out, chunk_tokens=64, pack_budget=128, num_shards=4)
+        raise AssertionError("expected the simulated crash to propagate")
+    except RuntimeError:
+        pass
+    # clean + chunk stages committed, packing did not
+    assert os.path.exists(os.path.join(out, "_stage_clean.json"))
+    assert os.path.exists(os.path.join(out, "_stage_chunks.json"))
+    assert not os.path.exists(os.path.join(out, "_stage_packing.json"))
+    assert not os.path.exists(os.path.join(out, "_done"))
+    clean_mtime = os.path.getmtime(os.path.join(out, "_stage_clean.json"))
+    chunk_mtime = os.path.getmtime(os.path.join(out, "_stage_chunks.json"))
+
+    # resume: committed stages are skipped (clean_corpus/chunk must not run
+    # again — poison them), the partial packing dir is cleared and redone
+    monkeypatch.setattr(packing_mod, "pack_sequences", real_pack)
+
+    def poisoned(*a, **k):
+        raise AssertionError("committed stage re-ran on resume")
+
+    import lucene_net_ray.stages.clean as clean_mod
+    import lucene_net_ray.stages.chunk as chunk_mod
+
+    monkeypatch.setattr(clean_mod, "clean_corpus", poisoned)
+    monkeypatch.setattr(chunk_mod, "chunk_documents", poisoned)
+    m = prepare_training_shards(src, out, chunk_tokens=64, pack_budget=128, num_shards=4)
+    assert m["rows_in"] == 60 and m["n_chunks"] > 0 and m["n_sequences"] >= 1
+    assert not os.path.exists(os.path.join(out, "packing", "partial.parquet"))
+    assert os.path.getmtime(os.path.join(out, "_stage_clean.json")) == clean_mtime
+    assert os.path.getmtime(os.path.join(out, "_stage_chunks.json")) == chunk_mtime
