@@ -351,6 +351,10 @@ class Analyzer:
             "finnish_snowball": "finnish_snowball",
             "hungarian_snowball": "hungarian_snowball",
             "lovins": "lovins",
+            # Kraaij-Pohlmann Dutch (reference SnowballAnalyzer("Kp"),
+            # contrib/Snowball/SF/Snowball/Ext/KpStemmer.cs): clean-room
+            # re-derivation in functions/kp.py
+            "dutch_kp": "kp",
             "french_snowball": "french_snowball",
             "arabic": "arabic",
             "indonesian": "indonesian",

@@ -275,6 +275,7 @@ def french_minimal_stem(w: str) -> str:
     return "".join(s[:n])
 
 
+from .kp import kp_stem  # noqa: E402
 from .lovins import lovins_stem  # noqa: E402
 from .rslp import brazilian_stem  # noqa: E402
 from .snowball import (  # noqa: E402
@@ -314,6 +315,7 @@ STEMMERS = {
     "finnish_snowball": finnish_snowball_stem,
     "hungarian_snowball": hungarian_snowball_stem,
     "lovins": lovins_stem,
+    "kp": kp_stem,
     "french_snowball": french_stem,
     "romanian": romanian_stem,
     "brazilian": brazilian_stem,
