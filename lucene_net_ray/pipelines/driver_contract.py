@@ -1706,7 +1706,34 @@ def q_pack_whole(sf_dir: str):
     return ds.select_columns(["doc_id", "n_tokens", "seq_id", "seq_fill", "oversize"])
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact duplicate-substring spans (Lee-et-al-style substring dedup):
+    maximal token spans covered by an 8-token window whose exact text
+    occurs >= 2 times corpus-wide. See stages/dupspans.py for the
+    windowed-md5 shuffle design; the oracle mirrors it with DuckDB
+    md5(array_to_string(...)) + gaps-and-islands."""
+    from ..stages.dupspans import duplicate_spans
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return duplicate_spans(ds, window_tokens=8)
+
+
+def q_dup_span_docs(sf_dir: str):
+    """Per-doc duplicated-substring rollup: span count + distinct tokens
+    covered, docs with >= 1 duplicated span only."""
+    from ..stages.dupspans import duplicate_span_doc_stats
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return duplicate_span_doc_stats(ds, window_tokens=8)
+
+
 QUERIES = {
+    "dup_spans": q_dup_spans,
+    "dup_span_docs": q_dup_span_docs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "assoc_facet_sums": q_assoc_facet_sums,
     "training_shards": q_training_shards,
@@ -1833,7 +1860,35 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE {_rng_pred(lo, hi, il, ih)}"
         for label, lo, hi, il, ih in FACET_RANGES
     )
+    _DUP_W = 8
+    _DUP_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+win AS (SELECT doc_id, unnest(generate_series(1, len(t) - {_DUP_W} + 1)) - 1 AS pos, t
+        FROM toks WHERE len(t) >= {_DUP_W}),
+win2 AS (SELECT doc_id, pos,
+                md5(array_to_string(t[pos + 1 : pos + {_DUP_W}], ' ')) AS key
+         FROM win),
+dup AS (SELECT key FROM win2 GROUP BY key HAVING count(*) >= 2),
+marked AS (SELECT w.doc_id, w.pos FROM win2 w JOIN dup USING(key)),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= {_DUP_W} THEN 0 ELSE 1 END AS brk
+        FROM marked),
+grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM isl)
+SELECT doc_id, min(pos) AS span_start,
+       CAST(max(pos) + {_DUP_W} AS BIGINT) AS span_end,
+       count(*) AS n_windows
+FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
+"""
     return {
+        "dup_spans": _DUP_SPANS_SQL,
+        "dup_span_docs": f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+FROM ({_DUP_SPANS_SQL}) GROUP BY doc_id ORDER BY doc_id
+""",
         "xml_filtered_count": f"""
 WITH {_TOKS_CTE}
 SELECT count(*) AS n FROM documents d
