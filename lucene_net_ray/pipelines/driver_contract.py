@@ -1731,9 +1731,37 @@ def q_dup_span_docs(sf_dir: str):
     return duplicate_span_doc_stats(ds, window_tokens=8)
 
 
+def q_sessionize_salted(sf_dir: str):
+    """The hot-user-safe sessionize (events grouped by (user, 6h block),
+    boundary sessions reconciled exactly — stages/windows.py salted
+    section). SAME oracle as session_windows: the driver proves the scale
+    path hash-exact."""
+    from ..stages.windows import sessionize_salted
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize_salted(ds, gap_us=1_800_000_000, salt_us=21_600_000_000)
+
+
+def q_funnel_counts_salted(sf_dir: str):
+    """The hot-user-safe funnel (per-(user, 6h block) transition vectors
+    composed per user). SAME oracle as funnel_counts."""
+    from ..stages.windows import funnel_counts_salted
+
+    import datetime as _dt
+
+    cut = _dt.datetime.fromisoformat(FUNNEL_CUT)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
+        lambda b: b.filter(pa.compute.less(b.column("ts"), pa.scalar(cut, type=pa.timestamp("us")))),
+        batch_format="pyarrow",
+    )
+    return funnel_counts_salted(ds, FUNNEL_STEPS, salt_us=21_600_000_000)
+
+
 QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_span_docs": q_dup_span_docs,
+    "session_windows_salted": q_sessionize_salted,
+    "funnel_counts_salted": q_funnel_counts_salted,
     "tfidf_top_terms": q_tfidf_top_terms,
     "assoc_facet_sums": q_assoc_facet_sums,
     "training_shards": q_training_shards,
@@ -1882,7 +1910,7 @@ SELECT doc_id, min(pos) AS span_start,
        count(*) AS n_windows
 FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
 """
-    return {
+    d = {
         "dup_spans": _DUP_SPANS_SQL,
         "dup_span_docs": f"""
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
@@ -2733,3 +2761,9 @@ SELECT doc_id, n_tokens, start_tok,
 FROM w ORDER BY doc_id
 """,
     }
+    # the salted scale-path entries share their unsalted twins' oracles:
+    # identical semantics, so a driver hash match proves the salted
+    # execution exact, not merely self-consistent
+    d["session_windows_salted"] = d["session_windows"]
+    d["funnel_counts_salted"] = d["funnel_counts"]
+    return d
