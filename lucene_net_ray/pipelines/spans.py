@@ -1,11 +1,11 @@
 """Span queries over position streams (SURVEY.md §2.6 Spans row).
 
   SpanTermQuery   one span (pos, pos+1) per occurrence
-  SpanNearQuery   ordered: consecutive non-overlapping sub-spans, total gap
-                  <= slop, shrunk to the shortest match (NearSpansOrdered's
-                  ShrinkToAfterShortestMatch intent; the reference's
-                  overlapping-ordered edge cases are simplified here and
-                  documented as such);
+  SpanNearQuery   ordered: the EXACT NearSpansOrdered automaton (r5) —
+                  StretchToOrder + ShrinkToAfterShortestMatch with the
+                  reference's overlap-allowing order predicate, permanent
+                  iterator advances, and the emission multiset (see
+                  _near_ordered; reference NearSpansOrdered.cs:247-433);
                   unordered: min-window sweep, window_width - sum(lengths)
                   <= slop (NearSpansUnordered criterion)
   SpanOrQuery     merged span stream
@@ -290,31 +290,67 @@ def enumerate_spans(
     raise TypeError(q)
 
 
+def _spans_ordered(a: tuple[int, int], b: tuple[int, int]) -> bool:
+    """NearSpansOrdered.DocSpansOrdered (reference NearSpansOrdered.cs:306-309):
+    a before b iff start_a < start_b, or equal starts and end_a < end_b.
+    Overlap IS allowed — only non-overlapping gaps count toward slop."""
+    return a[1] < b[1] if a[0] == b[0] else a[0] < b[0]
+
+
 def _near_ordered(sub: list[list[tuple[int, int]]], slop: int) -> list[tuple[int, int]]:
-    """Ordered near: for each span of the last clause, pick the latest valid
-    predecessor chain (shortest match), total gap <= slop."""
-    out = []
-    for last in sub[-1]:
-        end_limit = last[0]
-        chain_ok = True
-        first_start = None
-        gap = 0
-        nxt_start = last[0]
-        for clause in reversed(sub[:-1]):
-            # latest span ending at or before nxt_start
-            best = None
-            for s in clause:
-                if s[1] <= nxt_start and (best is None or s[1] > best[1] or (s[1] == best[1] and s[0] > best[0])):
-                    best = s
-            if best is None:
-                chain_ok = False
+    """EXACT NearSpansOrdered automaton over one doc's per-clause sorted
+    span lists (reference NearSpansOrdered.cs:247-433): repeat
+    StretchToOrder (advance each later clause until ordered after its
+    predecessor) then ShrinkToAfterShortestMatch (walk the earlier clauses
+    backwards, advancing each as far as possible while still ordered
+    before the chain; slop accumulates only positive gaps
+    MatchStart - prevEnd; the advances are PERMANENT, which is what makes
+    successive matches come from successive spans). The emission MULTISET
+    is returned (no dedup): SpanScorer counts every Next() match toward
+    freq, so e.g. "t1 near t3" over "t1 t3 t3" matches ONCE — the t1
+    iterator exhausts — where a per-last-span enumeration would say twice."""
+    n = len(sub)
+    if n == 1:
+        return list(sub[0])
+    idx = [0] * n
+    out: list[tuple[int, int]] = []
+    in_doc = True
+    while in_doc:
+        # StretchToOrder (reference :315-336)
+        ok = True
+        for i in range(1, n):
+            while not _spans_ordered(sub[i - 1][idx[i - 1]], sub[i][idx[i]]):
+                idx[i] += 1
+                if idx[i] >= len(sub[i]):
+                    ok = False
+                    in_doc = False
+                    break
+            if not ok:
                 break
-            gap += nxt_start - best[1]
-            nxt_start = best[0]
-            first_start = best[0]
-        if chain_ok and gap <= slop:
-            out.append((first_start if first_start is not None else last[0], last[1]))
-    return sorted(set(out))
+        if not ok:
+            break
+        # ShrinkToAfterShortestMatch (reference :343-433)
+        match_start, match_end = sub[n - 1][idx[n - 1]]
+        last_start, last_end = match_start, match_end
+        match_slop = 0
+        for i in range(n - 2, -1, -1):
+            prev_start, prev_end = sub[i][idx[i]]
+            while True:  # advance prev until after (last_start, last_end)
+                idx[i] += 1
+                if idx[i] >= len(sub[i]):
+                    in_doc = False  # check remaining clauses for final match
+                    break
+                pp = sub[i][idx[i]]
+                if not _spans_ordered(pp, (last_start, last_end)):
+                    break
+                prev_start, prev_end = pp
+            if match_start > prev_end:  # only non-overlap adds to slop
+                match_slop += match_start - prev_end
+            match_start = prev_start
+            last_start, last_end = prev_start, prev_end
+        if match_slop <= slop:
+            out.append((match_start, match_end))
+    return out
 
 
 def _near_unordered(sub: list[list[tuple[int, int]]], slop: int) -> list[tuple[int, int]]:

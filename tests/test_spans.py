@@ -261,3 +261,51 @@ def test_span_position_range(span_setup):
     q2 = SpanPositionRangeQuery(match=q0, start=1, end=10_000)
     sub = {d for d, _ in span_search(s, q2, k=20)}
     assert sub <= {d for d, _ in full}
+
+
+def test_near_ordered_reference_overlap_example():
+    """The NearSpansOrdered class-doc example (NearSpansOrdered.cs:43-50):
+    't1 t2 t1 t3 t2 t3' with slop 1 matches twice — (0,4) 't1 t2 .. t3'
+    and (2,6) 't1 .. t2 t3'."""
+    from lucene_net_ray.pipelines.spans import _near_ordered
+
+    sub = [
+        [(0, 1), (2, 3)],  # t1
+        [(1, 2), (4, 5)],  # t2
+        [(3, 4), (5, 6)],  # t3
+    ]
+    assert _near_ordered(sub, 1) == [(0, 4), (2, 6)]
+    # slop 0 only admits the strictly consecutive variant: none here
+    assert _near_ordered(sub, 0) == []
+
+
+def test_near_ordered_iterator_exhaustion_counts_once():
+    """'t1 t3 t3': the t1 iterator exhausts after the first match, so the
+    automaton emits ONE span — a per-last-span enumeration would claim two
+    (freq parity with SpanScorer counting Next() matches)."""
+    from lucene_net_ray.pipelines.spans import _near_ordered
+
+    sub = [[(0, 1)], [(1, 2), (2, 3)]]
+    assert _near_ordered(sub, 5) == [(0, 2)]
+
+
+def test_near_ordered_overlapping_subspans_allowed():
+    """DocSpansOrdered permits overlap (start1 < start2 suffices); only
+    non-overlapping gap adds slop — so nested spans (1,4) then (2,5)
+    match at slop 0."""
+    from lucene_net_ray.pipelines.spans import _near_ordered
+
+    sub = [[(1, 4)], [(2, 5)]]
+    assert _near_ordered(sub, 0) == [(1, 5)]
+    # equal starts: ordered only if end1 < end2
+    assert _near_ordered([[(2, 5)], [(2, 3)]], 9) == []
+    assert _near_ordered([[(2, 3)], [(2, 5)]], 9) == [(2, 5)]
+
+
+def test_near_ordered_shrink_picks_latest_chain():
+    """Shrink advances earlier clauses as far as possible: for
+    't1 .. t1 t2' the match is the SHORT chain (2,4), not (0,4)."""
+    from lucene_net_ray.pipelines.spans import _near_ordered
+
+    sub = [[(0, 1), (2, 3)], [(3, 4)]]
+    assert _near_ordered(sub, 0) == [(2, 4)]
