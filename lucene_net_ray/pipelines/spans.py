@@ -6,8 +6,10 @@
                   reference's overlap-allowing order predicate, permanent
                   iterator advances, and the emission multiset (see
                   _near_ordered; reference NearSpansOrdered.cs:247-433);
-                  unordered: min-window sweep, window_width - sum(lengths)
-                  <= slop (NearSpansUnordered criterion)
+                  unordered: the EXACT NearSpansUnordered cell-queue (r5) —
+                  Max.End - Min.Start - totalLength <= slop, queue-min
+                  advance, emission multiset, Max-cell pointer quirk
+                  preserved (see _near_unordered)
   SpanOrQuery     merged span stream
   SpanNotQuery    include spans that do not overlap any exclude span
   SpanFirstQuery  spans with end <= n
@@ -354,28 +356,39 @@ def _near_ordered(sub: list[list[tuple[int, int]]], slop: int) -> list[tuple[int
 
 
 def _near_unordered(sub: list[list[tuple[int, int]]], slop: int) -> list[tuple[int, int]]:
-    """Unordered near: one span per clause, window_width - sum(len) <= slop;
-    min-window sweep over the combined stream."""
-    import heapq
-
-    iters = [list(s) for s in sub]
-    idx = [0] * len(sub)
-    out = []
-    heap = [(iters[i][0][0], i) for i in range(len(sub))]
-    heapq.heapify(heap)
+    """EXACT NearSpansUnordered simulation (reference NearSpansUnordered.cs):
+    each clause holds one current span (a SpansCell); match iff
+    Max.End() - Min().Start() - totalLength <= slop, emitting
+    (Min().Start(), Max.End()); then the queue-min cell (DocSpansOrdered
+    order: start, ties by end) advances and the loop repeats until it
+    exhausts. Two reference behaviors preserved deliberately: the emission
+    multiset is kept (freq parity), and Max is a CELL POINTER updated only
+    when an advancing cell's end EXCEEDS the current Max's end
+    (SpansCell.Adjust, :115-121) — when the Max cell itself advances to a
+    shorter span, Max.End() shrinks with it even if another live cell now
+    has a larger end (quirk-parity with the 4.x iterator)."""
+    n = len(sub)
+    idx = [0] * n
+    cur = [sub[i][0] for i in range(n)]
+    total_len = sum(e - s for s, e in cur)
+    maxc = 0  # InitList adjusts cells in query order; strict > to replace
+    for i in range(1, n):
+        if cur[i][1] > cur[maxc][1]:
+            maxc = i
+    out: list[tuple[int, int]] = []
     while True:
-        starts = [iters[i][idx[i]][0] for i in range(len(sub))]
-        ends = [iters[i][idx[i]][1] for i in range(len(sub))]
-        lens = [e - s for s, e in zip(starts, ends)]
-        w_start, w_end = min(starts), max(ends)
-        if (w_end - w_start) - sum(lens) <= slop:
-            out.append((w_start, w_end))
-        # advance the clause with the minimal start
-        i_min = int(np.argmin(starts))
-        idx[i_min] += 1
-        if idx[i_min] >= len(iters[i_min]):
+        mn = min(range(n), key=lambda i: (cur[i][0], cur[i][1], i))
+        if cur[maxc][1] - cur[mn][0] - total_len <= slop:
+            out.append((cur[mn][0], cur[maxc][1]))
+        idx[mn] += 1
+        if idx[mn] >= len(sub[mn]):
             break
-    return sorted(set(out))
+        total_len -= cur[mn][1] - cur[mn][0]
+        cur[mn] = sub[mn][idx[mn]]
+        total_len += cur[mn][1] - cur[mn][0]
+        if cur[mn][1] > cur[maxc][1]:
+            maxc = mn
+    return out
 
 
 class SpanEvaluator:

@@ -309,3 +309,25 @@ def test_near_ordered_shrink_picks_latest_chain():
 
     sub = [[(0, 1), (2, 3)], [(3, 4)]]
     assert _near_ordered(sub, 0) == [(2, 4)]
+
+
+def test_near_unordered_basic_and_multiset():
+    """Unordered near over two term streams; matches every window where
+    gap <= slop, emission multiset preserved."""
+    from lucene_net_ray.pipelines.spans import _near_unordered
+
+    sub = [[(0, 1), (5, 6)], [(2, 3)]]
+    # windows: (0..3) gap 1; then t1 advances: (2..6) gap 2
+    assert _near_unordered(sub, 1) == [(0, 3)]
+    assert _near_unordered(sub, 2) == [(0, 3), (2, 6)]
+
+
+def test_near_unordered_max_cell_pointer_quirk():
+    """Quirk-parity with SpansCell.Adjust (NearSpansUnordered.cs:115-121):
+    when the Max cell advances to a SHORTER span, Max.End() shrinks with
+    it even though another live cell has a larger end — the emitted span
+    is (5, 11), not (5, 15)."""
+    from lucene_net_ray.pipelines.spans import _near_unordered
+
+    sub = [[(5, 15)], [(4, 20), (10, 11)]]
+    assert _near_unordered(sub, 100) == [(4, 20), (5, 11)]
