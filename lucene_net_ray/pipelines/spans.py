@@ -256,7 +256,10 @@ def enumerate_spans(
         out: list[tuple[int, int]] = []
         for c in q.clauses:
             out.extend(enumerate_spans(c, pos_maps, doc, payload_of))
-        return sorted(set(out))
+        # SpanOrQuery merges clause streams through a priority queue
+        # (SpanOrQuery.cs SpanQueue, ordered by start then end) and emits
+        # DUPLICATES when clauses produce the same span — multiset kept
+        return sorted(out)
     if isinstance(q, SpanFirstQuery):
         return [s for s in enumerate_spans(q.match, pos_maps, doc, payload_of) if s[1] <= q.end]
     if isinstance(q, SpanPositionRangeQuery):

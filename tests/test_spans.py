@@ -331,3 +331,18 @@ def test_near_unordered_max_cell_pointer_quirk():
 
     sub = [[(5, 15)], [(4, 20), (10, 11)]]
     assert _near_unordered(sub, 100) == [(4, 20), (5, 11)]
+
+
+def test_span_or_emits_duplicates():
+    """SpanOrQuery merges clause streams through a priority queue and
+    emits duplicate spans when two clauses yield the same span — freq
+    counts both (multiset parity)."""
+    from lucene_net_ray.pipelines.spans import (
+        SpanOrQuery,
+        SpanTermQuery,
+        enumerate_spans,
+    )
+
+    pos = {"fox": {0: [3]}, "vulpes": {0: [3]}}
+    q = SpanOrQuery(clauses=(SpanTermQuery(term="fox"), SpanTermQuery(term="vulpes")))
+    assert enumerate_spans(q, pos, 0) == [(3, 4), (3, 4)]
