@@ -320,6 +320,21 @@ def data_pipeline_bench(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     chunk_documents(docs).count()
     out["chunk_sec"] = round(time.perf_counter() - t0, 3)
+
+    from lucene_net_ray.stages.dupspans import duplicate_spans
+
+    t0 = time.perf_counter()
+    duplicate_spans(
+        docs.select_columns(["doc_id", "text"]), window_tokens=8
+    ).count()
+    out["dup_spans_sec"] = round(time.perf_counter() - t0, 3)
+
+    from lucene_net_ray.stages.windows import sessionize_salted
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    t0 = time.perf_counter()
+    sessionize_salted(ev, gap_us=1_800_000_000, salt_us=21_600_000_000).count()
+    out["sessionize_salted_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 

@@ -310,6 +310,15 @@ def funnel_counts(
 # their unsalted twins — the driver proves the scale path hash-exact.
 
 
+def _mix_coarse(u: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic 64-bit mix of (user, block) -> coarse bucket id."""
+    x = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+        b.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+    )
+    x ^= x >> np.uint64(33)
+    return (x & np.uint64(n_buckets - 1)).astype(np.int64)
+
+
 def sessionize_salted(
     ds: ray.data.Dataset,
     *,
@@ -319,52 +328,78 @@ def sessionize_salted(
     user_column: str = "user_id",
     value_column: str = "value",
     id_column: str = "event_id",
+    coarse: int = 1024,
 ) -> ray.data.Dataset:
-    """sessionize() with the hot-user bound removed: identical output,
-    but no task ever holds more than one (user, ts//salt_us) block."""
+    """sessionize() with the hot-user bound removed: identical output, but
+    no reduce task ever holds more than one coarse bucket of
+    (user, ts//salt_us) blocks. All three exchanges are bounded
+    coarse-hash groupbys with vectorized multi-group kernels (the repo's
+    reduce idiom — one lexsort + segmented reduces per bucket, never a
+    Ray task per tiny group)."""
     if salt_us < 1:
         raise ValueError("salt_us must be >= 1")
+    C = int(coarse)
 
-    def add_block(batch: pa.Table) -> pa.Table:
+    def add_keys(batch: pa.Table) -> pa.Table:
         us = batch.column(ts_column).cast(pa.int64()).to_numpy()
-        return batch.append_column(
-            "_blk", pa.array(us // salt_us, type=pa.int64())
+        blk = us // salt_us
+        u = batch.column(user_column).cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "_blk": pa.array(blk),
+                "_c": pa.array(_mix_coarse(u, blk, C)),
+                "_ts": pa.array(us),
+                "_id": batch.column(id_column).cast(pa.int64()),
+                "_val": batch.column(value_column).cast(pa.float64()),
+            }
         )
 
     def local_sessions(group: pa.Table) -> pa.Table:
-        t = group.sort_by([(ts_column, "ascending"), (id_column, "ascending")])
-        us = t.column(ts_column).cast(pa.int64()).to_numpy()
-        vals = t.column(value_column).cast(pa.float64()).to_numpy()
-        brk = np.ones(us.size, dtype=np.int64)
-        if us.size > 1:
-            brk[1:] = (us[1:] - us[:-1] > gap_us).astype(np.int64)
+        """Per-(user, block) sessions for EVERY group in the bucket at
+        once: one lexsort, segmented gap-split, reduceat sums (the same
+        left-to-right accumulation as the unsalted path)."""
+        n = group.num_rows
+        u = group.column("user_id").to_numpy()
+        b = group.column("_blk").to_numpy()
+        ts = group.column("_ts").to_numpy()
+        eid = group.column("_id").to_numpy()
+        val = group.column("_val").to_numpy()
+        order = np.lexsort((eid, ts, b, u))
+        u, b, ts, val = u[order], b[order], ts[order], val[order]
+        newgrp = np.empty(n, dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+        brk = newgrp.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
         starts = np.flatnonzero(brk)
-        ends = np.append(starts[1:], us.size)
+        ends = np.append(starts[1:], n)
         m = starts.size
-        uid = t.column(user_column)[0].as_py()
-        blk = t.column("_blk")[0].as_py()
+        sess_new = newgrp[starts]
+        grp_id = np.cumsum(sess_new) - 1
+        grp_first = np.flatnonzero(sess_new)
+        ordinal = np.arange(m, dtype=np.int64) - grp_first[grp_id] + 1
+        n_local = np.bincount(grp_id)[grp_id]
         return pa.table(
             {
-                "user_id": pa.array(np.full(m, uid), type=pa.int64()),
-                "_blk": pa.array(np.full(m, blk), type=pa.int64()),
-                "ordinal": pa.array(np.arange(1, m + 1), type=pa.int64()),
-                "n_local": pa.array(np.full(m, m), type=pa.int64()),
-                "n_events": pa.array(ends - starts, type=pa.int64()),
-                # UNROUNDED session sums (reduceat = left-to-right, same
-                # accumulation order as the unsalted path)
-                "raw_sum": pa.array(np.add.reduceat(vals, starts), type=pa.float64()),
-                "start_us": pa.array(us[starts], type=pa.int64()),
-                "last_us": pa.array(us[ends - 1], type=pa.int64()),
+                "user_id": pa.array(u[starts]),
+                "_blk": pa.array(b[starts]),
+                "ordinal": pa.array(ordinal),
+                "n_local": pa.array(n_local.astype(np.int64)),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "raw_sum": pa.array(np.add.reduceat(val, starts), type=pa.float64()),
+                "start_us": pa.array(ts[starts]),
+                "last_us": pa.array(ts[ends - 1]),
             }
         )
 
     local = (
-        ds.map_batches(add_block, batch_format="pyarrow")
-        .groupby([user_column, "_blk"])
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("_c")
         .map_groups(local_sessions, batch_format="pyarrow")
         # consumed twice below (boundary walk + interior join); the rows
-        # are per-SESSION summaries — i.e. output-sized, not event-sized —
-        # so this is the one materialization the two-pass algorithm pays
+        # are per-SESSION summaries — output-sized, not event-sized — so
+        # this is the one materialization the two-pass algorithm pays
         .materialize()
     )
 
@@ -372,125 +407,113 @@ def sessionize_salted(
         import pyarrow.compute as pc
 
         o = batch.column("ordinal")
-        n = batch.column("n_local")
-        return batch.filter(
-            pc.or_(pc.equal(o, 1), pc.equal(o, n))
+        t = batch.filter(pc.or_(pc.equal(o, 1), pc.equal(o, batch.column("n_local"))))
+        u = t.column("user_id").to_numpy()
+        return t.append_column(
+            "_uc", pa.array(_mix_coarse(u, np.zeros_like(u), C))
         )
 
-    def walk(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("_blk", "ascending"), ("ordinal", "ascending")])
-        blks = t.column("_blk").to_numpy()
-        ordn = t.column("ordinal").to_numpy()
-        nloc = t.column("n_local").to_numpy()
-        nev = t.column("n_events").to_numpy()
-        rsum = t.column("raw_sum").to_numpy()
-        sus = t.column("start_us").to_numpy()
-        lus = t.column("last_us").to_numpy()
-        uid = t.column("user_id")[0].as_py()
+    def walk_bucket(group: pa.Table) -> pa.Table:
+        """Sequential per-user boundary walk (blocks in time order) for all
+        users in the bucket — numpy arrays in, Python loop only over the
+        small boundary-summary rows."""
+        uarr = group.column("user_id").to_numpy()
+        barr = group.column("_blk").to_numpy()
+        oarr = group.column("ordinal").to_numpy()
+        nlarr = group.column("n_local").to_numpy()
+        nearr = group.column("n_events").to_numpy()
+        rsarr = group.column("raw_sum").to_numpy()
+        suarr = group.column("start_us").to_numpy()
+        luarr = group.column("last_us").to_numpy()
+        order = np.lexsort((oarr, barr, uarr))
+        kind, uo, c1, c2, c3, c4, c5 = [], [], [], [], [], [], []
 
-        # rows per block: ordinal==1 first, then ordinal==n_local (same
-        # row when n_local==1)
-        kind, c1, c2, c3, c4, c5 = [], [], [], [], [], []
+        def emit_final(uid, sid, n, s, start):
+            kind.append(0); uo.append(uid)
+            c1.append(sid); c2.append(n); c3.append(s); c4.append(start); c5.append(0)
 
-        def emit_final(sid, n, s, start):
-            kind.append(0)
-            c1.append(sid)
-            c2.append(n)
-            c3.append(s)
-            c4.append(start)
-            c5.append(0)
-
-        def emit_offset(blk, off, consumed_first):
-            kind.append(1)
-            c1.append(blk)
-            c2.append(off)
-            c3.append(0.0)
-            c4.append(0)
+        def emit_offset(uid, blk, off, consumed_first):
+            kind.append(1); uo.append(uid)
+            c1.append(blk); c2.append(off); c3.append(0.0); c4.append(0)
             c5.append(1 if consumed_first else 0)
 
-        next_id = 1
-        open_s = None  # [n_events, raw_sum, start_us, last_us]
         i = 0
-        nrows = len(blks)
+        nrows = order.size
         while i < nrows:
-            blk = blks[i]
-            first = i
-            last = i + 1 if (i + 1 < nrows and blks[i + 1] == blk) else i
-            n = int(nloc[first])
-            f_n, f_sum = int(nev[first]), float(rsum[first])
-            f_start, f_last = int(sus[first]), int(lus[first])
-            l_n, l_sum = int(nev[last]), float(rsum[last])
-            l_start, l_last = int(sus[last]), int(lus[last])
-            merged = open_s is not None and f_start - open_s[3] <= gap_us
-            if merged:
-                open_s[0] += f_n
-                open_s[1] += f_sum
-                open_s[3] = f_last
-                if n == 1:
-                    emit_offset(blk, 0, True)
+            uid = uarr[order[i]]
+            # walk this user's blocks
+            next_id = 1
+            open_s = None  # [n_events, raw_sum, start_us, last_us]
+            while i < nrows and uarr[order[i]] == uid:
+                j = order[i]
+                blk = barr[j]
+                jlast = j
+                if i + 1 < nrows and uarr[order[i + 1]] == uid and barr[order[i + 1]] == blk:
+                    jlast = order[i + 1]
+                    i += 1
+                i += 1
+                n = int(nlarr[j])
+                f_n, f_sum = int(nearr[j]), float(rsarr[j])
+                f_start, f_last = int(suarr[j]), int(luarr[j])
+                l_n, l_sum = int(nearr[jlast]), float(rsarr[jlast])
+                l_start, l_last = int(suarr[jlast]), int(luarr[jlast])
+                merged = open_s is not None and f_start - open_s[3] <= gap_us
+                if merged:
+                    open_s[0] += f_n
+                    open_s[1] += f_sum
+                    open_s[3] = f_last
+                    if n == 1:
+                        emit_offset(uid, blk, 0, True)
+                    else:
+                        emit_final(uid, next_id, open_s[0], open_s[1], open_s[2])
+                        emit_offset(uid, blk, next_id - 1, True)
+                        next_id += 1 + max(0, n - 2)
+                        open_s = [l_n, l_sum, l_start, l_last]
                 else:
-                    emit_final(next_id, open_s[0], open_s[1], open_s[2])
-                    emit_offset(blk, next_id - 1, True)
-                    next_id += 1 + max(0, n - 2)
-                    open_s = [l_n, l_sum, l_start, l_last]
-            else:
-                if open_s is not None:
-                    emit_final(next_id, open_s[0], open_s[1], open_s[2])
-                    next_id += 1
-                if n == 1:
-                    emit_offset(blk, 0, True)
-                    open_s = [f_n, f_sum, f_start, f_last]
-                else:
-                    emit_offset(blk, next_id - 1, False)
-                    next_id += n - 1
-                    open_s = [l_n, l_sum, l_start, l_last]
-            i = last + 1
-        if open_s is not None:
-            emit_final(next_id, open_s[0], open_s[1], open_s[2])
+                    if open_s is not None:
+                        emit_final(uid, next_id, open_s[0], open_s[1], open_s[2])
+                        next_id += 1
+                    if n == 1:
+                        emit_offset(uid, blk, 0, True)
+                        open_s = [f_n, f_sum, f_start, f_last]
+                    else:
+                        emit_offset(uid, blk, next_id - 1, False)
+                        next_id += n - 1
+                        open_s = [l_n, l_sum, l_start, l_last]
+            if open_s is not None:
+                emit_final(uid, next_id, open_s[0], open_s[1], open_s[2])
+        ua = np.array(uo, dtype=np.int64)
+        ka = np.array(kind, dtype=np.int64)
+        aa = np.array(c1, dtype=np.int64)
+        # finals route to a unique pass-through key (-1 - sid): no real
+        # block is negative, so they never meet an offset row
+        blk_key = np.where(ka == 0, -1 - aa, aa)
         return pa.table(
             {
-                "kind": pa.array(kind, type=pa.int64()),
-                "user_id": pa.array(np.full(len(kind), uid), type=pa.int64()),
-                "a": pa.array(c1, type=pa.int64()),  # final: sid / offset: blk
-                "b": pa.array(c2, type=pa.int64()),  # final: n_events / offset
-                "s": pa.array(c3, type=pa.float64()),  # final: raw sum
-                "t": pa.array(c4, type=pa.int64()),  # final: start_us
-                "cf": pa.array(c5, type=pa.int64()),  # offset: consumed_first
+                "user_id": pa.array(ua),
+                "_blk": pa.array(blk_key),
+                "kind": pa.array(ka),
+                "a": pa.array(aa),
+                "b": pa.array(np.array(c2, dtype=np.int64)),
+                "s": pa.array(np.array(c3, dtype=np.float64)),
+                "t": pa.array(np.array(c4, dtype=np.int64)),
+                "cf": pa.array(np.array(c5, dtype=np.int64)),
+                "ordinal": pa.array(np.zeros(ua.size, dtype=np.int64)),
+                "n_local": pa.array(np.zeros(ua.size, dtype=np.int64)),
+                "_c": pa.array(_mix_coarse(ua, blk_key, C)),
             }
         )
 
     phase2 = (
         local.map_batches(keep_boundary, batch_format="pyarrow")
-        .groupby(user_column)
-        .map_groups(walk, batch_format="pyarrow")
+        .groupby("_uc")
+        .map_groups(walk_bucket, batch_format="pyarrow")
     )
-
-    def to_joinable(batch: pa.Table) -> pa.Table:
-        """Normalize phase-2 rows into the (user, _blk)-keyed join schema.
-        Finals get _blk = -1 - session_id (a unique pass-through key: no
-        real block is negative, so they never meet an offset row)."""
-        import pyarrow.compute as pc
-
-        kind = batch.column("kind").to_numpy()
-        a = batch.column("a").to_numpy()
-        blk = np.where(kind == 0, -1 - a, a)
-        return pa.table(
-            {
-                "user_id": batch.column("user_id"),
-                "_blk": pa.array(blk, type=pa.int64()),
-                "kind": batch.column("kind"),
-                "a": batch.column("a"),
-                "b": batch.column("b"),
-                "s": batch.column("s"),
-                "t": batch.column("t"),
-                "cf": batch.column("cf"),
-                "ordinal": pa.array(np.zeros(len(kind), dtype=np.int64)),
-                "n_local": pa.array(np.zeros(len(kind), dtype=np.int64)),
-            }
-        )
 
     def interior_joinable(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        u = batch.column("user_id").to_numpy()
+        b = batch.column("_blk").to_numpy()
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
@@ -503,55 +526,64 @@ def sessionize_salted(
                 "cf": pa.array(np.zeros(n, dtype=np.int64)),
                 "ordinal": batch.column("ordinal"),
                 "n_local": batch.column("n_local"),
+                "_c": pa.array(_mix_coarse(u, b, C)),
             }
         )
 
-    unioned = phase2.map_batches(to_joinable, batch_format="pyarrow").union(
+    unioned = phase2.union(
         local.map_batches(interior_joinable, batch_format="pyarrow")
     )
 
-    def resolve(group: pa.Table) -> pa.Table:
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        """Vectorized id assignment for every (user, block) run in the
+        bucket: offset rows scatter to their run, interiors keep
+        session_id = offset + ordinal unless consumed by a boundary
+        merge; finals pass through."""
+        n = group.num_rows
+        u = group.column("user_id").to_numpy()
+        bk = group.column("_blk").to_numpy()
         kind = group.column("kind").to_numpy()
-        uid = group.column("user_id")[0].as_py()
-        out_sid, out_n, out_sum, out_start = [], [], [], []
-        finals = np.flatnonzero(kind == 0)
-        for j in finals:
-            out_sid.append(int(group.column("a")[j].as_py()))
-            out_n.append(int(group.column("b")[j].as_py()))
-            out_sum.append(float(group.column("s")[j].as_py()))
-            out_start.append(int(group.column("t")[j].as_py()))
-        off_rows = np.flatnonzero(kind == 1)
-        if off_rows.size:
-            off = int(group.column("b")[off_rows[0]].as_py())
-            consumed_first = bool(group.column("cf")[off_rows[0]].as_py())
-            ints = np.flatnonzero(kind == 2)
-            if ints.size:
-                o = group.column("ordinal").to_numpy()[ints]
-                nl = group.column("n_local").to_numpy()[ints]
-                keep = (o != nl) & ~((o == 1) & consumed_first)
-                for j, k in zip(ints[keep], o[keep]):
-                    out_sid.append(off + int(k))
-                    out_n.append(int(group.column("b")[j].as_py()))
-                    out_sum.append(float(group.column("s")[j].as_py()))
-                    out_start.append(int(group.column("t")[j].as_py()))
+        a = group.column("a").to_numpy()
+        b = group.column("b").to_numpy()
+        s = group.column("s").to_numpy()
+        t = group.column("t").to_numpy()
+        cf = group.column("cf").to_numpy()
+        ordn = group.column("ordinal").to_numpy()
+        nloc = group.column("n_local").to_numpy()
+        order = np.lexsort((kind, bk, u))
+        u, bk, kind, a, b, s, t, cf, ordn, nloc = (
+            x[order] for x in (u, bk, kind, a, b, s, t, cf, ordn, nloc)
+        )
+        newrun = np.empty(n, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (u[1:] != u[:-1]) | (bk[1:] != bk[:-1])
+        run_id = np.cumsum(newrun) - 1
+        nruns = int(run_id[-1]) + 1 if n else 0
+        run_off = np.zeros(nruns, dtype=np.int64)
+        run_cf = np.zeros(nruns, dtype=np.int64)
+        offs = kind == 1
+        run_off[run_id[offs]] = b[offs]
+        run_cf[run_id[offs]] = cf[offs]
+        finals = kind == 0
+        keep_int = (kind == 2) & (ordn != nloc) & ~(
+            (ordn == 1) & (run_cf[run_id] == 1)
+        )
+        out_u = np.concatenate([u[finals], u[keep_int]])
+        out_sid = np.concatenate([a[finals], run_off[run_id[keep_int]] + ordn[keep_int]])
+        out_n = np.concatenate([b[finals], b[keep_int]])
+        out_sum = np.concatenate([s[finals], s[keep_int]])
+        out_start = np.concatenate([t[finals], t[keep_int]])
         return pa.table(
             {
-                "user_id": pa.array(
-                    np.full(len(out_sid), uid), type=pa.int64()
-                ),
-                "session_id": pa.array(out_sid, type=pa.int64()),
-                "n_events": pa.array(out_n, type=pa.int64()),
-                "sum_value": pa.array(
-                    np.round(np.array(out_sum, dtype=np.float64), 6),
-                    type=pa.float64(),
-                ),
-                "start_us": pa.array(out_start, type=pa.int64()),
+                "user_id": pa.array(out_u),
+                "session_id": pa.array(out_sid),
+                "n_events": pa.array(out_n),
+                "sum_value": pa.array(np.round(out_sum, 6), type=pa.float64()),
+                "start_us": pa.array(out_start),
             }
         )
 
-    return unioned.groupby([user_column, "_blk"]).map_groups(
-        resolve, batch_format="pyarrow"
-    )
+    return unioned.groupby("_c").map_groups(resolve_bucket, batch_format="pyarrow")
 
 
 def funnel_counts_salted(
@@ -563,81 +595,121 @@ def funnel_counts_salted(
     type_column: str = "event_type",
     ts_column: str = "ts",
     id_column: str = "event_id",
+    coarse: int = 1024,
 ) -> "ray.data.Dataset":
     """funnel_counts() with the hot-user bound removed via state-machine
-    composition: per (user, time-block) transition vectors, composed per
-    user in block order. Identical output."""
+    composition: per-(user, time-block) transition vectors (entry step ->
+    exit step; cross-block state is JUST the step index since any event of
+    a later block is strictly later in ts), composed per user in block
+    order. Identical output. Both exchanges are bounded coarse-hash
+    groupbys with multi-group kernels."""
     import pyarrow.compute as pc
 
     if salt_us < 1:
         raise ValueError("salt_us must be >= 1")
     nsteps = len(steps)
     step_of = {s: i for i, s in enumerate(steps)}
+    C = int(coarse)
 
-    def add_block(batch: pa.Table) -> pa.Table:
+    def add_keys(batch: pa.Table) -> pa.Table:
         us = pc.cast(
             pc.cast(batch.column(ts_column), pa.timestamp("us")), pa.int64()
         ).to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "_blk", pa.array(us // salt_us, type=pa.int64())
-        )
-
-    def block_transitions(group: pa.Table) -> pa.Table:
-        uid = group.column(user_column)[0].as_py()
-        blk = group.column("_blk")[0].as_py()
-        ts_us = pc.cast(group.column(ts_column), pa.timestamp("us")).cast(pa.int64())
-        ts_us = ts_us.to_numpy(zero_copy_only=False)
-        eid = group.column(id_column).to_numpy(zero_copy_only=False)
-        types = group.column(type_column).to_pylist()
-        order = np.lexsort((eid, ts_us))
-        tcodes = np.array(
-            [step_of.get(t, -1) for t in types], dtype=np.int64
-        )[order]
-        idx = [np.flatnonzero(tcodes == si) for si in range(nsteps)]
-        trans = np.empty(nsteps + 1, dtype=np.int64)
-        for s in range(nsteps + 1):
-            cur = -1
-            reached = s
-            for si in range(s, nsteps):
-                arr = idx[si]
-                j = np.searchsorted(arr, cur + 1)
-                if j >= arr.size:
-                    break
-                cur = int(arr[j])
-                reached = si + 1
-            trans[s] = reached
-        cols = {
-            "user_id": pa.array([uid], type=pa.int64()),
-            "_blk": pa.array([blk], type=pa.int64()),
-        }
-        for s in range(nsteps + 1):
-            cols[f"f{s}"] = pa.array([int(trans[s])], type=pa.int64())
-        return pa.table(cols)
-
-    per_block = (
-        ds.map_batches(add_block, batch_format="pyarrow")
-        .groupby([user_column, "_blk"])
-        .map_groups(block_transitions, batch_format="pyarrow")
-    )
-
-    def compose(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("_blk", "ascending")])
-        uid = t.column(user_column)[0].as_py()
-        fs = np.stack(
-            [t.column(f"f{s}").to_numpy() for s in range(nsteps + 1)], axis=1
-        )
-        s = 0
-        for r in range(fs.shape[0]):
-            s = int(fs[r, s])
+        blk = us // salt_us
+        u = batch.column(user_column).cast(pa.int64()).to_numpy()
+        types = batch.column(type_column).to_pylist()
+        tcodes = np.array([step_of.get(t, -1) for t in types], dtype=np.int64)
         return pa.table(
             {
-                "user_id": pa.array([uid], type=pa.int64()),
-                "reached": pa.array([s], type=pa.int64()),
+                "user_id": pa.array(u),
+                "_blk": pa.array(blk),
+                "_c": pa.array(_mix_coarse(u, blk, C)),
+                "_ts": pa.array(us),
+                "_id": batch.column(id_column).cast(pa.int64()),
+                "_tc": pa.array(tcodes),
             }
         )
 
-    per = per_block.groupby(user_column).map_groups(
-        compose, batch_format="pyarrow"
+    def block_transitions(group: pa.Table) -> pa.Table:
+        """Transition vectors for every (user, block) run in the bucket:
+        one lexsort, then a small walk per run (nsteps searchsorteds)."""
+        n = group.num_rows
+        u = group.column("user_id").to_numpy()
+        b = group.column("_blk").to_numpy()
+        ts = group.column("_ts").to_numpy()
+        eid = group.column("_id").to_numpy()
+        tc = group.column("_tc").to_numpy()
+        order = np.lexsort((eid, ts, b, u))
+        u, b, tc = u[order], b[order], tc[order]
+        newrun = np.empty(n, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(newrun)
+        ends = np.append(starts[1:], n)
+        out_u, out_b = u[starts], b[starts]
+        trans = np.empty((starts.size, nsteps + 1), dtype=np.int64)
+        for r in range(starts.size):
+            seg = tc[starts[r] : ends[r]]
+            idx = [np.flatnonzero(seg == si) for si in range(nsteps)]
+            for s in range(nsteps + 1):
+                cur = -1
+                reached = s
+                for si in range(s, nsteps):
+                    arr = idx[si]
+                    j = np.searchsorted(arr, cur + 1)
+                    if j >= arr.size:
+                        break
+                    cur = int(arr[j])
+                    reached = si + 1
+                trans[r, s] = reached
+        cols = {
+            "user_id": pa.array(out_u),
+            "_blk": pa.array(out_b),
+            "_uc": pa.array(_mix_coarse(out_u, np.zeros_like(out_u), C)),
+        }
+        for s in range(nsteps + 1):
+            cols[f"f{s}"] = pa.array(trans[:, s])
+        return pa.table(cols)
+
+    per_block = (
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("_c")
+        .map_groups(block_transitions, batch_format="pyarrow")
+    )
+
+    def compose_bucket(group: pa.Table) -> pa.Table:
+        """Per-user composition of transition vectors in block order, for
+        all users in the bucket."""
+        n = group.num_rows
+        u = group.column("user_id").to_numpy()
+        b = group.column("_blk").to_numpy()
+        fs = np.stack(
+            [group.column(f"f{s}").to_numpy() for s in range(nsteps + 1)],
+            axis=1,
+        )
+        order = np.lexsort((b, u))
+        u, fs = u[order], fs[order]
+        newu = np.empty(n, dtype=bool)
+        newu[0] = True
+        newu[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(newu)
+        ends = np.append(starts[1:], n)
+        out_u = u[starts]
+        reached = np.empty(starts.size, dtype=np.int64)
+        for r in range(starts.size):
+            s = 0
+            for row in range(starts[r], ends[r]):
+                s = int(fs[row, s])
+            reached[r] = s
+        return pa.table(
+            {
+                "user_id": pa.array(out_u),
+                "reached": pa.array(reached),
+            }
+        )
+
+    per = per_block.groupby("_uc").map_groups(
+        compose_bucket, batch_format="pyarrow"
     )
 
     def expand(batch: pa.Table) -> pa.Table:
