@@ -1757,11 +1757,30 @@ def q_funnel_counts_salted(sf_dir: str):
     return funnel_counts_salted(ds, FUNNEL_STEPS, salt_us=21_600_000_000)
 
 
+def q_simple_faceted_counts(sf_dir: str):
+    """contrib/SimpleFacetedSearch analog (SimpleFacetedSearch.cs:36-54):
+    hits of a query counted per CARTESIAN (lang, source) value group,
+    zero-hit groups eliminated. The reference intersects per-field-value
+    OpenBitSets; a composite-key groupby over the matched docs is the same
+    computation expressed docs-side and stays distributed."""
+    ds = _documents_ds(sf_dir)
+
+    def has_term(batch: pa.Table) -> pa.Table:
+        keep = [TERM in t.split() for t in batch.column("text").to_pylist()]
+        return batch.filter(pa.array(keep)).select(["lang", "source"])
+
+    matched = ds.map_batches(has_term, batch_format="pyarrow")
+    return matched.groupby(["lang", "source"]).count().rename_columns(
+        {"count()": "n_docs"}
+    )
+
+
 QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_span_docs": q_dup_span_docs,
     "session_windows_salted": q_sessionize_salted,
     "funnel_counts_salted": q_funnel_counts_salted,
+    "simple_faceted_counts": q_simple_faceted_counts,
     "tfidf_top_terms": q_tfidf_top_terms,
     "assoc_facet_sums": q_assoc_facet_sums,
     "training_shards": q_training_shards,
@@ -2766,4 +2785,11 @@ FROM w ORDER BY doc_id
     # execution exact, not merely self-consistent
     d["session_windows_salted"] = d["session_windows"]
     d["funnel_counts_salted"] = d["funnel_counts"]
+    d["simple_faceted_counts"] = f"""
+WITH {_TOKS_CTE}
+SELECT d.lang, d.source, count(*) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE tok = '{TERM}')
+GROUP BY d.lang, d.source ORDER BY d.lang, d.source
+"""
     return d

@@ -346,3 +346,42 @@ def test_span_or_emits_duplicates():
     pos = {"fox": {0: [3]}, "vulpes": {0: [3]}}
     q = SpanOrQuery(clauses=(SpanTermQuery(term="fox"), SpanTermQuery(term="vulpes")))
     assert enumerate_spans(q, pos, 0) == [(3, 4), (3, 4)]
+
+
+def test_span_regex_query(tmp_path):
+    """contrib/Regex SpanRegexQuery analog: a RegexpQuery wrapped in
+    SpanMultiTermQuery participates in span trees (contrib
+    Regex/SpanRegexQuery.cs — rewrite to SpanOr of matched terms, same as
+    SpanMultiTermQueryWrapper)."""
+    import pyarrow as pa
+
+    from lucene_net_ray.pipelines.build import build_index_from_table
+    from lucene_net_ray.pipelines.search import Searcher
+    from lucene_net_ray.pipelines.spans import (
+        SpanMultiTermQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+        span_search,
+    )
+    from lucene_net_ray.query import RegexpQuery
+
+    docs = [
+        "alpha beta gamma",
+        "alpine beta delta",
+        "beta alpha gamma",
+        "omega beta gamma",
+    ]
+    idx = str(tmp_path / "idx")
+    build_index_from_table(pa.table({"content": docs}), idx,
+                           index_options="positions", target_rows_per_segment=2)
+    s = Searcher(idx, use_actors=False)
+    q = SpanNearQuery(
+        clauses=(
+            SpanMultiTermQuery(query=RegexpQuery(field="content", pattern="alp.*")),
+            SpanTermQuery(term="beta"),
+        ),
+        slop=0,
+        in_order=True,
+    )
+    hits = {d for d, _ in span_search(s, q, k=10)}
+    assert hits == {0, 1}  # alpha/alpine before beta; doc 2 wrong order
