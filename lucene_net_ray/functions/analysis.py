@@ -385,7 +385,14 @@ class Analyzer:
         # fold (reference Tr/TurkishLowerCaseFilter.cs + ApostropheFilter.cs,
         # Ga/IrishLowerCaseFilter.cs + hyphenation stop + article elision)
         _lang_case = {"turkish": "turkish", "irish": "irish", "catalan": "catalan"}
-        if kind not in ("standard", "whitespace", "simple", "keyword", *_lang_stems):
+        # contrib/Core/Analysis/Ext/Analysis.Ext.cs analogs:
+        #   letter_digit = UnaccentedWordAnalyzer (LetterOrDigitTokenizer ->
+        #   LowerCase -> ASCIIFolding), single_char = SingleCharTokenAnalyzer
+        #   (same chain, then one token PER CHAR, each its own position)
+        if kind not in (
+            "standard", "whitespace", "simple", "keyword",
+            "letter_digit", "single_char", *_lang_stems,
+        ):
             raise ValueError(f"unknown analyzer kind: {kind}")
         self.kind = kind
         self.stop_words = stop_words if stop_words is not None else frozenset()
@@ -394,8 +401,26 @@ class Analyzer:
         self.stem = _lang_stems.get(kind)
         self.case = _lang_case.get(kind)
         self._simple_re = re.compile(rf"{_L}+")
+        self._ld_re = re.compile(r"[^\W_]+", re.UNICODE)  # letter-or-digit runs
+
+    # Java Character.toLowerCase is per-char (1:1): U+0130 'İ' -> 'i', while
+    # Python str.lower() expands it to 'i' + combining dot — pre-map it so
+    # the LowerCaseFilter analog matches the reference chain
+    _JAVA_LOWER = str.maketrans({"İ": "i"})
+
+    def _letter_digit_terms(self, text: str) -> list[str]:
+        from .stem import ascii_fold
+
+        return [
+            ascii_fold(m.group().translate(self._JAVA_LOWER).lower())
+            for m in self._ld_re.finditer(text)
+        ]
 
     def __call__(self, text: str) -> list[str]:
+        if self.kind == "letter_digit":
+            return self._letter_digit_terms(text)
+        if self.kind == "single_char":
+            return [c for tok in self._letter_digit_terms(text) for c in tok]
         if self.kind not in ("whitespace", "simple", "keyword"):
             if not self.fold and not self.stem and not self.case:
                 return analyze(text, self.stop_words, self.max_token_length)
@@ -418,6 +443,14 @@ class Analyzer:
         """(terms, relative positions, positions consumed) for one
         whitespace-delimited token — the position-aware unit of the fast
         indexing path (every raw token consumes one position)."""
+        if self.kind == "letter_digit":
+            terms = tuple(self._letter_digit_terms(ws_token))
+            return terms, tuple(range(len(terms))), len(terms)
+        if self.kind == "single_char":
+            terms = tuple(
+                c for tok in self._letter_digit_terms(ws_token) for c in tok
+            )
+            return terms, tuple(range(len(terms))), len(terms)
         if self.kind not in ("whitespace", "simple", "keyword"):
             return _analyze_cluster_positions(
                 ws_token, self.stop_words, self.max_token_length, self.fold,
