@@ -360,6 +360,12 @@ def sessionize_salted(
         once: one lexsort, segmented gap-split, reduceat sums (the same
         left-to-right accumulation as the unsalted path)."""
         n = group.num_rows
+        if n == 0:
+            return pa.table(
+                {c: pa.array([], type=pa.int64()) for c in
+                 ("user_id", "_blk", "ordinal", "n_local", "n_events",
+                  "start_us", "last_us")}
+            ).append_column("raw_sum", pa.array([], type=pa.float64()))
         u = group.column("user_id").to_numpy()
         b = group.column("_blk").to_numpy()
         ts = group.column("_ts").to_numpy()
@@ -425,6 +431,16 @@ def sessionize_salted(
         rsarr = group.column("raw_sum").to_numpy()
         suarr = group.column("start_us").to_numpy()
         luarr = group.column("last_us").to_numpy()
+        if uarr.size == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], type=pa.int64()) for c in
+                       ("user_id", "_blk", "kind", "a", "b")},
+                    "s": pa.array([], type=pa.float64()),
+                    **{c: pa.array([], type=pa.int64()) for c in
+                       ("t", "cf", "ordinal", "n_local", "_c")},
+                }
+            )
         order = np.lexsort((oarr, barr, uarr))
         kind, uo, c1, c2, c3, c4, c5 = [], [], [], [], [], [], []
 
@@ -550,6 +566,15 @@ def sessionize_salted(
         cf = group.column("cf").to_numpy()
         ordn = group.column("ordinal").to_numpy()
         nloc = group.column("n_local").to_numpy()
+        if n == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], type=pa.int64()) for c in
+                       ("user_id", "session_id", "n_events")},
+                    "sum_value": pa.array([], type=pa.float64()),
+                    "start_us": pa.array([], type=pa.int64()),
+                }
+            )
         order = np.lexsort((kind, bk, u))
         u, bk, kind, a, b, s, t, cf, ordn, nloc = (
             x[order] for x in (u, bk, kind, a, b, s, t, cf, ordn, nloc)
@@ -634,6 +659,12 @@ def funnel_counts_salted(
         """Transition vectors for every (user, block) run in the bucket:
         one lexsort, then a small walk per run (nsteps searchsorteds)."""
         n = group.num_rows
+        if n == 0:
+            cols = {c: pa.array([], type=pa.int64())
+                    for c in ("user_id", "_blk", "_uc")}
+            for s in range(nsteps + 1):
+                cols[f"f{s}"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         u = group.column("user_id").to_numpy()
         b = group.column("_blk").to_numpy()
         ts = group.column("_ts").to_numpy()
@@ -681,6 +712,11 @@ def funnel_counts_salted(
         """Per-user composition of transition vectors in block order, for
         all users in the bucket."""
         n = group.num_rows
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 "reached": pa.array([], type=pa.int64())}
+            )
         u = group.column("user_id").to_numpy()
         b = group.column("_blk").to_numpy()
         fs = np.stack(
