@@ -309,6 +309,36 @@ def analyze(
     return tokens
 
 
+_LD_RE = re.compile(r"[^\W_]+", re.UNICODE)  # letter-or-digit runs
+# Java Character.toLowerCase is per-char (1:1): U+0130 'İ' -> 'i' (Python
+# str.lower() expands it to 'i' + combining dot) and U+03A3 'Σ' -> 'σ'
+# unconditionally (Python lowers a word-final Σ to final sigma 'ς') —
+# pre-map both so the LowerCaseFilter analog matches the reference chain.
+_JAVA_LOWER = str.maketrans({"İ": "i", "Σ": "σ"})
+
+
+@lru_cache(maxsize=1_000_000)
+def _fold_ld_term(run: str) -> str:
+    from .stem import ascii_fold
+
+    return ascii_fold(run.translate(_JAVA_LOWER).lower())
+
+
+def _ld_terms_scan(text: str) -> list[str]:
+    """Letter-or-digit runs -> per-char Java lowercase -> ASCII fold, for
+    the contrib Analysis.Ext kinds. Uncached scan over arbitrary-length
+    text (whole documents ride through here); the per-RUN fold is cached."""
+    return [_fold_ld_term(m.group()) for m in _LD_RE.finditer(text)]
+
+
+@lru_cache(maxsize=1_000_000)
+def _letter_digit_terms(token: str) -> tuple[str, ...]:
+    """Cached per whitespace token — the unit of the hot indexing path,
+    which repeats massively across a corpus (same memoization contract as
+    _analyze_cluster_positions)."""
+    return tuple(_ld_terms_scan(token))
+
+
 class Analyzer:
     """Configurable analyzer (tokenizer chain as a picklable callable).
 
@@ -401,26 +431,12 @@ class Analyzer:
         self.stem = _lang_stems.get(kind)
         self.case = _lang_case.get(kind)
         self._simple_re = re.compile(rf"{_L}+")
-        self._ld_re = re.compile(r"[^\W_]+", re.UNICODE)  # letter-or-digit runs
-
-    # Java Character.toLowerCase is per-char (1:1): U+0130 'İ' -> 'i', while
-    # Python str.lower() expands it to 'i' + combining dot — pre-map it so
-    # the LowerCaseFilter analog matches the reference chain
-    _JAVA_LOWER = str.maketrans({"İ": "i"})
-
-    def _letter_digit_terms(self, text: str) -> list[str]:
-        from .stem import ascii_fold
-
-        return [
-            ascii_fold(m.group().translate(self._JAVA_LOWER).lower())
-            for m in self._ld_re.finditer(text)
-        ]
 
     def __call__(self, text: str) -> list[str]:
         if self.kind == "letter_digit":
-            return self._letter_digit_terms(text)
+            return _ld_terms_scan(text)
         if self.kind == "single_char":
-            return [c for tok in self._letter_digit_terms(text) for c in tok]
+            return [c for tok in _ld_terms_scan(text) for c in tok]
         if self.kind not in ("whitespace", "simple", "keyword"):
             if not self.fold and not self.stem and not self.case:
                 return analyze(text, self.stop_words, self.max_token_length)
@@ -444,11 +460,11 @@ class Analyzer:
         whitespace-delimited token — the position-aware unit of the fast
         indexing path (every raw token consumes one position)."""
         if self.kind == "letter_digit":
-            terms = tuple(self._letter_digit_terms(ws_token))
+            terms = _letter_digit_terms(ws_token)
             return terms, tuple(range(len(terms))), len(terms)
         if self.kind == "single_char":
             terms = tuple(
-                c for tok in self._letter_digit_terms(ws_token) for c in tok
+                c for tok in _letter_digit_terms(ws_token) for c in tok
             )
             return terms, tuple(range(len(terms))), len(terms)
         if self.kind not in ("whitespace", "simple", "keyword"):

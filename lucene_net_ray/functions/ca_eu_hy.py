@@ -47,7 +47,12 @@ _CA_FOLD = str.maketrans(
 def catalan_lower(w: str) -> str:
     """ElisionFilter(Catalan articles) + LowerCaseFilter (chain order per
     CatalanAnalyzer.cs:129 — elision runs before lowercasing, but the
-    article match itself is case-insensitive)."""
+    article match itself is case-insensitive).
+
+    The curly-apostrophe arm only fires on DIRECT calls: the analyzer's
+    tokenizer admits only the ASCII apostrophe (like the reference's
+    ClassicTokenizer), so ``l’home`` is already split before this
+    fold sees it — kept for standalone use of the fold."""
     for apo in ("'", "’"):
         cut = w.find(apo)
         if cut == 1 and w[0].lower() in _CA_ARTICLES and len(w) > 2:

@@ -6,7 +6,16 @@ The reference ships this as generated Snowball output
 Kraaij & Pohlmann (1994) algorithm as plain string functions in the style of
 functions/snowball.py, with every condition evaluated with full-string
 visibility instead of a cursor machine. Semantics verified rule-by-rule
-against the generated reference code; the classic vocabulary vectors
+against the generated reference code, with ONE documented deviation: the
+shipped ``r_VX`` (KpStemmer.cs:140-178) collapses both exits of its
+or-construct onto the same label (``goto lab2_brk`` for success AND
+failure of the vowel test), so the shipped VX degenerates to a literal
+"ij" check. The identical or-construct is converted correctly elsewhere
+in the same file (e.g. :245-283), so this is a site-specific
+transliteration bug, not intended semantics; we implement the published
+VX predicate (vowel OR "ij" one position back). Consequence: diminutives
+like omaatje stem to omaa here vs omaat under the shipped binary. The
+classic vocabulary vectors
 (dagen→daag, filosofie→filosoof, gegeven→geef, lichamelijke→lichamelijk)
 are hand-traced in tests/test_kp.py.
 
@@ -74,7 +83,12 @@ def _test_v(w: str, c: int) -> bool:
 
 
 def _test_vx(w: str, c: int) -> bool:
-    """VX: V holds one position earlier (skip one char backward first)."""
+    """VX: V holds one position earlier (skip one char backward first).
+
+    Published-KP semantics. The shipped reference's r_VX is mangled (see
+    module docstring): its vowel branch is dead code and only the "ij"
+    literal survives. We keep the published predicate.
+    """
     return c >= 1 and _test_v(w, c - 1)
 
 

@@ -24,10 +24,14 @@ parquet lands), so a mid-run kill re-runs only the stage that was in
 flight — a half-written stage directory without its manifest is cleared
 and redone; committed stages are skipped untouched. At 100 TB that means
 a worker-pool crash during packing never re-pays the clean+chunk cost.
+Every manifest also records a sha1 fingerprint of the run parameters:
+re-running into the same out_dir with DIFFERENT arguments invalidates and
+recomputes (no silent reuse of old-parameter output).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -38,16 +42,23 @@ import ray
 import ray.data
 
 
-def _stage(out_dir: str, name: str, stage_dir: str, run) -> dict:
-    """Run one resumable stage: skip if its manifest is committed, clear a
-    half-written directory otherwise, and commit the manifest atomically."""
+def _stage(out_dir: str, name: str, stage_dir: str, run, params_fp: str) -> dict:
+    """Run one resumable stage: skip if its manifest is committed FOR THE
+    SAME run parameters, clear a half-written (or stale-parameter) directory
+    otherwise, and commit the manifest atomically. The fingerprint guard
+    means re-running into the same out_dir with different arguments
+    recomputes instead of silently reusing old-parameter output."""
     manifest_path = os.path.join(out_dir, f"_stage_{name}.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            return json.load(f)
+            result = json.load(f)
+        if result.get("params_fp") == params_fp:
+            return result
+        os.remove(manifest_path)  # parameters changed: invalidate the stage
     if os.path.exists(stage_dir):
         shutil.rmtree(stage_dir)  # uncommitted partial output from a kill
     result = run() or {}
+    result["params_fp"] = params_fp
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(result, f)
@@ -75,10 +86,30 @@ def prepare_training_shards(
     from ..stages.clean import clean_corpus
     from ..stages.packing import pack_sequences
 
+    params_fp = hashlib.sha1(
+        json.dumps(
+            {
+                "input_path": input_path,
+                "text_column": text_column,
+                "id_column": id_column,
+                "min_quality": min_quality,
+                "dedup": dedup,
+                "chunk_tokens": chunk_tokens,
+                "overlap_tokens": overlap_tokens,
+                "pack_budget": pack_budget,
+                "num_shards": num_shards,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
+
     done_path = os.path.join(out_dir, "_done")
     if os.path.exists(done_path):
         with open(done_path) as f:
-            return json.load(f)
+            manifest = json.load(f)
+        if manifest.get("params_fp") == params_fp:
+            return manifest
+        os.remove(done_path)  # different parameters: rebuild via the stages
     os.makedirs(out_dir, exist_ok=True)
 
     cleaned_dir = os.path.join(out_dir, "cleaned")
@@ -94,6 +125,7 @@ def prepare_training_shards(
             min_quality=min_quality,
             dedup=dedup,
         ),
+        params_fp,
     )
 
     mask = num_shards - 1 if (num_shards & (num_shards - 1)) == 0 else None
@@ -129,7 +161,7 @@ def prepare_training_shards(
         keyed.write_parquet(chunks_dir, partition_cols=["shard"])
         return {"chunks_dir": chunks_dir}
 
-    _stage(out_dir, "chunks", chunks_dir, run_chunk_stage)
+    _stage(out_dir, "chunks", chunks_dir, run_chunk_stage, params_fp)
 
     packing_dir = os.path.join(out_dir, "packing")
 
@@ -147,7 +179,7 @@ def prepare_training_shards(
         packing.write_parquet(packing_dir)
         return {"packing_dir": packing_dir}
 
-    _stage(out_dir, "packing", packing_dir, run_pack_stage)
+    _stage(out_dir, "packing", packing_dir, run_pack_stage, params_fp)
 
     stats = ray.data.read_parquet(packing_dir)
     n_chunks = stats.count()
@@ -160,6 +192,7 @@ def prepare_training_shards(
         "num_shards": num_shards,
         "pack_budget": pack_budget,
         "out_dir": out_dir,
+        "params_fp": params_fp,
     }
     tmp = done_path + ".tmp"
     with open(tmp, "w") as f:

@@ -516,8 +516,13 @@ def _analyze_single_chunk(analyzer, chunk: str) -> str:
     return toks[0]
 
 
-# gobble escaped chars or find a run of wildcard characters
-# (reference AnalyzingQueryParser.cs:35 wildcardPattern)
+# gobble escaped chars or find a run of wildcard characters.
+# Upstream-Java semantics (Pattern.compile("(\\\\.)|([?*]+)") — backslash
+# + any char). The shipped reference's AnalyzingQueryParser.cs:35 carries
+# the Sharpen-mangled "(\\.)" (a LITERAL DOT in C# regex), which loses
+# escape handling entirely and instead treats '.' as a chunk separator —
+# a port bug, not intended semantics, so we keep the Java behavior:
+# 'foo\*bar' analyzes as one chunk with the '*' suppressed.
 _WILDCARD_CHUNK_RE = re.compile(r"(\\.)|([?*]+)")
 
 

@@ -215,16 +215,26 @@ def duplicate_spans(
     w = int(window_tokens)
     if w < 1:
         raise ValueError("window_tokens must be >= 1")
+    return _duplicate_spans_unsorted(
+        ds, w=w, text_column=text_column, id_column=id_column
+    ).sort(["doc_id", "span_start"])
+
+
+def _duplicate_spans_unsorted(
+    ds: ray.data.Dataset, *, w: int, text_column: str, id_column: str
+) -> ray.data.Dataset:
+    """The span engine without the final presentation sort — the doc-stats
+    rollup consumes this directly so it doesn't pay a full-corpus sort
+    whose order its own groupby re-shuffle would immediately destroy."""
     wins = ds.map_batches(
         _window_rows,
         batch_format="pyarrow",
         fn_kwargs={"text_column": text_column, "id_column": id_column, "w": w},
     )
     marked = wins.groupby("coarse").map_groups(_mark_dups, batch_format="pyarrow")
-    spans = marked.groupby("doc_coarse").map_groups(
+    return marked.groupby("doc_coarse").map_groups(
         lambda g: _merge_islands(g, w=w), batch_format="pyarrow"
     )
-    return spans.sort(["doc_id", "span_start"])
 
 
 def duplicate_span_doc_stats(
@@ -237,11 +247,11 @@ def duplicate_span_doc_stats(
     """Per-doc rollup of duplicate_spans: (doc_id, n_spans, dup_tokens) for
     docs that contain at least one duplicated span. dup_tokens counts the
     distinct tokens covered (islands are disjoint by construction)."""
-    spans = duplicate_spans(
-        ds,
-        window_tokens=window_tokens,
-        text_column=text_column,
-        id_column=id_column,
+    w = int(window_tokens)
+    if w < 1:
+        raise ValueError("window_tokens must be >= 1")
+    spans = _duplicate_spans_unsorted(
+        ds, w=w, text_column=text_column, id_column=id_column
     )
 
     def per_doc(batch: pa.Table) -> pa.Table:

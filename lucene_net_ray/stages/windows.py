@@ -291,9 +291,13 @@ def funnel_counts(
 #                      session-id offsets; interior sessions then pick up
 #                      their ids in one keyed join. Unrounded per-session
 #                      sums travel through the merge and are rounded once
-#                      at emit, and both reduceat and the chain add
-#                      left-to-right, so the float result is bit-identical
-#                      to the unsalted path.
+#                      at emit. Counts/ids/timestamps are exactly equal to
+#                      the unsalted path; float sums agree up to fp
+#                      REASSOCIATION on boundary-crossing sessions (the
+#                      merge adds per-block partials, (a+b)+(c+d), where
+#                      the unsalted path adds event-by-event) — identical
+#                      after the 6-dp emit rounding except on adversarial
+#                      values sitting exactly at a rounding boundary.
 #   funnel_counts_salted  the greedy walk is a finite state machine whose
 #                      cross-block state is JUST the step index (any event
 #                      of a later block is strictly later than any event
@@ -361,11 +365,21 @@ def sessionize_salted(
         left-to-right accumulation as the unsalted path)."""
         n = group.num_rows
         if n == 0:
+            # same column ORDER as the non-empty path (raw_sum 6th), so
+            # every emitted block shares one schema
+            empty = pa.array([], type=pa.int64())
             return pa.table(
-                {c: pa.array([], type=pa.int64()) for c in
-                 ("user_id", "_blk", "ordinal", "n_local", "n_events",
-                  "start_us", "last_us")}
-            ).append_column("raw_sum", pa.array([], type=pa.float64()))
+                {
+                    "user_id": empty,
+                    "_blk": empty,
+                    "ordinal": empty,
+                    "n_local": empty,
+                    "n_events": empty,
+                    "raw_sum": pa.array([], type=pa.float64()),
+                    "start_us": empty,
+                    "last_us": empty,
+                }
+            )
         u = group.column("user_id").to_numpy()
         b = group.column("_blk").to_numpy()
         ts = group.column("_ts").to_numpy()

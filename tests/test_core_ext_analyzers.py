@@ -52,3 +52,25 @@ def test_single_char_positions_support_phrase_like_search(tmp_path):
     # usage example) — char positions run consecutively through the doc
     q2 = parse_query('"gmailcom1234"', analyzer=Analyzer(kind="single_char"))
     assert {d for d, _ in s.search(q2, k=10)} == {0}
+
+
+def test_java_per_char_lowercase_final_sigma():
+    """Java Character.toLowerCase is per-char: a word-final Σ lowers to σ
+    (U+03C3), not Python's contextual final sigma ς (U+03C2) — index and
+    query terms must agree for Greek text."""
+    a = Analyzer(kind="letter_digit")
+    assert a("ΝΙΚΟΣ") == ["νικοσ"]
+    assert a("ΝΙΚΟΣ") == a("νικοσ")  # query side typed with plain sigma
+    s = Analyzer(kind="single_char")
+    assert s("ΑΣ") == ["α", "σ"]
+
+
+def test_letter_digit_positions_cached_path_matches_scan():
+    """analyze_positions (per-ws-token memoized path) and __call__ (whole
+    text scan) agree term-for-term."""
+    a = Analyzer(kind="letter_digit")
+    text = "Name.Surname@gmail.com ΝΙΚΟΣ İstanbul x86_64"
+    via_positions = [
+        t for tok in text.split() for t in a.analyze_positions(tok)[0]
+    ]
+    assert via_positions == a(text)

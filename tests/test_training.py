@@ -48,9 +48,21 @@ def test_prepare_training_shards(tmp_path):
     ends = max(r["start_tok"] + r["n_tokens"] for r in rows)
     assert total == ends
 
-    # resume: a second call returns the committed manifest without rework
-    m2 = prepare_training_shards(src, out)
+    # resume: a second call WITH THE SAME PARAMETERS returns the committed
+    # manifest without rework
+    m2 = prepare_training_shards(
+        src, out, chunk_tokens=64, overlap_tokens=8, pack_budget=128, num_shards=8
+    )
     assert m2 == m
+
+    # parameter change invalidates the committed run instead of silently
+    # reusing old-parameter output: same out_dir, different chunk size
+    m3 = prepare_training_shards(
+        src, out, chunk_tokens=32, overlap_tokens=8, pack_budget=128, num_shards=8
+    )
+    assert m3["params_fp"] != m["params_fp"]
+    assert m3["n_chunks"] > m["n_chunks"]  # smaller windows -> more chunks
+    assert m3["rows_kept"] == m["rows_kept"]
 
 
 def test_mid_run_kill_resumes_per_stage(tmp_path, monkeypatch):
