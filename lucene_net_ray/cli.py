@@ -36,6 +36,18 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="lucene_net_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    ing = sub.add_parser(
+        "ingest", help="normalize a raw corpus (jsonl/csv/text) into parquet"
+    )
+    ing.add_argument("--input", required=True)
+    ing.add_argument("--out", required=True)
+    ing.add_argument(
+        "--format", default="jsonl",
+        choices=("jsonl", "csv", "text", "textfiles", "parquet"),
+    )
+    ing.add_argument("--content-column", default="content")
+    ing.add_argument("--rows-per-file", type=int, default=100_000)
+
     b = sub.add_parser("build", help="build an inverted index from a parquet corpus")
     b.add_argument("--input", required=True)
     b.add_argument("--out", required=True)
@@ -105,7 +117,20 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     _ensure_ray()
     try:
-        if args.cmd == "build":
+        if args.cmd == "ingest":
+            from .sources.ingest import ingest_corpus
+
+            out = ingest_corpus(
+                args.input,
+                args.out,
+                format=args.format,
+                content_column=args.content_column,
+                rows_per_file=args.rows_per_file,
+            )
+            import ray.data as _rd
+
+            print(json.dumps({"out": out, "rows": _rd.read_parquet(out).count()}))
+        elif args.cmd == "build":
             from .pipelines.build import build_index
 
             meta = build_index(
