@@ -335,6 +335,15 @@ def data_pipeline_bench(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     sessionize_salted(ev, gap_us=1_800_000_000, salt_us=21_600_000_000).count()
     out["sessionize_salted_sec"] = round(time.perf_counter() - t0, 3)
+
+    from lucene_net_ray.stages.select import budget_select
+
+    t0 = time.perf_counter()
+    # budget ~ half the corpus tokens at sf0.1, so the boundary search and
+    # both passes of the prefix sum do real work
+    budget_select(docs.select_columns(["doc_id", "text"]),
+                  budget_tokens=135_000).count()
+    out["budget_select_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 

@@ -1775,7 +1775,29 @@ def q_simple_faceted_counts(sf_dir: str):
     )
 
 
+def q_budget_select(sf_dir: str):
+    """Token-budget corpus selection: keep the highest-quality docs (6-dp
+    quality from stages/textstats, ties by doc_id) until a 15k-token global
+    budget is exhausted — a distributed two-pass prefix sum over an integer
+    quality key (stages/select.py). Oracle: SUM(...) OVER (ORDER BY quality
+    DESC, doc_id) window, kept iff running total <= budget."""
+    from ..stages.select import budget_select
+
+    return budget_select(_documents_ds(sf_dir), budget_tokens=15_000)
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact per-lang token-count percentiles via a (lang, n_tokens)
+    histogram reduce (stages/select.py) — quantile_disc semantics, verified
+    against DuckDB's selection rule exhaustively."""
+    from ..stages.select import length_quantiles
+
+    return length_quantiles(_documents_ds(sf_dir))
+
+
 QUERIES = {
+    "budget_select": q_budget_select,
+    "length_quantiles": q_length_quantiles,
     "dup_spans": q_dup_spans,
     "dup_span_docs": q_dup_span_docs,
     "session_windows_salted": q_sessionize_salted,
@@ -1930,6 +1952,40 @@ SELECT doc_id, min(pos) AS span_start,
 FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
 """
     d = {
+        "budget_select": f"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(regexp_extract_all(text, '[a-z0-9]+'), t -> t IN ({STOPS_SQL}))) AS BIGINT) AS n_stop,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_alpha
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+    ROUND(CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop * 1.0 / n_tokens END * 0.5
+        + least(n_tokens, 100) / 100.0 * 0.3
+        + CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha * 1.0 / n_chars END * 0.2, 6) AS quality
+  FROM f),
+c AS (
+  SELECT doc_id, n_tokens, quality,
+    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum_tokens
+  FROM s)
+SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id
+""",
+        "length_quantiles": """
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  quantile_disc(n, 0.25) AS q25,
+  quantile_disc(n, 0.50) AS q50,
+  quantile_disc(n, 0.75) AS q75,
+  quantile_disc(n, 0.90) AS q90,
+  quantile_disc(n, 0.95) AS q95,
+  quantile_disc(n, 0.99) AS q99
+FROM (SELECT lang, CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n
+      FROM documents)
+GROUP BY lang ORDER BY lang
+""",
         "dup_spans": _DUP_SPANS_SQL,
         "dup_span_docs": f"""
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
