@@ -212,13 +212,28 @@ def build_segment(
         occ_lens = uniq_lens[idx]
         occ_starts = uniq_offs[idx]
         total_terms = int(occ_lens.sum())
-        # standard numpy range-expand idiom
-        cum = np.concatenate(([0], np.cumsum(occ_lens)[:-1]))
-        ids = np.arange(total_terms, dtype=np.int64) - np.repeat(cum, occ_lens)
-        src = np.repeat(occ_starts, occ_lens) + ids
-        flat_term_ids = uniq_vals_np[src]
         doc_of_ws = np.repeat(np.arange(n_docs, dtype=np.int64), ws_counts)
-        flat_doc_idx = np.repeat(doc_of_ws, occ_lens)
+        if occ_lens.size == 0 or int(occ_lens.max()) <= 1:
+            # fast path (standard analyzers): every ws token maps to 0 or 1
+            # terms, so the range-expand degenerates to a boolean mask —
+            # saves two O(total_terms) np.repeats on the hot build path
+            sel = occ_lens.astype(bool)
+            src = occ_starts[sel]
+
+            def _expand(arr: np.ndarray) -> np.ndarray:
+                return arr[sel]
+        else:
+            # standard numpy range-expand idiom (multi-term analyzers:
+            # synonym/shingle chains)
+            cum = np.concatenate(([0], np.cumsum(occ_lens)[:-1]))
+            ids = np.arange(total_terms, dtype=np.int64) - np.repeat(cum, occ_lens)
+            src = np.repeat(occ_starts, occ_lens) + ids
+
+            def _expand(arr: np.ndarray) -> np.ndarray:
+                return np.repeat(arr, occ_lens)
+
+        flat_term_ids = uniq_vals_np[src]
+        flat_doc_idx = _expand(doc_of_ws)
         field_lens = np.bincount(flat_doc_idx, minlength=n_docs).astype(np.int64)
 
         n_terms_all = len(term_id)
@@ -241,7 +256,7 @@ def build_segment(
             safe_starts = np.minimum(ws_doc_starts, max(total_cum.size - 1, 0))
             doc_start_vals = total_cum[safe_starts] if total_cum.size else np.zeros(n_docs, dtype=np.int64)
             base_occ = total_cum - np.repeat(doc_start_vals, ws_counts)
-            flat_positions = np.repeat(base_occ, occ_lens) + uniq_rels_np[src]
+            flat_positions = _expand(base_occ) + uniq_rels_np[src]
             ranked_all = rank_of_id[flat_term_ids]
             order = np.lexsort((flat_positions, flat_doc_idx, ranked_all))
             r_sorted = ranked_all[order]
