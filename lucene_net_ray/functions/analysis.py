@@ -51,8 +51,34 @@ _CJ = (
     "\u3100-\u312f\u3040-\u309F\u30A0-\u30FF\u31F0-\u31FF"
     "\u3300-\u337f\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff\uff65-\uff9f"
 )
-_L = rf"(?:(?![{_CJ}])[^\W\d_])"          # {LETTER}
-_AN_CH = rf"(?:[฀-๙]|(?![{_CJ}])[^\W_])"  # LETTER|THAI|digit
+def _mark_class() -> str:
+    """Combining-mark character class (Unicode categories Mn/Mc/Me, BMP) —
+    UAX#29 'Extend': marks glue to the preceding letter, as in the
+    reference's StandardTokenizer (UAX29) grammar that every language
+    analyzer uses (StandardAnalyzer.cs chain), so Devanagari matras, Arabic
+    harakat and Hebrew points do not split tokens. (ClassicTokenizer WOULD
+    split there — Character.isLetter excludes marks — but mid-word splits
+    of Indic/Arabic text are the classic grammar's known defect, and the
+    reference's own analyzers avoid it by using the UAX#29 tokenizer.)
+    Generated from the runtime Unicode DB: ~15 ms once per process."""
+    import unicodedata
+
+    out: list[list[int]] = []
+    prev: list[int] | None = None
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)) in ("Mn", "Mc", "Me"):
+            if prev is not None and cp == prev[1] + 1:
+                prev[1] = cp
+            else:
+                prev = [cp, cp]
+                out.append(prev)
+    return "".join(chr(a) + (("-" + chr(b)) if b > a else "") for a, b in out)
+
+
+_M = _mark_class()
+_L0 = rf"(?:(?![{_CJ}])[^\W\d_])"          # bare {LETTER} (Character.isLetter)
+_L = rf"(?:{_L0}[{_M}]*)"                  # {LETTER} + glued Extend marks
+_AN_CH = rf"(?:[฀-๙]|(?![{_CJ}])[^\W_][{_M}]*)"  # (LETTER|digit)+marks | THAI
 _AN = rf"{_AN_CH}+"                         # {ALPHANUM}
 _ALPHA = rf"{_L}+"                          # {ALPHA}
 _HD = rf"(?:{_L}|\d)*\d(?:{_L}|\d)*"        # {HAS_DIGIT}
@@ -414,7 +440,8 @@ class Analyzer:
         # kinds whose chain replaces plain str.lower() with a language case
         # fold (reference Tr/TurkishLowerCaseFilter.cs + ApostropheFilter.cs,
         # Ga/IrishLowerCaseFilter.cs + hyphenation stop + article elision)
-        _lang_case = {"turkish": "turkish", "irish": "irish", "catalan": "catalan"}
+        _lang_case = {"turkish": "turkish", "irish": "irish", "catalan": "catalan",
+                      "hindi": "hindi"}
         # contrib/Core/Analysis/Ext/Analysis.Ext.cs analogs:
         #   letter_digit = UnaccentedWordAnalyzer (LetterOrDigitTokenizer ->
         #   LowerCase -> ASCIIFolding), single_char = SingleCharTokenAnalyzer
@@ -430,7 +457,9 @@ class Analyzer:
         self.fold = ascii_fold
         self.stem = _lang_stems.get(kind)
         self.case = _lang_case.get(kind)
-        self._simple_re = re.compile(rf"{_L}+")
+        # SimpleAnalyzer = LetterTokenizer (Character.isLetter — marks DO
+        # split here, unlike the UAX#29 standard grammar above)
+        self._simple_re = re.compile(rf"{_L0}+")
 
     def __call__(self, text: str) -> list[str]:
         if self.kind == "letter_digit":

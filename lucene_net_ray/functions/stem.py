@@ -501,6 +501,84 @@ _HI_SUFFIXES = (
 )
 
 
+#: simple one-to-one normalizations (reference Analysis/Hi/HindiNormalizer.cs:48
+#: switch table — Pingali & Varma word normalization + Larkey et al additions):
+#: candrabindu->bindu, precomposed-nukta foldings, chandra/short vowel
+#: replacements, long->short independent and dependent vowels
+_HI_NORM_MAP = {
+    "\u0901": "\u0902",  # candrabindu -> bindu
+    "\u0929": "\u0928",  # precomposed nukta forms
+    "\u0931": "\u0930",
+    "\u0934": "\u0933",
+    "\u0958": "\u0915",
+    "\u0959": "\u0916",
+    "\u095A": "\u0917",
+    "\u095B": "\u091C",
+    "\u095C": "\u0921",
+    "\u095D": "\u0922",
+    "\u095E": "\u092B",
+    "\u095F": "\u092F",
+    "\u0945": "\u0947",  # chandra/short e -> e
+    "\u0946": "\u0947",
+    "\u0949": "\u094B",  # chandra/short o -> o
+    "\u094A": "\u094B",
+    "\u090D": "\u090F",  # chandra/short E -> E
+    "\u090E": "\u090F",
+    "\u0911": "\u0913",  # chandra/short O -> O
+    "\u0912": "\u0913",
+    "\u0972": "\u0905",  # candra A -> A
+    "\u0906": "\u0905",  # long -> short independent vowels
+    "\u0908": "\u0907",
+    "\u090A": "\u0909",
+    "\u0960": "\u090B",
+    "\u0961": "\u090C",
+    "\u0910": "\u090F",
+    "\u0914": "\u0913",
+    "\u0940": "\u093F",  # long -> short dependent vowels
+    "\u0942": "\u0941",
+    "\u0944": "\u0943",
+    "\u0963": "\u0962",
+    "\u0948": "\u0947",
+    "\u094C": "\u094B",
+}
+#: deletions: nukta sign, zwnj/zwj, virama -- the shifted-in char is
+#: reprocessed, exactly like the reference's in-place delete + i--
+_HI_NORM_DEL = frozenset(("\u093C", "\u200C", "\u200D", "\u094D"))
+
+
+@lru_cache(maxsize=200_000)
+def hindi_normalize(w: str) -> str:
+    """HindiNormalizer analog (Analysis/Hi/HindiNormalizer.cs:48): spelling-
+    variation normalization for Devanagari. The companion
+    IndicNormalizationFilter (Analysis/In/IndicNormalizer.cs:102) is a no-op
+    in this reference tree — its script decompositions table is EMPTY
+    (``decompositions = {}``), so there is nothing to replicate; documented
+    here rather than silently skipped."""
+    s = list(w)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\u0928" and i + 1 < len(s) and s[i + 1] == "\u094D":
+            s[i] = "\u0902"  # dead n (na + virama) -> anusvara
+            del s[i + 1]
+        elif c in _HI_NORM_DEL:
+            del s[i]
+            continue
+        else:
+            r = _HI_NORM_MAP.get(c)
+            if r is not None:
+                s[i] = r
+        i += 1
+    return "".join(s)
+
+
+def hindi_lower(w: str) -> str:
+    """HindiAnalyzer's pre-stop chain (Analysis/Hi/HindiAnalyzer.cs:145-151):
+    LowerCase -> IndicNormalization (empty-table no-op here) ->
+    HindiNormalization, all BEFORE the stop filter."""
+    return hindi_normalize(w.lower())
+
+
 @lru_cache(maxsize=200_000)
 def hindi_stem(w: str) -> str:
     for min_len, sufs in _HI_SUFFIXES:
@@ -1068,6 +1146,9 @@ CASE_FOLDS = {
     "turkish": turkish_lower,
     "irish": irish_lower,
     "catalan": catalan_lower,
+    # HindiAnalyzer's LowerCase -> IndicNorm (empty-table no-op in this
+    # tree) -> HindiNorm pre-stop chain (Analysis/Hi/HindiAnalyzer.cs:145)
+    "hindi": hindi_lower,
 }
 
 
