@@ -448,10 +448,15 @@ class Analyzer:
         #   (same chain, then one token PER CHAR, each its own position)
         if kind not in (
             "standard", "whitespace", "simple", "keyword",
-            "letter_digit", "single_char", *_lang_stems,
+            "letter_digit", "single_char", "chinese", *_lang_stems,
         ):
             raise ValueError(f"unknown analyzer kind: {kind}")
         self.kind = kind
+        if kind == "chinese" and stop_words is None:
+            # ChineseFilter hardcodes its stop list (ChineseFilter.cs:51)
+            from .chinese import CHINESE_STOP_WORDS
+
+            stop_words = CHINESE_STOP_WORDS
         self.stop_words = stop_words if stop_words is not None else frozenset()
         self.max_token_length = max_token_length
         self.fold = ascii_fold
@@ -466,6 +471,10 @@ class Analyzer:
             return _ld_terms_scan(text)
         if self.kind == "single_char":
             return [c for tok in _ld_terms_scan(text) for c in tok]
+        if self.kind == "chinese":
+            from .chinese import chinese_terms
+
+            return list(chinese_terms(text, self.stop_words))
         if self.kind not in ("whitespace", "simple", "keyword"):
             if not self.fold and not self.stem and not self.case:
                 return analyze(text, self.stop_words, self.max_token_length)
@@ -490,6 +499,13 @@ class Analyzer:
         indexing path (every raw token consumes one position)."""
         if self.kind == "letter_digit":
             terms = _letter_digit_terms(ws_token)
+            return terms, tuple(range(len(terms))), len(terms)
+        if self.kind == "chinese":
+            # surviving tokens occupy consecutive positions (the reference
+            # filter drops tokens without adjusting position increments)
+            from .chinese import chinese_terms
+
+            terms = chinese_terms(ws_token, self.stop_words)
             return terms, tuple(range(len(terms))), len(terms)
         if self.kind == "single_char":
             terms = tuple(
