@@ -1775,6 +1775,23 @@ def q_simple_faceted_counts(sf_dir: str):
     )
 
 
+def q_line_dedup(sf_dir: str):
+    """C4/CCNet-style global exact line dedup (stages/linededup.py): every
+    duplicate line keeps only its first (doc_id, line_no) occurrence. The
+    single-line test corpus is re-lined into 8-token lines first (linify —
+    a deterministic fixture mirrored verbatim by the oracle's
+    list_transform slicing); zero-token docs are excluded on both sides."""
+    from ..stages.linededup import line_dedup, linify_batch
+
+    ds = (
+        _documents_ds(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .filter(lambda r: bool(r["text"].strip()))
+        .map_batches(linify_batch, batch_format="pyarrow")
+    )
+    return line_dedup(ds)
+
+
 def q_budget_select(sf_dir: str):
     """Token-budget corpus selection: keep the highest-quality docs (6-dp
     quality from stages/textstats, ties by doc_id) until a 15k-token global
@@ -1796,6 +1813,7 @@ def q_length_quantiles(sf_dir: str):
 
 
 QUERIES = {
+    "line_dedup": q_line_dedup,
     "budget_select": q_budget_select,
     "length_quantiles": q_length_quantiles,
     "dup_spans": q_dup_spans,
@@ -1952,6 +1970,24 @@ SELECT doc_id, min(pos) AS span_start,
 FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
 """
     d = {
+        "line_dedup": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS t FROM documents
+  WHERE len(regexp_extract_all(text, '[^ ]+')) > 0),
+lin AS (
+  SELECT doc_id,
+    list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+                   i -> array_to_string(t[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')) AS ls
+  FROM toks),
+flat AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) - 1 AS line_no FROM lin),
+kept AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM flat)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+""",
         "budget_select": f"""
 WITH f AS (
   SELECT doc_id,
