@@ -52,21 +52,23 @@ _CJ = (
     "\u3300-\u337f\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff\uff65-\uff9f"
 )
 def _mark_class() -> str:
-    """Combining-mark character class (Unicode categories Mn/Mc/Me, BMP) —
-    UAX#29 'Extend': marks glue to the preceding letter, as in the
+    """Glued-character class (Unicode categories Mn/Mc/Me + Cf, BMP) —
+    UAX#29 WB4 ignores (Extend | Format | ZWJ) mid-word, as in the
     reference's StandardTokenizer (UAX29) grammar that every language
     analyzer uses (StandardAnalyzer.cs chain), so Devanagari matras, Arabic
-    harakat and Hebrew points do not split tokens. (ClassicTokenizer WOULD
-    split there — Character.isLetter excludes marks — but mid-word splits
-    of Indic/Arabic text are the classic grammar's known defect, and the
-    reference's own analyzers avoid it by using the UAX#29 tokenizer.)
-    Generated from the runtime Unicode DB: ~15 ms once per process."""
+    harakat, Hebrew points AND zero-width (non-)joiners — pervasive in
+    Hindi/Persian orthography — do not split tokens. (ClassicTokenizer
+    WOULD split there — Character.isLetter excludes marks — but mid-word
+    splits of Indic/Arabic text are the classic grammar's known defect,
+    and the reference's own analyzers avoid it by using the UAX#29
+    tokenizer.) Generated from the runtime Unicode DB: ~15 ms once per
+    process."""
     import unicodedata
 
     out: list[list[int]] = []
     prev: list[int] | None = None
     for cp in range(0x10000):
-        if unicodedata.category(chr(cp)) in ("Mn", "Mc", "Me"):
+        if unicodedata.category(chr(cp)) in ("Mn", "Mc", "Me", "Cf"):
             if prev is not None and cp == prev[1] + 1:
                 prev[1] = cp
             else:
@@ -452,8 +454,10 @@ class Analyzer:
         ):
             raise ValueError(f"unknown analyzer kind: {kind}")
         self.kind = kind
-        if kind == "chinese" and stop_words is None:
-            # ChineseFilter hardcodes its stop list (ChineseFilter.cs:51)
+        if kind == "chinese" and stop_words is ENGLISH_STOP_WORDS:
+            # ChineseFilter hardcodes its own 30-word list
+            # (ChineseFilter.cs:51); identity check against the parameter
+            # default so only a caller who did NOT pass stop_words gets it
             from .chinese import CHINESE_STOP_WORDS
 
             stop_words = CHINESE_STOP_WORDS

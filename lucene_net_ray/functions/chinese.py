@@ -35,9 +35,23 @@ CHINESE_STOP_WORDS = frozenset(
 _MAX_WORD_LEN = 255
 
 
-@lru_cache(maxsize=200_000)
 def chinese_tokens(text: str) -> tuple[str, ...]:
-    """ChineseTokenizer analog: raw tokens, lowercased, pre-filter."""
+    """ChineseTokenizer analog: raw tokens, lowercased, pre-filter.
+
+    Memoized only for short inputs (the per-ws-token indexing path); whole
+    documents bypass the cache — an lru keyed by full document text would
+    pin up to maxsize complete documents per worker process."""
+    if len(text) <= 64:
+        return _chinese_tokens_cached(text)
+    return _chinese_tokens_uncached(text)
+
+
+@lru_cache(maxsize=200_000)
+def _chinese_tokens_cached(text: str) -> tuple[str, ...]:
+    return _chinese_tokens_uncached(text)
+
+
+def _chinese_tokens_uncached(text: str) -> tuple[str, ...]:
     out: list[str] = []
     buf: list[str] = []
     for c in text:

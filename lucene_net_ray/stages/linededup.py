@@ -42,6 +42,10 @@ def _explode(batch: pa.Table, *, text_column: str, id_column: str, delim: str) -
         raise ValueError(f"document exceeds {_LINE_CAP} lines; raise _LINE_BITS")
     flat = pc.list_flatten(lines)
     ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    if ids.size and (int(ids.min()) < 0 or int(ids.max()) >= (1 << (63 - _LINE_BITS))):
+        raise ValueError(
+            f"doc ids must be in [0, 2^{63 - _LINE_BITS}) for the rank packing"
+        )
     doc_of_line = np.repeat(ids, counts)
     offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
     line_no = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(offs, counts)

@@ -89,26 +89,46 @@ def budget_select(
     # pass 1: per-key token totals -> driver prefix sum (<= 1e6+1 rows)
     totals = scored.groupby("qkey").aggregate(Sum("n_tokens")).take_all()
     totals.sort(key=lambda r: r["qkey"])
-    offsets: dict[int, int] = {}
+    keys_list: list[int] = []
+    offs_list: list[int] = []
     acc = 0
     boundary_key = -1  # last key whose docs can still fit
     for r in totals:
         k = int(r["qkey"])
-        offsets[k] = acc
-        acc += int(r["sum(n_tokens)"])
-        if offsets[k] <= budget_tokens:
+        if acc <= budget_tokens:
+            # keys past the boundary never contribute kept rows — prune
+            # them from the broadcast arrays AND the shuffle
+            keys_list.append(k)
+            offs_list.append(acc)
             boundary_key = k
-    if boundary_key < 0:  # budget smaller than the best key's offset (=0): impossible
-        boundary_key = int(totals[0]["qkey"]) if totals else -1
+        acc += int(r["sum(n_tokens)"])
+    cand_keys = np.asarray(keys_list, dtype=np.int64)
+    cand_offs = np.asarray(offs_list, dtype=np.int64)
+    # broadcast once (ray.put), read zero-copy in every group task — the
+    # arrays are candidate-keys-sized, never shipped per-task in the pickle
+    import ray
+
+    offs_ref = ray.put((cand_keys, cand_offs))
 
     def resolve(group: pa.Table) -> pa.Table:
+        """One COARSE bucket (~2^10 quality keys): segmented cumsum over
+        (qkey, doc_id)-sorted rows — vectorized across all keys of the
+        bucket, no per-key Python group (the salted-windows lesson)."""
         import pyarrow.compute as pc
 
-        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        keys, offs = ray.get(offs_ref)
+        order = pc.sort_indices(
+            group, sort_keys=[("qkey", "ascending"), ("doc_id", "ascending")]
+        )
         group = group.take(order)
+        q = group.column("qkey").to_numpy(zero_copy_only=False).astype(np.int64)
         n = group.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
-        k = int(group.column("qkey")[0].as_py())
-        cum = offsets[k] + np.cumsum(n)
+        cum_all = np.cumsum(n)
+        starts = np.flatnonzero(np.concatenate(([True], q[1:] != q[:-1])))
+        seg_lens = np.diff(np.concatenate((starts, [q.size])))
+        seg_base = cum_all[starts] - n[starts]  # running total before each key's rows
+        base_off = offs[np.searchsorted(keys, q[starts])]
+        cum = cum_all - np.repeat(seg_base, seg_lens) + np.repeat(base_off, seg_lens)
         keep = cum <= budget_tokens
         return pa.table(
             {
@@ -121,9 +141,17 @@ def budget_select(
 
     # pass 2: rows beyond the boundary key can never be kept — drop them
     # BEFORE the keyed exchange (at a tight budget this prunes most of the
-    # corpus from the shuffle)
-    candidates = scored.filter(expr=f"qkey <= {boundary_key}")
-    return candidates.groupby("qkey").map_groups(resolve, batch_format="pyarrow")
+    # corpus from the shuffle); the exchange key is a coarse bucket
+    # (~2^10 keys each, <= ~1000 groups), resolved vectorized inside
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        qk = batch.column("qkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("qbucket", pa.array(qk >> 10))
+
+    candidates = scored.filter(expr=f"qkey <= {boundary_key}").map_batches(
+        add_bucket, batch_format="pyarrow"
+    )
+    out = candidates.groupby("qbucket").map_groups(resolve, batch_format="pyarrow")
+    return out
 
 
 #: (numerator, denominator) forms of the published quantile grid; the

@@ -159,10 +159,15 @@ def quality_score_batch(batch: pa.Table, *, text_column: str = "text") -> pa.Tab
     n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
     uniq, idx, doc_idx, n = _split_ws(batch, text_column)
     # n_tokens / n_alpha derived from the SAME split instead of two extra
-    # full-text RE2 scans (a measured ~4x on this kernel): maximal \S+ runs
-    # ARE the non-empty ws tokens, and RE2's [\pL\pN] char class is exactly
-    # Python str.isalnum (categories L* + Nd/Nl/No); per-UNIQUE-token counts
-    # are memoized across batches like the analyzer term counts.
+    # full-text RE2 scans (a measured ~10x on this kernel); RE2's [\pL\pN]
+    # char class is exactly Python str.isalnum (categories L* + Nd/Nl/No);
+    # per-UNIQUE-token counts are memoized across batches like the analyzer
+    # term counts. SEMANTICS NOTE: n_tokens counts non-empty UNICODE-
+    # whitespace-split tokens (str.split), the boundary the sibling n_stop
+    # count has always used — which differs from RE2's ASCII-only \s for
+    # docs containing NBSP/U+3000/etc (those now separate tokens, arguably
+    # the better definition); stages/packing.py keeps the ASCII \S+ rule,
+    # so budget/packing token totals can differ on such docs.
     memo = _QUALITY_TOK_MEMO
     nonempty_u = np.empty(len(uniq), dtype=np.int64)
     alnum_u = np.empty(len(uniq), dtype=np.int64)
