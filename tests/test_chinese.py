@@ -91,3 +91,20 @@ def test_indexed_round_trip(ray_session, tmp_path):
     # consecutive han chars are consecutive positions -> phrase matches
     ph = PhraseQuery(field="content", terms=("中", "国"), slop=0)
     assert [d for d, _ in s.search(ph, k=10)] == [0]
+
+
+def test_default_stop_list_is_chinese_not_english():
+    # regression: 'an'/'a'-style words are NOT in ChineseFilter's 30-word
+    # list — the default must not silently fall back to the English set
+    a = Analyzer(kind="chinese")
+    assert a("an apple") == ["an", "apple"]
+    assert a("that apple") == ["apple"]  # 'that' IS in the Chinese list
+
+
+def test_whole_document_path_not_cached():
+    from lucene_net_ray.functions import chinese as cn
+
+    big = "word " * 100  # > 64 chars: must bypass the lru
+    before = cn._chinese_tokens_cached.cache_info().currsize
+    cn.chinese_tokens(big)
+    assert cn._chinese_tokens_cached.cache_info().currsize == before

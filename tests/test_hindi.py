@@ -122,3 +122,11 @@ def test_indexed_round_trip(ray_session, tmp_path):
     term = Analyzer(kind="hindi")("अंग्रेज़ी")[0]
     hits = s.search(TermQuery(field="content", term=term), k=10)
     assert sorted(d for d, _ in hits) == [0, 1, 2]
+
+
+def test_zwnj_zwj_glue_through_tokenizer():
+    # UAX#29 WB4 ignores Format/ZWJ: joiners must not split the token, so
+    # the normalizer's joiner deletion is reachable (regression)
+    assert Analyzer(kind="standard")("क्‌त") == ["क्‌त"]
+    assert Analyzer(kind="hindi")("क्‌त") == ["कत"]
+    assert Analyzer(kind="hindi")("क्‍त") == ["कत"]

@@ -69,3 +69,12 @@ def test_linify_batch_shapes():
                     "text": ["a b c d e f g h i j k"]})
     out = linify_batch(tbl, tokens_per_line=8)
     assert out.column("text")[0].as_py() == "a b c d e f g h\ni j k"
+
+
+def test_doc_id_out_of_rank_range_raises(ray_session):
+    import pytest
+
+    tbl = pa.table({"doc_id": pa.array([1 << 50], type=pa.int64()),
+                    "text": ["x"]})
+    with pytest.raises(Exception, match="doc ids must be"):
+        line_dedup(ray.data.from_arrow(tbl)).to_pandas()
