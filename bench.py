@@ -344,6 +344,16 @@ def data_pipeline_bench(sf_dir: str) -> dict:
     budget_select(docs.select_columns(["doc_id", "text"]),
                   budget_tokens=135_000).count()
     out["budget_select_sec"] = round(time.perf_counter() - t0, 3)
+
+    from lucene_net_ray.stages.linededup import line_dedup, linify_batch
+
+    t0 = time.perf_counter()
+    line_dedup(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            linify_batch, batch_format="pyarrow"
+        )
+    ).count()
+    out["line_dedup_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 
