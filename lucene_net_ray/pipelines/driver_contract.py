@@ -1812,7 +1812,19 @@ def q_length_quantiles(sf_dir: str):
     return length_quantiles(_documents_ds(sf_dir))
 
 
+def q_sampled_facet_counts(sf_dir: str):
+    """RandomSamplingFacetsCollector analog: facet counts over a
+    deterministic md5-draw sample of the hit set, amortized back up by the
+    inverse sampling ratio (pipelines/facets.py sampled_facet_counts)."""
+    from .facets import sampled_facet_counts
+
+    return sampled_facet_counts(
+        _documents_ds(sf_dir), term=TERM, facet_column="lang", fraction=0.5
+    )
+
+
 QUERIES = {
+    "sampled_facet_counts": q_sampled_facet_counts,
     "line_dedup": q_line_dedup,
     "budget_select": q_budget_select,
     "length_quantiles": q_length_quantiles,
@@ -2877,6 +2889,21 @@ FROM w ORDER BY doc_id
     # execution exact, not merely self-consistent
     d["session_windows_salted"] = d["session_windows"]
     d["funnel_counts_salted"] = d["funnel_counts"]
+    from ..stages.clean import mix_threshold_hex as _mth
+
+    d["sampled_facet_counts"] = f"""
+WITH {_TOKS_CTE}
+, hits AS (
+  SELECT d.lang, substr(md5(d.text), 1, 8) AS h
+  FROM documents d
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE tok = '{TERM}')),
+tot AS (SELECT count(*) AS n FROM hits),
+samp AS (SELECT * FROM hits WHERE h < '{_mth(0.5)}'),
+stot AS (SELECT count(*) AS n FROM samp)
+SELECT lang, count(*) AS n_sampled,
+       CAST(count(*) * (SELECT n FROM tot) // (SELECT n FROM stot) AS BIGINT) AS est
+FROM samp GROUP BY lang ORDER BY lang
+"""
     d["simple_faceted_counts"] = f"""
 WITH {_TOKS_CTE}
 SELECT d.lang, d.source, count(*) AS n_docs

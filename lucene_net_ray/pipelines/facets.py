@@ -178,3 +178,60 @@ def drill_sideways(
         counts = sub.groupby(dim).count().rename_columns({"count()": "n_docs"})
         facets[dim] = counts
     return {"hits": hits, "facets": facets}
+
+
+def sampled_facet_counts(
+    ds: "ray.data.Dataset",
+    *,
+    term: str,
+    facet_column: str = "lang",
+    text_column: str = "text",
+    fraction: float = 0.5,
+):
+    """RandomSamplingFacetsCollector analog (reference
+    Facet/RandomSamplingFacetsCollector.cs:38 — sample the hit set, facet
+    on the sample, amortize counts back up by the inverse sampling ratio).
+
+    The reference samples with a seeded XORShift64; here the draw is the
+    repo's deterministic md5(text)-threshold (the stratified_sample /
+    mix_sources trick), which is seedless, shuffle- and cluster-size-stable,
+    and SQL-mirrorable — so the entry stays hash-exact. Scale shape: the
+    facet groupby sees ONLY the sampled hits; the totals are two scalar
+    counts. est = n_sampled * total_hits // sampled_hits (exact integer
+    math on both sides).
+
+    Returns a pandas DataFrame (facet label, n_sampled, est) — label-sized.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.clean import mix_threshold_hex
+    from ..stages.textstats import md5_hex_utf8
+
+    thr = mix_threshold_hex(fraction)
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        keep = [term in t.split() for t in batch.column(text_column).to_pylist()]
+        hits = batch.filter(pa.array(keep))
+        hx = md5_hex_utf8(hits.column(text_column))
+        sampled = pa.array([h < thr for h in hx])
+        return pa.table(
+            {
+                facet_column: hits.column(facet_column),
+                "sampled": sampled,
+            }
+        )
+
+    hits = ds.map_batches(hit_rows, batch_format="pyarrow")
+    total = hits.count()
+    sample = hits.filter(expr="sampled == True")
+    stotal = sample.count()
+    per_label = sample.groupby(facet_column).count().to_pandas()
+    per_label = per_label.rename(columns={"count()": "n_sampled"})
+    if stotal:
+        per_label["est"] = (
+            per_label["n_sampled"].astype("int64") * int(total) // int(stotal)
+        ).astype("int64")
+    else:
+        per_label["est"] = pd.Series([], dtype="int64")
+    return per_label.sort_values(facet_column).reset_index(drop=True)

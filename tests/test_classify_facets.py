@@ -125,3 +125,48 @@ def test_association_facet_sums():
         "a": (35.0, 3), "a/x": (15.0, 2), "a/y": (20.0, 1),
         "b": (7.0, 1), "b/x": (7.0, 1),
     }
+
+
+def test_sampled_facet_counts_matches_brute(ray_session):
+    import hashlib
+
+    import numpy as np
+
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.facets import sampled_facet_counts
+    from lucene_net_ray.stages.clean import mix_threshold_hex
+
+    rng = np.random.default_rng(5)
+    langs = rng.choice(["en", "de"], size=200).tolist()
+    texts = [
+        ("merge " if rng.random() < 0.6 else "other ") + f"doc {i}"
+        for i in range(200)
+    ]
+    tbl = pa.table({"lang": langs, "text": texts})
+    got = sampled_facet_counts(
+        ray.data.from_arrow(tbl).repartition(4), term="merge", fraction=0.5
+    )
+    thr = mix_threshold_hex(0.5)
+    hits = [(l, hashlib.md5(t.encode()).hexdigest()[:8]) for l, t in zip(langs, texts)
+            if "merge" in t.split()]
+    samp = [l for l, h in hits if h < thr]
+    exp = {}
+    for l in samp:
+        exp[l] = exp.get(l, 0) + 1
+    assert dict(zip(got["lang"], got["n_sampled"])) == exp
+    for _, row in got.iterrows():
+        assert row["est"] == row["n_sampled"] * len(hits) // len(samp)
+
+
+def test_sampled_facet_counts_full_fraction_is_exact(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.facets import sampled_facet_counts
+
+    tbl = pa.table({"lang": ["en", "en", "de"], "text": ["merge a", "merge b", "merge c"]})
+    got = sampled_facet_counts(ray.data.from_arrow(tbl), term="merge", fraction=1.0)
+    assert dict(zip(got["lang"], got["est"])) == {"en": 2, "de": 1}
+    assert (got["est"] == got["n_sampled"]).all()
