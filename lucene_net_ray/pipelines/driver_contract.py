@@ -1823,7 +1823,20 @@ def q_sampled_facet_counts(sf_dir: str):
     )
 
 
+def q_dataset_split(sf_dir: str):
+    """DatasetSplitter analog (train/test/cv corpus split by deterministic
+    md5-draw, stages/clean.py dataset_split): per-doc split labels."""
+    from ..stages.clean import dataset_split
+
+    return dataset_split(
+        _documents_ds(sf_dir).select_columns(["doc_id", "text"]),
+        test_fraction=0.2,
+        cv_fraction=0.1,
+    ).select_columns(["doc_id", "split"])
+
+
 QUERIES = {
+    "dataset_split": q_dataset_split,
     "sampled_facet_counts": q_sampled_facet_counts,
     "line_dedup": q_line_dedup,
     "budget_select": q_budget_select,
@@ -2891,6 +2904,13 @@ FROM w ORDER BY doc_id
     d["funnel_counts_salted"] = d["funnel_counts"]
     from ..stages.clean import mix_threshold_hex as _mth
 
+    d["dataset_split"] = f"""
+SELECT doc_id,
+  CASE WHEN substr(md5(text), 1, 8) < '{_mth(0.2)}' THEN 'test'
+       WHEN substr(md5(text), 1, 8) < '{_mth(0.2 + 0.1)}' THEN 'cv'
+       ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+"""
     d["sampled_facet_counts"] = f"""
 WITH {_TOKS_CTE}
 , hits AS (

@@ -203,3 +203,32 @@ def mix_sources(
         return batch.filter(pa.array(h8 < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def dataset_split(
+    ds: "ray.data.Dataset",
+    *,
+    test_fraction: float = 0.1,
+    cv_fraction: float = 0.1,
+    text_column: str = "text",
+) -> "ray.data.Dataset":
+    """Train/test/cross-validation corpus split — the DatasetSplitter analog
+    (reference Classification/Utils/DatasetSplitter.cs:32 assigns each doc
+    to one of three output indexes by the requested proportions; it draws
+    from a seeded RNG, here the draw is the repo's deterministic md5(text)
+    threshold, so the split is seedless, shuffle- and cluster-size-stable
+    and SQL-mirrorable). Adds a ``split`` column ('test' for hash < t1,
+    'cv' for t1 <= hash < t2, 'train' otherwise); one streaming map, no
+    shuffle. Filter on the column (or write partitioned by it) to get the
+    three corpora."""
+    from .textstats import md5_hex_utf8
+
+    t1 = mix_threshold_hex(test_fraction)
+    t2 = mix_threshold_hex(test_fraction + cv_fraction)
+
+    def label(batch: pa.Table) -> pa.Table:
+        hx = md5_hex_utf8(batch.column(text_column))
+        split = ["test" if h < t1 else ("cv" if h < t2 else "train") for h in hx]
+        return batch.append_column("split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow")

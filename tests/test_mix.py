@@ -84,3 +84,32 @@ def test_top_terms_per_group():
         top = sorted(c.items(), key=lambda x: (-x[1], x[0]))[:3]
         sub = got[got["lang"] == lang].sort_values(["n", "tok"], ascending=[False, True])
         assert [(r.tok, r.n) for r in sub.itertuples()] == top
+
+
+def test_dataset_split_deterministic_and_proportional(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.stages.clean import dataset_split, mix_threshold_hex
+
+    texts = [f"document number {i} body" for i in range(2000)]
+    tbl = pa.table({"doc_id": pa.array(range(2000), type=pa.int64()), "text": texts})
+    out = dataset_split(
+        ray.data.from_arrow(tbl).repartition(7), test_fraction=0.2, cv_fraction=0.1
+    ).to_pandas()
+    t1, t2 = mix_threshold_hex(0.2), mix_threshold_hex(0.2 + 0.1)
+    for _, r in out.iterrows():
+        h = hashlib.md5(r["text"].encode()).hexdigest()[:8]
+        exp = "test" if h < t1 else ("cv" if h < t2 else "train")
+        assert r["split"] == exp
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["test"] - 0.2) < 0.04 and abs(frac["cv"] - 0.1) < 0.04
+    # partitioning-invariant: same labels at a different block count
+    out2 = dataset_split(
+        ray.data.from_arrow(tbl).repartition(2), test_fraction=0.2, cv_fraction=0.1
+    ).to_pandas()
+    a = out.sort_values("doc_id")["split"].tolist()
+    b = out2.sort_values("doc_id")["split"].tolist()
+    assert a == b
