@@ -1823,6 +1823,30 @@ def q_sampled_facet_counts(sf_dir: str):
     )
 
 
+def q_neardup_dedup_kept(sf_dir: str):
+    """End-to-end near-duplicate REMOVAL — the step real pipelines run on
+    the cluster output: exact-Jaccard pairs -> connected components ->
+    keep only each component's min doc_id (plus every unclustered doc).
+    Composes three tested stages; one extra broadcast of the (tiny)
+    loser set: components-sized, never corpus-sized."""
+    from ..stages.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _documents_ds(sf_dir), shingle_size=2, threshold=0.5, max_shingle_df=100_000
+    )
+    clusters = neardup_clusters(pairs).to_pandas()
+    losers = set(
+        clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = pa.array([int(i) not in losers for i in ids])
+        return batch.select(["doc_id"]).filter(mask)
+
+    return _documents_ds(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
 def q_dataset_split(sf_dir: str):
     """DatasetSplitter analog (train/test/cv corpus split by deterministic
     md5-draw, stages/clean.py dataset_split): per-doc split labels."""
@@ -1836,6 +1860,7 @@ def q_dataset_split(sf_dir: str):
 
 
 QUERIES = {
+    "neardup_dedup_kept": q_neardup_dedup_kept,
     "dataset_split": q_dataset_split,
     "sampled_facet_counts": q_sampled_facet_counts,
     "line_dedup": q_line_dedup,
@@ -2793,6 +2818,29 @@ SELECT doc_id,
     '\d{2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
     '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS scrubbed
 FROM t ORDER BY doc_id
+""",
+        "neardup_dedup_kept": """
+WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),
+sh AS (SELECT doc_id,
+       list_distinct(list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])) AS gs
+       FROM toks WHERE len(ts) >= 2),
+sizes AS (SELECT doc_id, len(gs) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+p AS (SELECT doc_a, doc_b FROM co
+      JOIN sizes sa ON sa.doc_id = co.doc_a JOIN sizes sb ON sb.doc_id = co.doc_b
+      WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5),
+e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+reach(node, lab) AS (
+  SELECT u, u FROM e UNION SELECT u, v FROM e
+  UNION
+  SELECT e.u, r.lab FROM e JOIN reach r ON r.node = e.v
+),
+losers AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING node != MIN(lab))
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY d.doc_id
 """,
         "neardup_clusters": """
 WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ts FROM documents),
