@@ -114,6 +114,32 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--distance", choices=("levenstein", "jarowinkler", "ngram"),
                     default="levenstein")
 
+    ts = sub.add_parser(
+        "train-shards",
+        help="clean -> chunk -> pack -> hash-sharded resumable write "
+        "(the flagship training-data pipeline; re-run to resume)",
+    )
+    ts.add_argument("--input", required=True, help="parquet corpus dir/file")
+    ts.add_argument("--out", required=True)
+    ts.add_argument("--text-column", default="text")
+    ts.add_argument("--id-column", default="doc_id")
+    ts.add_argument("--chunk-tokens", type=int, default=256)
+    ts.add_argument("--overlap-tokens", type=int, default=32)
+    ts.add_argument("--pack-budget", type=int, default=2048)
+    ts.add_argument("--num-shards", type=int, default=16)
+    ts.add_argument("--min-quality", type=float, default=0.0)
+
+    cs = sub.add_parser(
+        "corpus-split",
+        help="deterministic train/test/cv split labels (DatasetSplitter "
+        "analog), written as split-partitioned parquet",
+    )
+    cs.add_argument("--input", required=True)
+    cs.add_argument("--out", required=True)
+    cs.add_argument("--text-column", default="text")
+    cs.add_argument("--test-fraction", type=float, default=0.1)
+    cs.add_argument("--cv-fraction", type=float, default=0.1)
+
     args = ap.parse_args(argv)
     _ensure_ray()
     try:
@@ -230,6 +256,36 @@ def main(argv: list[str] | None = None) -> int:
                 [{"suggestion": w, "score": round(sc_, 6)}
                  for w, sc_ in sc.suggest_similar(args.word, args.k)]
             ))
+        elif args.cmd == "train-shards":
+            from .pipelines.training import prepare_training_shards
+
+            manifest = prepare_training_shards(
+                args.input,
+                args.out,
+                text_column=args.text_column,
+                id_column=args.id_column,
+                min_quality=args.min_quality,
+                chunk_tokens=args.chunk_tokens,
+                overlap_tokens=args.overlap_tokens,
+                pack_budget=args.pack_budget,
+                num_shards=args.num_shards,
+            )
+            print(json.dumps({k: manifest[k] for k in
+                              ("rows_in", "rows_kept", "n_chunks", "n_sequences")
+                              if k in manifest} | {"out": args.out}))
+        elif args.cmd == "corpus-split":
+            import ray.data as _rd
+
+            from .stages.clean import dataset_split
+
+            ds = dataset_split(
+                _rd.read_parquet(args.input),
+                test_fraction=args.test_fraction,
+                cv_fraction=args.cv_fraction,
+                text_column=args.text_column,
+            )
+            ds.write_parquet(args.out, partition_cols=["split"])
+            print(json.dumps({"out": args.out, "rows": _rd.read_parquet(args.out).count()}))
         elif args.cmd == "expunge":
             from .pipelines.maintenance import expunge_deletes
 

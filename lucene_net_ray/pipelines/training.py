@@ -103,6 +103,16 @@ def prepare_training_shards(
         ).encode()
     ).hexdigest()
 
+    # fail fast on a missing id/text column (otherwise the error surfaces
+    # deep inside the clean stage's sort as an opaque FieldRef miss)
+    schema_names = ray.data.read_parquet(input_path).schema().names
+    for col, what in ((id_column, "id_column"), (text_column, "text_column")):
+        if col not in schema_names:
+            raise ValueError(
+                f"{what}={col!r} not in input schema {schema_names} — the "
+                "pipeline needs a stable integer id per doc (resume identity)"
+            )
+
     done_path = os.path.join(out_dir, "_done")
     if os.path.exists(done_path):
         with open(done_path) as f:
