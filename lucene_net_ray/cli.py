@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import ray
@@ -277,6 +278,13 @@ def main(argv: list[str] | None = None) -> int:
             import ray.data as _rd
 
             from .stages.clean import dataset_split
+
+            if os.path.isdir(args.out) and os.listdir(args.out):
+                raise SystemExit(
+                    f"--out {args.out} is non-empty; a re-run would mix old "
+                    "and new files (write_parquet appends uniquely-named "
+                    "files) — remove it or point at a fresh directory"
+                )
 
             ds = dataset_split(
                 _rd.read_parquet(args.input),

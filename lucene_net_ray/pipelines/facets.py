@@ -203,7 +203,6 @@ def sampled_facet_counts(
     Returns a pandas DataFrame (facet label, n_sampled, est) — label-sized.
     """
     import pandas as pd
-    import pyarrow.compute as pc
 
     from ..stages.clean import mix_threshold_hex
     from ..stages.textstats import md5_hex_utf8
@@ -222,7 +221,9 @@ def sampled_facet_counts(
             }
         )
 
-    hits = ds.map_batches(hit_rows, batch_format="pyarrow")
+    # materialize the (facet label, sampled) pairs — hit-sized, two narrow
+    # columns — so the three consumers below don't re-run the corpus scan
+    hits = ds.map_batches(hit_rows, batch_format="pyarrow").materialize()
     total = hits.count()
     sample = hits.filter(expr="sampled == True")
     stotal = sample.count()

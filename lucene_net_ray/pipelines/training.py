@@ -103,8 +103,19 @@ def prepare_training_shards(
         ).encode()
     ).hexdigest()
 
+    done_path = os.path.join(out_dir, "_done")
+    if os.path.exists(done_path):
+        with open(done_path) as f:
+            manifest = json.load(f)
+        if manifest.get("params_fp") == params_fp:
+            return manifest  # completed run: no input access at all
+        os.remove(done_path)  # different parameters: rebuild via the stages
+    os.makedirs(out_dir, exist_ok=True)
+
     # fail fast on a missing id/text column (otherwise the error surfaces
-    # deep inside the clean stage's sort as an opaque FieldRef miss)
+    # deep inside the clean stage's sort as an opaque FieldRef miss);
+    # AFTER the _done fast-path so a finished run returns its manifest even
+    # if the input corpus has since been deleted
     schema_names = ray.data.read_parquet(input_path).schema().names
     for col, what in ((id_column, "id_column"), (text_column, "text_column")):
         if col not in schema_names:
@@ -112,15 +123,6 @@ def prepare_training_shards(
                 f"{what}={col!r} not in input schema {schema_names} — the "
                 "pipeline needs a stable integer id per doc (resume identity)"
             )
-
-    done_path = os.path.join(out_dir, "_done")
-    if os.path.exists(done_path):
-        with open(done_path) as f:
-            manifest = json.load(f)
-        if manifest.get("params_fp") == params_fp:
-            return manifest
-        os.remove(done_path)  # different parameters: rebuild via the stages
-    os.makedirs(out_dir, exist_ok=True)
 
     cleaned_dir = os.path.join(out_dir, "cleaned")
     summary = _stage(

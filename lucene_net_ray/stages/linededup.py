@@ -37,7 +37,18 @@ _LINE_CAP = 1 << _LINE_BITS
 _COARSE_BUCKETS = 4096
 
 
+_EXPLODE_EMPTY = pa.table(
+    {
+        "line": pa.array([], type=pa.string()),
+        "rank": pa.array([], type=pa.int64()),
+        "coarse": pa.array([], type=pa.int64()),
+    }
+)
+
+
 def _explode(batch: pa.Table, *, text_column: str, id_column: str, delim: str) -> pa.Table:
+    if batch.num_rows == 0:  # an upstream filter can empty a whole block
+        return _EXPLODE_EMPTY
     col = batch.column(text_column)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -61,14 +72,10 @@ def _explode(batch: pa.Table, *, text_column: str, id_column: str, delim: str) -
     denc = flat.dictionary_encode()
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
-    import hashlib
+    from .textstats import md5_hex_utf8  # buffer-direct, no per-row str round trip
 
     uniq_h = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "little")
-            % _COARSE_BUCKETS
-            for u in denc.dictionary.to_pylist()
-        ),
+        (int(h[:16], 16) % _COARSE_BUCKETS for h in md5_hex_utf8(denc.dictionary)),
         dtype=np.int64,
         count=len(denc.dictionary),
     )
@@ -148,13 +155,13 @@ def line_dedup(
         group = group.take(order)
         ids = group.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
         starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
-        offsets = pa.array(
-            np.concatenate((starts, [ids.size])).astype(np.int32)
-        )
+        # int64 offsets + LargeList: a group can legally hold > 2^31 lines
+        # (2^13 docs x up to 2^20 lines each), so int32 offsets could wrap
+        offsets = pa.array(np.concatenate((starts, [ids.size])).astype(np.int64))
         lines = group.column("line")
         if isinstance(lines, pa.ChunkedArray):
             lines = lines.combine_chunks()
-        lists = pa.ListArray.from_arrays(offsets, lines)
+        lists = pa.LargeListArray.from_arrays(offsets, lines)
         return pa.table(
             {
                 id_column: pa.array(ids[starts]),
