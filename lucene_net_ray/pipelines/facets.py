@@ -228,11 +228,14 @@ def sampled_facet_counts(
     sample = hits.filter(expr="sampled == True")
     stotal = sample.count()
     per_label = sample.groupby(facet_column).count().to_pandas()
+    if per_label.empty:  # zero-sample: empty frames lose their schema
+        return pd.DataFrame(
+            {facet_column: pd.Series([], dtype="object"),
+             "n_sampled": pd.Series([], dtype="int64"),
+             "est": pd.Series([], dtype="int64")}
+        )
     per_label = per_label.rename(columns={"count()": "n_sampled"})
-    if stotal:
-        per_label["est"] = (
-            per_label["n_sampled"].astype("int64") * int(total) // int(stotal)
-        ).astype("int64")
-    else:
-        per_label["est"] = pd.Series([], dtype="int64")
+    per_label["est"] = (
+        per_label["n_sampled"].astype("int64") * int(total) // int(stotal)
+    ).astype("int64")
     return per_label.sort_values(facet_column).reset_index(drop=True)

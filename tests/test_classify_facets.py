@@ -170,3 +170,14 @@ def test_sampled_facet_counts_full_fraction_is_exact(ray_session):
     got = sampled_facet_counts(ray.data.from_arrow(tbl), term="merge", fraction=1.0)
     assert dict(zip(got["lang"], got["est"])) == {"en": 2, "de": 1}
     assert (got["est"] == got["n_sampled"]).all()
+
+
+def test_sampled_facet_counts_zero_sample(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_net_ray.pipelines.facets import sampled_facet_counts
+
+    tbl = pa.table({"lang": ["en"], "text": ["merge only"]})
+    got = sampled_facet_counts(ray.data.from_arrow(tbl), term="merge", fraction=0.0)
+    assert len(got) == 0 and list(got.columns) == ["lang", "n_sampled", "est"]

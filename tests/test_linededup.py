@@ -78,3 +78,14 @@ def test_doc_id_out_of_rank_range_raises(ray_session):
                     "text": ["x"]})
     with pytest.raises(Exception, match="doc ids must be"):
         line_dedup(ray.data.from_arrow(tbl)).to_pandas()
+
+
+def test_empty_filtered_block_survives(ray_session):
+    # regression: an upstream filter can hand _explode a 0-row block
+    tbl = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                    "text": ["", "a\nb"]})
+    ds = ray.data.from_arrow(tbl).repartition(2).filter(
+        lambda r: bool(r["text"])
+    )
+    got = line_dedup(ds).to_pandas()
+    assert dict(zip(got["doc_id"], got["text"])) == {1: "a\nb"}

@@ -122,3 +122,25 @@ def test_mid_run_kill_resumes_per_stage(tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(out, "packing", "partial.parquet"))
     assert os.path.getmtime(os.path.join(out, "_stage_clean.json")) == clean_mtime
     assert os.path.getmtime(os.path.join(out, "_stage_chunks.json")) == chunk_mtime
+
+
+def test_done_run_returns_manifest_without_input(ray_session, tmp_path):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_net_ray.pipelines.training import prepare_training_shards
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(50), type=pa.int64()),
+                  "text": [f"doc {i} some words here" for i in range(50)]}),
+        str(corpus / "p.parquet"),
+    )
+    out = str(tmp_path / "shards")
+    m1 = prepare_training_shards(str(corpus), out, num_shards=2)
+    shutil.rmtree(corpus)  # input gone: the _done fast-path must not touch it
+    m2 = prepare_training_shards(str(corpus), out, num_shards=2)
+    assert m2["n_chunks"] == m1["n_chunks"] and m2["rows_kept"] == m1["rows_kept"]
