@@ -1823,6 +1823,18 @@ def q_sampled_facet_counts(sf_dir: str):
     )
 
 
+def q_corpus_shuffle(sf_dir: str):
+    """Deterministic global corpus shuffle (training-order randomization):
+    dense rank in (md5(text), doc_id) order, assigned with NO all-to-all
+    sort — 4096 hash-range buckets + driver prefix sum over bucket counts
+    (stages/select.py corpus_shuffle_ranks)."""
+    from ..stages.select import corpus_shuffle_ranks
+
+    return corpus_shuffle_ranks(
+        _documents_ds(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def q_neardup_dedup_kept(sf_dir: str):
     """End-to-end near-duplicate REMOVAL — the step real pipelines run on
     the cluster output: exact-Jaccard pairs -> connected components ->
@@ -1860,6 +1872,7 @@ def q_dataset_split(sf_dir: str):
 
 
 QUERIES = {
+    "corpus_shuffle": q_corpus_shuffle,
     "neardup_dedup_kept": q_neardup_dedup_kept,
     "dataset_split": q_dataset_split,
     "sampled_facet_counts": q_sampled_facet_counts,
@@ -2952,6 +2965,11 @@ FROM w ORDER BY doc_id
     d["funnel_counts_salted"] = d["funnel_counts"]
     from ..stages.clean import mix_threshold_hex as _mth
 
+    d["corpus_shuffle"] = """
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1 AS BIGINT) AS shuffle_rank
+FROM documents ORDER BY doc_id
+"""
     d["dataset_split"] = f"""
 SELECT doc_id,
   CASE WHEN substr(md5(text), 1, 8) < '{_mth(0.2)}' THEN 'test'

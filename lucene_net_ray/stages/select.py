@@ -211,3 +211,63 @@ def length_quantiles(
         return pa.table(out)
 
     return hist.groupby(group_column).map_groups(resolve, batch_format="pyarrow")
+
+
+def corpus_shuffle_ranks(
+    ds: ray.data.Dataset,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic global corpus shuffle for training-order randomization:
+    every doc gets a dense rank 0..N-1 in (md5(text), doc_id) order — a
+    seedless, reproducible, cluster-size-stable permutation (the md5-draw
+    family). Rows out: (doc_id, shuffle_rank).
+
+    Scale shape: NO all-to-all sort. The md5's first 12 bits bucket the
+    corpus into 4096 hash ranges; per-bucket counts prefix-sum on the
+    driver (4096 ints), and each bucket sorts locally and adds its offset —
+    the same two-pass rank-assignment discipline as budget_select, with the
+    exchange keyed on a bounded int bucket.
+    """
+    from .textstats import md5_hex_utf8
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hx = md5_hex_utf8(batch.column(text_column))
+        bucket = np.fromiter(
+            (int(h[:3], 16) for h in hx), dtype=np.int64, count=len(hx)
+        )
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "h": pa.array(hx, type=pa.string()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    counts = hashed.groupby("bucket").aggregate(Count()).take_all()
+    counts.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        offsets[int(r["bucket"])] = acc
+        acc += int(r["count()"])
+
+    def rank(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("h", "ascending"), (id_column, "ascending")]
+        )
+        group = group.take(order)
+        b = int(group.column("bucket")[0].as_py())
+        ranks = offsets[b] + np.arange(group.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                id_column: group.column(id_column),
+                "shuffle_rank": pa.array(ranks),
+            }
+        )
+
+    return hashed.groupby("bucket").map_groups(rank, batch_format="pyarrow")

@@ -124,3 +124,24 @@ def test_quantile_disc_rule_matches_duckdb_small_n():
         ).fetchone()[0]
         exp = [max(0, math.ceil(q * n) - 1) + 1 for q in qs]
         assert list(got) == exp, n
+
+
+def test_corpus_shuffle_ranks_matches_brute(ray_session):
+    import hashlib
+
+    from lucene_net_ray.stages.select import corpus_shuffle_ranks
+
+    rng = np.random.default_rng(9)
+    texts = [f"doc body {int(rng.integers(0, 50))}" for _ in range(300)]  # dup texts -> id tie-breaks
+    tbl = pa.table({"doc_id": pa.array(range(300), type=pa.int64()), "text": texts})
+    got = (
+        corpus_shuffle_ranks(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    order = sorted(range(300), key=lambda i: (hashlib.md5(texts[i].encode()).hexdigest(), i))
+    exp = {doc: r for r, doc in enumerate(order)}
+    assert dict(zip(got["doc_id"], got["shuffle_rank"])) == exp
+    # dense permutation 0..N-1
+    assert sorted(got["shuffle_rank"]) == list(range(300))
