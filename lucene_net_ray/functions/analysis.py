@@ -68,6 +68,11 @@ def _mark_class() -> str:
     out: list[list[int]] = []
     prev: list[int] | None = None
     for cp in range(0x10000):
+        # U+200B ZERO WIDTH SPACE is Cf but Word_Break=Other in UAX#29 —
+        # it SEPARATES words (pervasive in scraped web text); excluding it
+        # keeps 'foo​bar' as two tokens like the reference tokenizer
+        if cp == 0x200B:
+            continue
         if unicodedata.category(chr(cp)) in ("Mn", "Mc", "Me", "Cf"):
             if prev is not None and cp == prev[1] + 1:
                 prev[1] = cp

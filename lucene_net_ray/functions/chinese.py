@@ -51,13 +51,19 @@ def _chinese_tokens_cached(text: str) -> tuple[str, ...]:
     return _chinese_tokens_uncached(text)
 
 
+#: Java Character.toLowerCase is 1:1 per char — 'İ' must not expand to
+#: 'i' + combining dot (str.lower() would); same pre-map the standard
+#: chain's LowerCaseFilter analog uses (analysis._JAVA_LOWER)
+_CN_JAVA_LOWER = str.maketrans({"İ": "i", "Σ": "σ"})
+
+
 def _chinese_tokens_uncached(text: str) -> tuple[str, ...]:
     out: list[str] = []
     buf: list[str] = []
     for c in text:
         cat = unicodedata.category(c)
         if cat in ("Nd", "Ll", "Lu"):
-            buf.append(c.lower())
+            buf.append(c.translate(_CN_JAVA_LOWER).lower())
             if len(buf) == _MAX_WORD_LEN:
                 out.append("".join(buf))
                 buf.clear()

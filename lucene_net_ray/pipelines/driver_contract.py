@@ -1786,7 +1786,9 @@ def q_line_dedup(sf_dir: str):
     ds = (
         _documents_ds(sf_dir)
         .select_columns(["doc_id", "text"])
-        .filter(lambda r: bool(r["text"].strip()))
+        # zero-TOKEN docs (oracle: no [^ ]+ match) — strip spaces only, so
+        # a tab-only doc stays in on both sides
+        .filter(lambda r: bool(r["text"].strip(" ")))
         .map_batches(linify_batch, batch_format="pyarrow")
     )
     return line_dedup(ds)
@@ -1851,9 +1853,11 @@ def q_neardup_dedup_kept(sf_dir: str):
         clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
     )
 
+    loser_arr = np.fromiter(losers, dtype=np.int64, count=len(losers))
+
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        mask = pa.array([int(i) not in losers for i in ids])
+        mask = pa.array(~np.isin(ids, loser_arr), type=pa.bool_())
         return batch.select(["doc_id"]).filter(mask)
 
     return _documents_ds(sf_dir).map_batches(keep, batch_format="pyarrow")

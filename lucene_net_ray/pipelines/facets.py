@@ -210,10 +210,15 @@ def sampled_facet_counts(
     thr = mix_threshold_hex(fraction)
 
     def hit_rows(batch: pa.Table) -> pa.Table:
-        keep = [term in t.split() for t in batch.column(text_column).to_pylist()]
-        hits = batch.filter(pa.array(keep))
+        # explicit bool type: an all-false/empty list otherwise infers a
+        # null-typed array (schema divergence across blocks, filter errors)
+        keep = pa.array(
+            [term in t.split() for t in batch.column(text_column).to_pylist()],
+            type=pa.bool_(),
+        )
+        hits = batch.filter(keep)
         hx = md5_hex_utf8(hits.column(text_column))
-        sampled = pa.array([h < thr for h in hx])
+        sampled = pa.array([h < thr for h in hx], type=pa.bool_())
         return pa.table(
             {
                 facet_column: hits.column(facet_column),

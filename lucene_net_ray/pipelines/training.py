@@ -112,33 +112,30 @@ def prepare_training_shards(
         os.remove(done_path)  # different parameters: rebuild via the stages
     os.makedirs(out_dir, exist_ok=True)
 
-    # fail fast on a missing id/text column (otherwise the error surfaces
-    # deep inside the clean stage's sort as an opaque FieldRef miss);
-    # AFTER the _done fast-path so a finished run returns its manifest even
-    # if the input corpus has since been deleted
-    schema_names = ray.data.read_parquet(input_path).schema().names
-    for col, what in ((id_column, "id_column"), (text_column, "text_column")):
-        if col not in schema_names:
-            raise ValueError(
-                f"{what}={col!r} not in input schema {schema_names} — the "
-                "pipeline needs a stable integer id per doc (resume identity)"
-            )
-
-    cleaned_dir = os.path.join(out_dir, "cleaned")
-    summary = _stage(
-        out_dir,
-        "clean",
-        cleaned_dir,
-        lambda: clean_corpus(
+    def _run_clean() -> dict:
+        # fail fast on a missing id/text column (otherwise the error
+        # surfaces deep inside the clean stage's sort as an opaque FieldRef
+        # miss). INSIDE the stage runner: a resume whose clean stage is
+        # already committed never touches the input again (the input may
+        # legitimately be gone once cleaned/ exists).
+        schema_names = ray.data.read_parquet(input_path).schema().names
+        for col, what in ((id_column, "id_column"), (text_column, "text_column")):
+            if col not in schema_names:
+                raise ValueError(
+                    f"{what}={col!r} not in input schema {schema_names} — the "
+                    "pipeline needs a stable integer id per doc (resume identity)"
+                )
+        return clean_corpus(
             input_path,
             cleaned_dir,
             text_column=text_column,
             id_column=id_column,
             min_quality=min_quality,
             dedup=dedup,
-        ),
-        params_fp,
-    )
+        )
+
+    cleaned_dir = os.path.join(out_dir, "cleaned")
+    summary = _stage(out_dir, "clean", cleaned_dir, _run_clean, params_fp)
 
     mask = num_shards - 1 if (num_shards & (num_shards - 1)) == 0 else None
 

@@ -223,6 +223,13 @@ def dataset_split(
     three corpora."""
     from .textstats import md5_hex_utf8
 
+    if not (0.0 <= test_fraction and 0.0 <= cv_fraction
+            and test_fraction + cv_fraction <= 1.0):
+        raise ValueError(
+            f"invalid split fractions: test={test_fraction}, cv={cv_fraction} "
+            "(need 0 <= test, 0 <= cv, test + cv <= 1 — the reference "
+            "DatasetSplitter rejects invalid proportions too)"
+        )
     t1 = mix_threshold_hex(test_fraction)
     t2 = mix_threshold_hex(test_fraction + cv_fraction)
 

@@ -108,3 +108,8 @@ def test_whole_document_path_not_cached():
     before = cn._chinese_tokens_cached.cache_info().currsize
     cn.chinese_tokens(big)
     assert cn._chinese_tokens_cached.cache_info().currsize == before
+
+
+def test_java_one_to_one_lowercase():
+    # 'İ'.lower() would inject a combining dot; the 1:1 map must not
+    assert chinese_tokens("İstanbul") == ("istanbul",)

@@ -130,3 +130,8 @@ def test_zwnj_zwj_glue_through_tokenizer():
     assert Analyzer(kind="standard")("क्‌त") == ["क्‌त"]
     assert Analyzer(kind="hindi")("क्‌त") == ["कत"]
     assert Analyzer(kind="hindi")("क्‍त") == ["कत"]
+
+
+def test_zwsp_still_separates_words():
+    # U+200B is Cf but Word_Break=Other — it must SPLIT, unlike ZWNJ/ZWJ
+    assert Analyzer(kind="standard")("foo​bar") == ["foo", "bar"]

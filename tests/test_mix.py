@@ -113,3 +113,17 @@ def test_dataset_split_deterministic_and_proportional(ray_session):
     a = out.sort_values("doc_id")["split"].tolist()
     b = out2.sort_values("doc_id")["split"].tolist()
     assert a == b
+
+
+def test_dataset_split_rejects_invalid_fractions(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from lucene_net_ray.stages.clean import dataset_split
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
+    with pytest.raises(ValueError, match="invalid split fractions"):
+        dataset_split(ds, test_fraction=0.6, cv_fraction=0.6)
+    with pytest.raises(ValueError, match="invalid split fractions"):
+        dataset_split(ds, test_fraction=-0.1, cv_fraction=0.1)
